@@ -1,0 +1,74 @@
+"""Inference-engine wrappers, one cached session per Python worker.
+
+Mirrors the reference's Engine pattern (onnxtr/models/engine.py:102-140):
+a session is constructed once and reused across batches; in Spark the
+equivalent is a module-level singleton inside each Python worker process
+(``spark.python.worker.reuse=true`` keeps workers alive across tasks), with
+model artifacts shipped via ``SparkContext.addFile``/``--files``.
+
+Because this sandbox has no onnxruntime, the two "models" are
+deterministic stubs with the **same tensor contracts** as the reference's
+ONNX graphs:
+
+- ``DetectionEngine.run``: B×H×W×3 uint8 pages → B×H×W float32 prob map
+  in [0,1] (reference FAST/DBNet: sigmoid(logits), detection/models/
+  fast.py:83 + tests/common/test_models_detection.py:92-95).
+- ``RecognitionEngine.run``: B×32×128×3 uint8 crops → B×T×C float32
+  logits, C = len(vocab)+1 with blank last (reference CRNN,
+  models/recognition/models/crnn.py:132-146).
+
+Threading note for a real deployment: set ORT ``intra_op_num_threads=1``
+per session (reference exposes this via EngineConfig, engine.py:51-79) so
+executor cores are not oversubscribed — this is what protects the ≥0.8
+N→4N scaling-efficiency bar.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from onnxtr_spark import imaging
+from onnxtr_spark.vocabs import DEFAULT_VOCAB
+
+_SESSIONS: dict[str, object] = {}
+
+
+class DetectionEngine:
+    """Stub detection model: page batch → probability maps."""
+
+    def run(self, batch: np.ndarray) -> np.ndarray:
+        if batch.ndim != 4 or batch.shape[-1] != 3:
+            raise ValueError(f"expected B×H×W×3, got {batch.shape}")
+        return (255 - batch[..., 0].astype(np.float32)) / 255.0
+
+
+class RecognitionEngine:
+    """Stub recognition model: crop batch → per-timestep logits."""
+
+    def __init__(self, vocab: str = DEFAULT_VOCAB):
+        self.vocab = vocab
+
+    def run(self, batch: np.ndarray) -> np.ndarray:
+        if batch.ndim != 4 or batch.shape[-1] != 3:
+            raise ValueError(f"expected B×H×W×3, got {batch.shape}")
+        n_classes = len(self.vocab) + 1
+        logits = np.zeros((batch.shape[0], batch.shape[2], n_classes), dtype=np.float32)
+        for i in range(batch.shape[0]):
+            classes = imaging.columns_to_classes(batch[i], self.vocab)
+            logits[i] = imaging.classes_to_logits(classes, n_classes)
+        return logits
+
+
+def get_detection_engine() -> DetectionEngine:
+    """Per-worker cached detection session (reference engine.py:102-112)."""
+    if "det" not in _SESSIONS:
+        _SESSIONS["det"] = DetectionEngine()
+    return _SESSIONS["det"]  # type: ignore[return-value]
+
+
+def get_recognition_engine(vocab: str = DEFAULT_VOCAB) -> RecognitionEngine:
+    """Per-worker cached recognition session."""
+    key = f"reco:{len(vocab)}"
+    if key not in _SESSIONS:
+        _SESSIONS[key] = RecognitionEngine(vocab)
+    return _SESSIONS[key]  # type: ignore[return-value]

@@ -1,0 +1,157 @@
+"""Deterministic page imaging: codec + synthetic renderer.
+
+This container has no PIL/cv2/onnxruntime (see README), so the three
+opaque-binary layers of the reference pipeline are deterministic fakes,
+while every operator around them is real and tested:
+
+1. **Codec** (stands in for PNG encode/decode, reference io/image.py:16-53):
+   ``encode_image``/``decode_image`` serialize an H×W×3 uint8 ndarray as
+   a tiny self-describing binary blob. The Spark plumbing — BinaryType
+   columns, Arrow batches into ``mapInPandas``, per-batch np.stack — is
+   identical to what a real PNG codec would need.
+
+2. **Renderer** (stands in for the reference's PIL fixture renderer,
+   tests/conftest.py:13-37): draws each word as a machine-decodable glyph
+   block — every character is a ``CELL_W``-wide column run whose pixel
+   value encodes its vocab index (``CHAR_BASE + idx``), separated by
+   ``GAP_W`` columns of ``GAP_VALUE``. Words are separated by white.
+   Dark-on-white layout, so a detection probability map is literally
+   ``(255 - pixel) / 255`` — which is what the stub "model" in
+   engine.py emits.
+
+3. The **stub models** (engine.py) consume/produce the same tensor
+   shapes as the reference's ONNX graphs (B×H×W×1 prob maps, N×T×C
+   logits) so the real postprocessing kernels (detect_post.py, ctc.py)
+   run unchanged.
+
+Geometry contract (why OCR round-trips exactly — see tests):
+glyph height 16 px, line step 48 px, word gap 20 px, paragraph gap 64 px;
+detection runs on a 512×512 aspect-preserved map, where the unclip
+expansion (≤ 0.75·h per side) never reaches a neighboring word or line.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from onnxtr_spark.vocabs import DEFAULT_VOCAB
+
+MAGIC = b"NPIM1"
+
+# Glyph geometry (pixels on the source page).
+CELL_W = 5  # columns per character glyph
+GAP_W = 3  # dark gap columns between characters (part of the word's blob)
+CELL_H = 16  # glyph height
+WORD_GAP = 20  # white columns between words on a line
+PARA_GAP = 64  # white columns marking a paragraph break (>= 0.035 * page_w + dilation)
+LINE_STEP = 48  # vertical distance between line tops
+MARGIN = 40  # page margin
+PAGE_W = 640
+
+# Pixel-value encoding.
+CHAR_BASE = 96  # character c -> CHAR_BASE + vocab.index(c); requires len(vocab) < 130
+GAP_VALUE = 64
+WHITE = 255
+
+
+def encode_image(img: np.ndarray) -> bytes:
+    """Serialize an H×W×3 uint8 image (PNG stand-in)."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected H×W×3 uint8")
+    h, w, _ = img.shape
+    return MAGIC + struct.pack("<II", h, w) + img.tobytes()
+
+
+def decode_image(blob: bytes) -> np.ndarray:
+    """Deserialize bytes produced by ``encode_image``."""
+    if blob[:5] != MAGIC:
+        raise ValueError("bad image magic")
+    h, w = struct.unpack("<II", blob[5:13])
+    return np.frombuffer(blob[13:], dtype=np.uint8).reshape(h, w, 3)
+
+
+def word_width(word: str) -> int:
+    """Rendered pixel width of a word's glyph blob."""
+    n = len(word)
+    return n * CELL_W + (n - 1) * GAP_W
+
+
+def render_page(
+    lines: list[list[str]],
+    vocab: str = DEFAULT_VOCAB,
+    page_w: int = PAGE_W,
+    jitter: bool = True,
+    para_breaks: set[tuple[int, int]] | None = None,
+) -> np.ndarray:
+    """Render lines of words onto a white page (H×W×3 uint8).
+
+    ``para_breaks``: set of (line_idx, word_idx) positions that get a
+    paragraph-sized gap *before* the word (exercises resolve_sub_lines).
+    Word y-positions get a deterministic ±2 px jitter (exercises the
+    running-mean line clustering) unless ``jitter=False``.
+    """
+    para_breaks = para_breaks or set()
+    page_h = MARGIN * 2 + (len(lines) - 1) * LINE_STEP + CELL_H if lines else MARGIN * 2 + CELL_H
+    page = np.full((page_h, page_w, 3), WHITE, dtype=np.uint8)
+
+    for li, words in enumerate(lines):
+        x = MARGIN
+        y_base = MARGIN + li * LINE_STEP
+        for wi, word in enumerate(words):
+            if wi > 0:
+                x += PARA_GAP if (li, wi) in para_breaks else WORD_GAP
+            dy = ((li * 31 + wi * 17) % 5) - 2 if jitter else 0
+            y = y_base + dy
+            w_px = word_width(word)
+            if x + w_px > page_w - MARGIN // 2:
+                raise ValueError(f"line {li} overflows page width: {words}")
+            cx = x
+            for ci, ch in enumerate(word):
+                idx = vocab.find(ch)
+                if idx < 0:
+                    raise ValueError(f"character {ch!r} not in vocab")
+                if ci > 0:
+                    page[y : y + CELL_H, cx : cx + GAP_W] = GAP_VALUE
+                    cx += GAP_W
+                page[y : y + CELL_H, cx : cx + CELL_W] = CHAR_BASE + idx
+                cx += CELL_W
+            x += w_px
+    return page
+
+
+def page_to_prob(img: np.ndarray) -> np.ndarray:
+    """Darkness probability map of a rendered page: (255 - gray) / 255.
+
+    This is the stub detection "model": dark pixels are text. Shape
+    (H, W) float32 in [0, 1] — same contract as the reference's
+    sigmoid(logits) output (models/detection/models/fast.py:83).
+    """
+    return (WHITE - img[:, :, 0].astype(np.float32)) / 255.0
+
+
+def columns_to_classes(crop: np.ndarray, vocab: str = DEFAULT_VOCAB) -> np.ndarray:
+    """Classify each crop column as a vocab index or blank (= len(vocab)).
+
+    The stub recognition "model": the darkest pixel per column recovers
+    the glyph encoding; white/gap/pad columns map to the blank class.
+    Returns an int array of length crop_width.
+    """
+    blank = len(vocab)
+    if crop.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    col_min = crop[:, :, 0].min(axis=0).astype(np.int64)
+    classes = np.full(col_min.shape, blank, dtype=np.int64)
+    is_char = (col_min >= CHAR_BASE) & (col_min < CHAR_BASE + len(vocab))
+    classes[is_char] = col_min[is_char] - CHAR_BASE
+    return classes
+
+
+def classes_to_logits(classes: np.ndarray, n_classes: int, peak: float = 12.0) -> np.ndarray:
+    """One-hot logits (T, C) from per-timestep classes — the stub model's
+    output tensor, consumed by the real CTC decoder (kernels/ctc.py)."""
+    t = classes.shape[0]
+    logits = np.zeros((t, n_classes), dtype=np.float32)
+    logits[np.arange(t), classes] = peak
+    return logits

@@ -1,0 +1,55 @@
+"""CTC greedy (best-path) decoding.
+
+Re-derives the reference's CRNN postprocessor
+(onnxtr/models/recognition/models/crnn.py:55-101):
+
+- per-timestep argmax over classes,
+- collapse of consecutive repeats,
+- removal of the blank label (index = len(vocab)),
+- word confidence = min over timesteps of the max softmax probability.
+
+Vectorized NumPy (shift-compare collapse) instead of itertools.groupby —
+same result, batch-friendly inside the recognize ``mapInPandas`` stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    """Numerically-stable softmax (scipy.special.softmax equivalent,
+    reference crnn.py:79)."""
+    shifted = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(shifted)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def decode_sequence(sequence: list[int], vocab: str) -> str:
+    """Map label indices to characters (reference crnn.py:58-59)."""
+    return "".join(vocab[int(c)] for c in sequence)
+
+
+def ctc_best_path(logits: np.ndarray, vocab: str, blank: int | None = None) -> list[tuple[str, float]]:
+    """Best-path decode of a (N, T, C) logits batch.
+
+    Confidence: ``softmax(logits).max(-1).min(1)`` — smallest per-step
+    top-probability across the sequence (reference crnn.py:78-79).
+    Collapse: drop consecutive duplicates, then drop blanks
+    (reference crnn.py:82-86).
+    """
+    if blank is None:
+        blank = len(vocab)
+
+    probs = softmax(logits, axis=-1).max(axis=-1).min(axis=1)
+    best = np.argmax(logits, axis=-1)  # (N, T)
+
+    words = []
+    for seq in best:
+        keep = np.ones(len(seq), dtype=bool)
+        keep[1:] = seq[1:] != seq[:-1]  # collapse repeats
+        collapsed = seq[keep]
+        collapsed = collapsed[collapsed != blank]  # drop blank
+        words.append(decode_sequence(collapsed.tolist(), vocab))
+
+    return list(zip(words, probs.astype(float).tolist()))

@@ -1,0 +1,225 @@
+"""Detection post-processing: probability map -> relative word boxes.
+
+Re-derives the reference's GeneralDetectionPostProcessor straight-page
+path (onnxtr/models/detection/postprocessor/base.py:20-139 and
+onnxtr/models/detection/core.py:33-90) without cv2/pyclipper:
+
+- D1 binarize: ``prob_map >= bin_thresh`` (core.py:89; FAST defaults
+  bin=0.1, box=0.1 — models/detection/models/fast.py:57-58).
+- D2 morphological open, 3x3 ones kernel (core.py:86, kernel core.py:28).
+  cv2 border semantics: erosion treats out-of-image as foreground,
+  dilation as background.
+- D3 connected components: the reference uses
+  ``cv2.findContours(RETR_EXTERNAL)`` (postprocessor/base.py:103); we use
+  two-pass union-find labeling — for straight pages only the component's
+  bounding rectangle is consumed downstream, which is identical.
+- small-component filter: extent < 2 px dropped (postprocessor/base.py:106).
+- D4 box score: mean prob over the (clipped) bounding rect
+  (core.py:46-52); drop below box_thresh (postprocessor/base.py:116).
+- D5 unclip expansion: the reference offsets the polygon outward by
+  ``distance = area * unclip_ratio / length`` with pyclipper round joins
+  and takes the bounding rect (postprocessor/base.py:38-81,
+  unclip_ratio=1.5 at :36). For an axis-aligned rectangle, the round-join
+  offset's bounding rect is exactly the rectangle grown by ``distance``
+  on each side — computed analytically here. cv2.boundingRect returns
+  integer x, y, w, h (floor/ceil), matched via int truncation of the
+  grown rect.
+- D6 relative coords + clip to [0,1] (postprocessor/base.py:126-128,137).
+- P8 padding removal for aspect-preserving resize
+  (onnxtr/models/detection/_utils/base.py:12-62), symmetric and
+  asymmetric, straight path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BIN_THRESH = 0.1  # reference: models/detection/models/fast.py:57
+BOX_THRESH = 0.1  # reference: models/detection/models/fast.py:58
+UNCLIP_RATIO = 1.5  # reference: models/detection/postprocessor/base.py:36
+
+
+def binary_open_3x3(bitmap: np.ndarray) -> np.ndarray:
+    """3x3 morphological opening of a binary (0/1 uint8) map.
+
+    Matches cv2.morphologyEx(MORPH_OPEN, ones((3,3))) on binary input:
+    erosion pads with foreground (border pixels survive), dilation pads
+    with background.
+    """
+    h, w = bitmap.shape
+    b = bitmap.astype(bool)
+
+    padded = np.pad(b, 1, mode="constant", constant_values=True)
+    er = np.ones((h, w), dtype=bool)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            er &= padded[dy : dy + h, dx : dx + w]
+
+    padded = np.pad(er, 1, mode="constant", constant_values=False)
+    di = np.zeros((h, w), dtype=bool)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            di |= padded[dy : dy + h, dx : dx + w]
+    return di.astype(np.uint8)
+
+
+def connected_components(bitmap: np.ndarray) -> list[tuple[int, int, int, int]]:
+    """8-connected components of a binary map -> bounding rects (x, y, w, h).
+
+    Row-run union-find: vectorized run extraction per row, merges against
+    the previous row's runs. Returns rects in raster order of the
+    component's topmost-leftmost run (deterministic).
+    """
+    h, w = bitmap.shape
+    parent: list[int] = []
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    # runs[row] = list of (xstart, xend_exclusive, label)
+    prev_runs: list[tuple[int, int, int]] = []
+    all_runs: list[tuple[int, int, int, int]] = []  # (row, xs, xe, label)
+    for y in range(h):
+        row = bitmap[y]
+        if not row.any():
+            prev_runs = []
+            continue
+        diff = np.diff(np.concatenate(([0], row.astype(np.int8), [0])))
+        starts = np.flatnonzero(diff == 1)
+        ends = np.flatnonzero(diff == -1)
+        cur_runs: list[tuple[int, int, int]] = []
+        for xs, xe in zip(starts.tolist(), ends.tolist()):
+            label = len(parent)
+            parent.append(label)
+            # 8-connectivity: overlap with previous row extended by 1 px
+            for pxs, pxe, plabel in prev_runs:
+                if pxs < xe + 1 and pxe > xs - 1:
+                    union(label, plabel)
+            cur_runs.append((xs, xe, label))
+            all_runs.append((y, xs, xe, label))
+        prev_runs = cur_runs
+
+    # Aggregate rects per root label.
+    rects: dict[int, list[int]] = {}
+    order: list[int] = []
+    for y, xs, xe, label in all_runs:
+        root = find(label)
+        if root not in rects:
+            rects[root] = [xs, y, xe, y + 1]
+            order.append(root)
+        else:
+            r = rects[root]
+            r[0] = min(r[0], xs)
+            r[1] = min(r[1], y)
+            r[2] = max(r[2], xe)
+            r[3] = max(r[3], y + 1)
+    return [
+        (rects[root][0], rects[root][1], rects[root][2] - rects[root][0], rects[root][3] - rects[root][1])
+        for root in order
+    ]
+
+
+def box_score(pred: np.ndarray, xmin: float, ymin: float, xmax: float, ymax: float) -> float:
+    """Mean probability over the clipped integer bounding rect
+    (reference core.py:46-52, straight path)."""
+    h, w = pred.shape[:2]
+    x0 = int(np.clip(np.floor(xmin), 0, w - 1))
+    x1 = int(np.clip(np.ceil(xmax), 0, w - 1))
+    y0 = int(np.clip(np.floor(ymin), 0, h - 1))
+    y1 = int(np.clip(np.ceil(ymax), 0, h - 1))
+    return float(pred[y0 : y1 + 1, x0 : x1 + 1].mean())
+
+
+def unclip_rect(x: int, y: int, w: int, h: int, unclip_ratio: float = UNCLIP_RATIO) -> tuple[int, int, int, int]:
+    """Analytic unclip of an axis-aligned rect (reference
+    postprocessor/base.py:38-81 for the straight path): grow by
+    ``distance = area * ratio / perimeter`` on each side, then integer
+    bounding rect (floor origin, ceil extent — cv2.boundingRect on the
+    offset polygon's float points)."""
+    area = float(w * h)
+    length = 2.0 * (w + h)
+    if length == 0:
+        return x, y, w, h
+    d = area * unclip_ratio / length
+    x0 = int(np.floor(x - d))
+    y0 = int(np.floor(y - d))
+    x1 = int(np.ceil(x + w + d))
+    y1 = int(np.ceil(y + h + d))
+    return x0, y0, x1 - x0, y1 - y0
+
+
+def bitmap_to_boxes(
+    pred: np.ndarray,
+    bitmap: np.ndarray,
+    box_thresh: float = BOX_THRESH,
+    unclip_ratio: float = UNCLIP_RATIO,
+) -> np.ndarray:
+    """Binary map -> (N, 5) array of [xmin, ymin, xmax, ymax, score],
+    relative coords clipped to [0,1] (reference postprocessor/base.py:83-139,
+    straight path)."""
+    height, width = bitmap.shape[:2]
+    boxes: list[list[float]] = []
+    for x, y, w, h in connected_components(bitmap):
+        if w < 2 or h < 2:  # small-extent filter (postprocessor/base.py:106)
+            continue
+        score = box_score(pred, x, y, x + w, y + h)
+        if score < box_thresh:
+            continue
+        ex, ey, ew, eh = unclip_rect(x, y, w, h, unclip_ratio)
+        xmin, ymin = ex / width, ey / height
+        xmax, ymax = (ex + ew) / width, (ey + eh) / height
+        boxes.append([xmin, ymin, xmax, ymax, score])
+    if not boxes:
+        return np.zeros((0, 5), dtype=pred.dtype)
+    return np.clip(np.asarray(boxes, dtype=pred.dtype), 0, 1)
+
+
+def remove_padding(
+    boxes: np.ndarray,
+    page_h: int,
+    page_w: int,
+    preserve_aspect_ratio: bool = True,
+    symmetric_pad: bool = True,
+) -> np.ndarray:
+    """Invert aspect-ratio padding on relative straight boxes (N, 5).
+
+    Exact re-derivation of onnxtr/models/detection/_utils/base.py:12-62
+    (straight-page branches); the score column is untouched.
+    """
+    if not preserve_aspect_ratio or boxes.shape[0] == 0:
+        return boxes
+    out = boxes.copy()
+    if page_h > page_w:
+        if symmetric_pad:
+            out[:, [0, 2]] = (out[:, [0, 2]] - 0.5) * page_h / page_w + 0.5
+        else:
+            out[:, [0, 2]] *= page_h / page_w
+    elif page_w > page_h:
+        if symmetric_pad:
+            out[:, [1, 3]] = (out[:, [1, 3]] - 0.5) * page_w / page_h + 0.5
+        else:
+            out[:, [1, 3]] *= page_w / page_h
+    out[:, :4] = np.clip(out[:, :4], 0, 1)
+    return out
+
+
+def postprocess_prob_map(
+    prob_map: np.ndarray,
+    bin_thresh: float = BIN_THRESH,
+    box_thresh: float = BOX_THRESH,
+    unclip_ratio: float = UNCLIP_RATIO,
+    morph_open: bool = True,
+) -> np.ndarray:
+    """Full D1-D6 chain for one page's (H, W) probability map."""
+    bitmap = (prob_map >= bin_thresh).astype(np.uint8)
+    if morph_open:
+        bitmap = binary_open_3x3(bitmap)
+    return bitmap_to_boxes(prob_map, bitmap, box_thresh, unclip_ratio)

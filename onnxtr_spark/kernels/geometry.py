@@ -1,0 +1,69 @@
+"""Geometry kernels: crop extraction and aspect-preserving resize.
+
+- ``extract_crops`` re-derives onnxtr/utils/geometry.py:482-511 (straight
+  boxes): scale relative coords to absolute pixels, round, slice.
+- ``resize_preserve`` implements the P1 resize-with-pad operator
+  (reference transforms/base.py:15-93): scale the page to fit the target
+  while preserving aspect ratio, then pad to the target size
+  (symmetric by default). The reference interpolates bilinearly via PIL;
+  this container has no PIL/cv2, so we use nearest-neighbor index
+  sampling — the detection stub model is exercised through the same
+  resize/pad/unpad coordinate path, which is the part that must be exact
+  (padding removal math in detect_post.remove_padding).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def extract_crops(img: np.ndarray, boxes: np.ndarray) -> list[np.ndarray]:
+    """Crop sub-images for relative straight boxes (N, 4) [xmin,ymin,xmax,ymax].
+
+    Mirrors utils/geometry.py:482-511 (channels_last): scale to absolute,
+    round to int, slice rows [ymin:ymax] and cols [xmin:xmax].
+    """
+    if boxes.shape[0] == 0:
+        return []
+    if boxes.shape[1] != 4:
+        raise AssertionError("boxes are expected to be relative and in order (xmin, ymin, xmax, ymax)")
+    _boxes = boxes.copy()
+    h, w = img.shape[:2]
+    if not np.issubdtype(_boxes.dtype, np.integer):
+        _boxes[:, [0, 2]] *= w
+        _boxes[:, [1, 3]] *= h
+        _boxes = _boxes.round().astype(int)
+        _boxes[2:] += 1  # reference geometry.py:505 (off-by-design quirk kept)
+    return [img[b[1] : b[3], b[0] : b[2]].copy() for b in _boxes]
+
+
+def resize_preserve(
+    img: np.ndarray,
+    target_h: int,
+    target_w: int,
+    symmetric_pad: bool = True,
+    pad_value: int = 0,
+) -> np.ndarray:
+    """Resize (nearest-neighbor) preserving aspect ratio, pad to target.
+
+    The scaled content occupies ``round(h*scale) x round(w*scale)`` with
+    ``scale = min(target_h/h, target_w/w)``; symmetric padding centers it
+    (half the slack before, reference transforms/base.py:59-71).
+    """
+    h, w = img.shape[:2]
+    scale = min(target_h / h, target_w / w)
+    new_h, new_w = max(1, round(h * scale)), max(1, round(w * scale))
+
+    ys = np.minimum((np.arange(new_h) / scale).astype(np.int64), h - 1)
+    xs = np.minimum((np.arange(new_w) / scale).astype(np.int64), w - 1)
+    resized = img[ys][:, xs]
+
+    out_shape = (target_h, target_w) + img.shape[2:]
+    out = np.full(out_shape, pad_value, dtype=img.dtype)
+    if symmetric_pad:
+        off_y = (target_h - new_h) // 2
+        off_x = (target_w - new_w) // 2
+    else:
+        off_y = off_x = 0
+    out[off_y : off_y + new_h, off_x : off_x + new_w] = resized
+    return out
