@@ -1,0 +1,121 @@
+"""Deterministic synthetic corpus: interleaved text+media docs tables.
+
+Builds the authoritative input shape (BASELINE.json input_hint):
+
+    docs(doc_id string,
+         spans array<struct<kind string, text string, media_ref string, offset int>>)
+    media(media_ref string, png binary, height int, width int)
+
+from a list of (doc_id, text) pairs — in practice the driver-provided
+``documents.parquet`` (deterministic, seed=42) — mirroring the reference's
+fixture strategy (tests/conftest.py:13-61: deterministic rendered pages).
+
+Derivation rules (deliberately SQL-reproducible so the extraction
+pipeline's end-to-end output has a DuckDB oracle):
+
+- words  = whitespace-split of trimmed text
+- header = one text span: ``"doc:" + doc_id``            (offset 0)
+- pages  = consecutive chunks of WORDS_PER_LINE*LINES_PER_PAGE words;
+  page p gets media_ref ``"m-" + doc_id + "-" + p`` and one media span
+  (offset p+1)
+- each page renders its words in reading order, WORDS_PER_LINE per line
+
+The expected OCR output (the "golden spans" of FIXTURES.md §3) is then:
+header span, followed by every word as a text span carrying its source
+page's media_ref, offsets dense from 0.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from onnxtr_spark import imaging
+from onnxtr_spark.vocabs import DEFAULT_VOCAB
+
+WORDS_PER_LINE = 5
+LINES_PER_PAGE = 6
+WORDS_PER_PAGE = WORDS_PER_LINE * LINES_PER_PAGE
+
+SPAN_FIELDS = ["kind", "text", "media_ref", "offset"]
+
+
+def doc_words(text: str) -> list[str]:
+    return [w for w in text.strip().split() if w]
+
+
+def media_ref(doc_id: str, page: int) -> str:
+    return f"m-{doc_id}-{page}"
+
+
+def doc_spans(doc_id: str, text: str) -> list[dict]:
+    """Input spans for one document (header text span + media spans)."""
+    words = doc_words(text)
+    n_pages = max(1, -(-len(words) // WORDS_PER_PAGE))
+    spans = [{"kind": "text", "text": f"doc:{doc_id}", "media_ref": "", "offset": 0}]
+    for p in range(n_pages):
+        spans.append({"kind": "media", "text": "", "media_ref": media_ref(doc_id, p), "offset": p + 1})
+    return spans
+
+
+def page_lines(words: list[str], page: int) -> list[list[str]]:
+    """Words rendered on page ``page``, chunked into lines."""
+    chunk = words[page * WORDS_PER_PAGE : (page + 1) * WORDS_PER_PAGE]
+    return [chunk[i : i + WORDS_PER_LINE] for i in range(0, len(chunk), WORDS_PER_LINE)]
+
+
+def expected_spans(doc_id: str, text: str) -> list[dict]:
+    """Golden output spans: header + per-word text spans in reading order."""
+    words = doc_words(text)
+    out = [{"kind": "text", "text": f"doc:{doc_id}", "media_ref": "", "offset": 0}]
+    for i, w in enumerate(words):
+        out.append({
+            "kind": "text",
+            "text": w,
+            "media_ref": media_ref(doc_id, i // WORDS_PER_PAGE),
+            "offset": i + 1,
+        })
+    return out
+
+
+def render_doc_pages(doc_id: str, text: str, vocab: str = DEFAULT_VOCAB) -> Iterator[tuple[str, np.ndarray]]:
+    """Yield (media_ref, page_image) for each page of a document."""
+    words = doc_words(text)
+    n_pages = max(1, -(-len(words) // WORDS_PER_PAGE))
+    for p in range(n_pages):
+        lines = [ln for ln in page_lines(words, p) if ln] or [[]]
+        yield media_ref(doc_id, p), imaging.render_page(lines, vocab)
+
+
+def build_corpus_pdfs(texts: list[tuple[str, str]]) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Build (docs, media) pandas frames from (doc_id, text) pairs.
+
+    Driver-side helper for tests and small fixtures; the Spark path
+    renders pages inside executors (stages/ingest.py) instead.
+    """
+    doc_rows = []
+    media_rows = []
+    for doc_id, text in texts:
+        doc_rows.append({"doc_id": doc_id, "spans": doc_spans(doc_id, text)})
+        for ref, img in render_doc_pages(doc_id, text):
+            media_rows.append({
+                "media_ref": ref,
+                "png": imaging.encode_image(img),
+                "height": img.shape[0],
+                "width": img.shape[1],
+            })
+    return pd.DataFrame(doc_rows), pd.DataFrame(media_rows)
+
+
+# Hand-built fixture texts for pytest: exercise multi-line pages,
+# multi-page docs, a wide word (aspect ratio > 8 -> split/merge path),
+# and single-word docs.
+FIXTURE_TEXTS: list[tuple[str, str]] = [
+    ("doc-0001", "the quick brown fox jumps over the lazy dog near the river bank today"),
+    ("doc-0002", "spark executes queries with catalyst and tungsten " * 5),
+    ("doc-0003", "supercalifragilisticexpialidocioussupercalifragilistic is one very wide word"),
+    ("doc-0004", "single"),
+    ("doc-0005", "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8),
+]

@@ -93,20 +93,38 @@ def render_page(
     running-mean line clustering) unless ``jitter=False``.
     """
     para_breaks = para_breaks or set()
-    page_h = MARGIN * 2 + (len(lines) - 1) * LINE_STEP + CELL_H if lines else MARGIN * 2 + CELL_H
+    # Pre-flow words into physical rows, wrapping overflowing lines onto
+    # extra rows. Wrapping preserves reading order (line-by-line,
+    # left-to-right), which is all the span oracle depends on.
+    limit = page_w - MARGIN - MARGIN // 2
+    rows: list[list[tuple[int, int, str]]] = []  # (line_idx, word_idx, word)
+    for li, words in enumerate(lines):
+        x = 0
+        row: list[tuple[int, int, str]] = []
+        for wi, word in enumerate(words):
+            gap = (PARA_GAP if (li, wi) in para_breaks else WORD_GAP) if row else 0
+            w_px = word_width(word)
+            if w_px > limit:
+                raise ValueError(f"word too wide for page: {word!r}")
+            if x + gap + w_px > limit:
+                rows.append(row)
+                row, x, gap = [], 0, 0
+            row.append((li, wi, word))
+            x += gap + w_px
+        rows.append(row)
+
+    page_h = MARGIN * 2 + (max(len(rows), 1) - 1) * LINE_STEP + CELL_H
     page = np.full((page_h, page_w, 3), WHITE, dtype=np.uint8)
 
-    for li, words in enumerate(lines):
+    for ri, row in enumerate(rows):
         x = MARGIN
-        y_base = MARGIN + li * LINE_STEP
-        for wi, word in enumerate(words):
-            if wi > 0:
+        y_base = MARGIN + ri * LINE_STEP
+        for pos, (li, wi, word) in enumerate(row):
+            if pos > 0:
                 x += PARA_GAP if (li, wi) in para_breaks else WORD_GAP
             dy = ((li * 31 + wi * 17) % 5) - 2 if jitter else 0
             y = y_base + dy
             w_px = word_width(word)
-            if x + w_px > page_w - MARGIN // 2:
-                raise ValueError(f"line {li} overflows page width: {words}")
             cx = x
             for ci, ch in enumerate(word):
                 idx = vocab.find(ch)

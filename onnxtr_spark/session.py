@@ -1,0 +1,37 @@
+"""SparkSession factory with scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "onnxtr_spark", cpus: int | None = None, shuffle_partitions: int | None = None) -> SparkSession:
+    """Local session mirroring the cluster config we'd ship with spark-submit.
+
+    - AQE on: runtime coalescing of the small final assembly shuffle and
+      skew-join splitting.
+    - Arrow batches capped small: detect/recognize rows carry ~1 MB of
+      page bytes each, so the default 10k-record batches would OOM the
+      Python workers (SURVEY.md §7 crop-join memory note).
+    - Python worker reuse: model sessions are per-worker singletons;
+      reuse amortizes warm-up (reference caches its ONNX session the same
+      way, models/engine.py:102-112).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(32, cpus)
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .getOrCreate()
+    )

@@ -1,0 +1,90 @@
+"""Detect stage: page images → relative word boxes.
+
+One ``mapInPandas`` pass fusing the reference's detection predictor
+(onnxtr/models/detection/predictor/base.py:35-67): decode → P1 resize
+with aspect-preserving symmetric pad → I2 model run (batched) → sigmoid
+prob map → D1-D6 postprocess → P8 padding removal.
+
+Input columns : doc_id, offset, media_ref, png, height, width
+Output columns: doc_id, offset, media_ref, png, height, width,
+                boxes array<array<double>>  ([xmin,ymin,xmax,ymax,score])
+
+Page bytes are passed through so the recognize stage can crop without a
+second join against the media table (SURVEY.md §2.5 G1: the det→reco
+join is explode + co-resident slicing, never a shuffle join).
+
+Scale notes:
+- pages are embarrassingly parallel; upstream salt-repartition by
+  media_ref spreads a 1000-page document across tasks (north_rule skew).
+- the model session is a per-worker singleton (engine.py), so executor
+  reuse amortizes model load at 10^12-doc scale.
+- Arrow batches are kept small (see session.py maxRecordsPerBatch) since
+  each record carries ~1 MB of image bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from onnxtr_spark import imaging
+from onnxtr_spark.engine import get_detection_engine
+from onnxtr_spark.kernels import detect_post
+
+DETECT_SCHEMA = (
+    "doc_id string, offset int, media_ref string, png binary, height int, width int, "
+    "boxes array<array<double>>"
+)
+
+
+@dataclass(frozen=True)
+class DetectConfig:
+    map_size: int = 512  # detection model input (reference uses 1024, models/zoo.py:22)
+    bin_thresh: float = detect_post.BIN_THRESH
+    box_thresh: float = detect_post.BOX_THRESH
+    unclip_ratio: float = detect_post.UNCLIP_RATIO
+    batch_size: int = 2  # reference det batch size (models/zoo.py:22)
+
+
+def detect_pages(pages: DataFrame, cfg: DetectConfig = DetectConfig()) -> DataFrame:
+    """Run detection over a pages DataFrame."""
+    map_size = cfg.map_size
+    bin_thresh, box_thresh, unclip = cfg.bin_thresh, cfg.box_thresh, cfg.unclip_ratio
+    batch_size = cfg.batch_size
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from onnxtr_spark.kernels.geometry import resize_preserve
+
+        engine = get_detection_engine()
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_boxes: list[list[list[float]]] = []
+            n = len(pdf)
+            # I1 micro-batching: fixed-size model batches inside the Arrow chunk
+            # (reference PreProcessor.batch_inputs, models/preprocessor/base.py:44-59).
+            for start in range(0, n, batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                resized = np.stack([
+                    resize_preserve(imaging.decode_image(b), map_size, map_size, True, 255)
+                    for b in chunk["png"]
+                ])
+                prob_maps = engine.run(resized)  # B×H×W float32 in [0,1]
+                for i, (_, row) in enumerate(chunk.iterrows()):
+                    boxes = detect_post.postprocess_prob_map(
+                        prob_maps[i], bin_thresh, box_thresh, unclip, morph_open=True
+                    )
+                    boxes = detect_post.remove_padding(
+                        boxes, int(row["height"]), int(row["width"]),
+                        preserve_aspect_ratio=True, symmetric_pad=True,
+                    )
+                    out_boxes.append([b.tolist() for b in boxes.astype(np.float64)])
+            res = pdf[["doc_id", "offset", "media_ref", "png", "height", "width"]].copy()
+            res["boxes"] = out_boxes
+            yield res
+
+    return pages.mapInPandas(run, schema=DETECT_SCHEMA)

@@ -1,0 +1,104 @@
+"""Ingest: derive the interleaved docs table + media store from raw text.
+
+The driver's testdata has a ``documents(doc_id, text, lang, source,
+n_chars)`` table; these transforms derive the authoritative input shape
+(BASELINE.json input_hint) from it deterministically:
+
+- ``docs_from_documents``  — pure-SQL span construction (JVM-side,
+  whole-stage codegen; no Python in the loop).
+- ``media_from_documents`` — renders each page's words into a page image
+  inside ``mapInPandas`` on executors (the PNG-encode stand-in; a real
+  deployment would already hold these bytes in an object store keyed by
+  media_ref).
+
+The derivation follows corpus.py's SQL-reproducible rules so the whole
+OCR pipeline has a DuckDB oracle (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onnxtr_spark import imaging
+from onnxtr_spark.corpus import WORDS_PER_LINE, WORDS_PER_PAGE
+
+MEDIA_SCHEMA = "media_ref string, png binary, height int, width int"
+
+
+def _with_words(documents: DataFrame) -> DataFrame:
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("words"),
+    ).withColumn("n_pages", F.greatest(F.lit(1), F.ceil(F.size("words") / WORDS_PER_PAGE)).cast("int"))
+
+
+def docs_from_documents(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text, ...) → docs(doc_id, spans) with a header
+    text span + one media span per page."""
+    base = _with_words(documents)
+    header = F.struct(
+        F.lit("text").alias("kind"),
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    )
+    media_spans = F.transform(
+        F.sequence(F.lit(0), F.col("n_pages") - 1),
+        lambda p: F.struct(
+            F.lit("media").alias("kind"),
+            F.lit("").alias("text"),
+            F.concat(F.lit("m-"), F.col("doc_id"), F.lit("-"), p.cast("string")).alias("media_ref"),
+            (p + 1).cast("int").alias("offset"),
+        ),
+    )
+    return base.select("doc_id", F.concat(F.array(header), media_spans).alias("spans"))
+
+
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text, ...) → media(media_ref, png, height, width).
+
+    Page word-lists are computed JVM-side (explode of per-page slices);
+    only the rendering itself runs in Python, Arrow-batched.
+    """
+    base = _with_words(documents)
+    pages = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_pages") - 1),
+                lambda p: F.slice(F.col("words"), p * WORDS_PER_PAGE + 1, WORDS_PER_PAGE),
+            )
+        ).alias("page", "page_words"),
+    ).select(
+        F.concat(F.lit("m-"), F.col("doc_id"), F.lit("-"), F.col("page").cast("string")).alias("media_ref"),
+        "page_words",
+    )
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for _, r in pdf.iterrows():
+                words = [w for w in list(r["page_words"]) if w]
+                # Empty page -> blank image: detection finds no boxes, so
+                # the doc contributes only its pass-through text spans.
+                lines = [words[i : i + WORDS_PER_LINE] for i in range(0, len(words), WORDS_PER_LINE)] or [[]]
+                img = imaging.render_page(lines)
+                rows.append({
+                    "media_ref": r["media_ref"],
+                    "png": imaging.encode_image(img),
+                    "height": img.shape[0],
+                    "width": img.shape[1],
+                })
+            yield pd.DataFrame(rows, columns=["media_ref", "png", "height", "width"])
+
+    return pages.mapInPandas(render, schema=MEDIA_SCHEMA)
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -1,0 +1,73 @@
+"""End-to-end extraction pipeline: docs + media → ordered span rows.
+
+Physical plan (SURVEY.md §4):
+
+    scan docs ── explode spans ── filter kind='media'     (narrow)
+          │
+          └─ join media ON media_ref        ← the ONE ingest shuffle;
+             (hash-partitions pages by media_ref, so a 1000-page doc's
+             pages scatter across all tasks — this IS the north_rule
+             skew salt: parallel grain = page, never doc)
+          │
+    detect (mapInPandas, fused decode→resize→model→postprocess→unpad)
+          │                                                  (narrow)
+    recognize (mapInPandas, fused crop→split→model→CTC→merge→rank)
+          │                                                  (narrow)
+    assemble (union text spans + window row_number by doc_id)
+                                            ← the ONE reassembly shuffle
+                                              (word rows only, tiny; AQE
+                                              coalesces its partitions)
+
+The media join broadcasts nothing (both sides huge at 10^12 docs); it is
+an equi-join on a unique key, the canonical co-partitioned case — at
+scale both tables would be bucketed by media_ref to make it shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onnxtr_spark.stages.build import assemble_spans, to_doc_spans
+from onnxtr_spark.stages.detect import DetectConfig, detect_pages
+from onnxtr_spark.stages.ingest import docs_from_documents, load_documents, media_from_documents
+from onnxtr_spark.stages.recognize import RecognizeConfig, recognize_pages
+
+
+def media_pages(docs: DataFrame, media: DataFrame) -> DataFrame:
+    """Explode media spans and attach page bytes."""
+    spans = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select("doc_id", F.col("s.offset").alias("offset"), F.col("s.media_ref").alias("media_ref"))
+    )
+    return spans.join(media, "media_ref").select(
+        "doc_id", "offset", "media_ref", "png", "height", "width"
+    )
+
+
+def extract_spans(
+    docs: DataFrame,
+    media: DataFrame,
+    det_cfg: DetectConfig = DetectConfig(),
+    reco_cfg: RecognizeConfig = RecognizeConfig(),
+) -> DataFrame:
+    """Full OCR extraction: flat span rows (doc_id, offset, kind, text, media_ref)."""
+    pages = media_pages(docs, media)
+    detected = detect_pages(pages, det_cfg)
+    words = recognize_pages(detected, reco_cfg)
+    return assemble_spans(docs, words)
+
+
+def extract_documents(docs: DataFrame, media: DataFrame) -> DataFrame:
+    """Nested export: (doc_id, spans) in the input-table shape (S6 sink)."""
+    return to_doc_spans(extract_spans(docs, media))
+
+
+def extract_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query: derive docs+media from the driver's documents table,
+    OCR every page, return the interleaved flat spans."""
+    documents = load_documents(spark, sf_dir)
+    docs = docs_from_documents(documents)
+    media = media_from_documents(documents)
+    return extract_spans(docs, media)
