@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship OCR-extraction query at sf0.001; ``queries``
+exposes every implemented operator from SURVEY.md §2 plus the
+training-data operators; ``oracle_sql`` gives the DuckDB-equivalent SQL
+(tables region nation customer supplier part orders lineitem events
+documents embeddings are pre-registered views).
+
+Queries without an oracle entry (image-typed inputs: media stats,
+detect-box counts) get the driver's rows-only check; their strong
+correctness gate is the pytest span-equality suite instead.
 """
 
 from __future__ import annotations
@@ -12,27 +16,163 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onnxtr_spark.corpus import WORDS_PER_PAGE
+from onnxtr_spark.functions import dedup, media, similarity, text
+from onnxtr_spark.queries import relational as rel
+from onnxtr_spark.stages.ingest import docs_from_documents, load_documents, media_from_documents
+from onnxtr_spark.stages.pipeline import extract_from_testdata
+from onnxtr_spark.stages.build import render_text
+from onnxtr_spark.stages.detect import detect_pages
+from onnxtr_spark.stages.pipeline import media_pages
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: OCR every media span at sf0.001, return ordered spans."""
+    return extract_from_testdata(spark, "/root/testdata/sf0.001")
 
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- OCR pipeline queries -------------------------------------------------
+
+def _ocr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = extract_from_testdata(spark, sf_dir)
+    return out.select(
+        "doc_id", F.col("offset").cast("long").alias("offset"), "kind", "text", "media_ref"
+    )
+
+
+OCR_SPANS_SQL = f"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS offset, 'text' AS kind,
+       concat('doc:', doc_id) AS text, '' AS media_ref
+FROM w
+UNION ALL
+SELECT w.doc_id, CAST(u.i AS BIGINT) AS offset, 'text' AS kind,
+       w.words[u.i] AS text,
+       concat('m-', w.doc_id, '-', CAST(CAST(floor((u.i - 1) / {WORDS_PER_PAGE}) AS INT) AS VARCHAR)) AS media_ref
+FROM w, UNNEST(generate_series(1, len(w.words))) AS u(i)
+"""
+
+
+def _ocr_rendered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return render_text(extract_from_testdata(spark, sf_dir))
+
+
+OCR_RENDERED_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       concat('doc:', CAST(doc_id AS VARCHAR), ' ',
+              regexp_replace(trim(text), '\\s+', ' ', 'g')) AS rendered
+FROM documents
+"""
+
+
+def _ocr_detect_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection stage in isolation (the reference's standalone
+    detection_predictor entry point): boxes per page."""
+    documents = load_documents(spark, sf_dir)
+    pages = media_pages(docs_from_documents(documents), media_from_documents(documents))
+    det = detect_pages(pages)
+    return det.select(
+        "media_ref", F.size("boxes").cast("long").alias("n_boxes")
+    )
+
+
+OCR_DETECT_BOXES_SQL = f"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+), pages AS (
+  SELECT doc_id, unnest(generate_series(0, CAST(greatest(1, ceil(len(words) / {WORDS_PER_PAGE}.0)) AS INT) - 1)) AS p,
+         len(words) AS n
+  FROM w
+)
+SELECT concat('m-', doc_id, '-', CAST(p AS VARCHAR)) AS media_ref,
+       CAST(least(n - p * {WORDS_PER_PAGE}, {WORDS_PER_PAGE}) AS BIGINT) AS n_boxes
+FROM pages
+"""
+
+
+def _media_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = load_documents(spark, sf_dir)
+    return media.page_stats(media_from_documents(documents))
+
+
+# --- registry ---------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # OCR extraction pipeline (SURVEY §2.1-2.8)
+        "ocr_extract_spans": _ocr_spans,
+        "ocr_render_text": _ocr_rendered,
+        "ocr_detect_boxes": _ocr_detect_boxes,
+        "media_page_stats": _media_page_stats,
+        # relational / TPC-H-ish
+        "tpch_q1_pricing": rel.q1_pricing_summary,
+        "tpch_q3_shipping": rel.q3_shipping_priority,
+        "tpch_q5_nation_volume": rel.q5_nation_volume,
+        "top_customers": rel.top_customers,
+        "order_priority_count": rel.order_priority_count,
+        "part_brand_stats": rel.part_brand_stats,
+        "lineitem_top_per_order": rel.lineitem_top_per_order,
+        "events_sessionize": rel.events_sessionize,
+        "events_hourly": rel.events_hourly,
+        # text analysis
+        "text_token_stats": lambda s, d: text.token_stats(_documents(s, d)),
+        "text_quality_score": lambda s, d: text.quality_score(_documents(s, d)),
+        "text_lang_id": lambda s, d: text.lang_id(_documents(s, d)),
+        "doc_fingerprint": lambda s, d: text.fingerprint(_documents(s, d)),
+        # dedup
+        "dedup_exact": lambda s, d: dedup.exact_dedup(_documents(s, d)),
+        "dedup_minhash_bands": lambda s, d: dedup.minhash_bands(_documents(s, d)),
+        "dedup_token_jaccard": lambda s, d: dedup.token_jaccard_pairs(_documents(s, d)),
+        "dedup_simhash": lambda s, d: dedup.simhash(_documents(s, d)),
+        # similarity search
+        "ann_cosine_topk": lambda s, d: similarity.cosine_topk(_embeddings(s, d)),
+        "ann_lsh_buckets": lambda s, d: similarity.lsh_buckets(_embeddings(s, d)),
+        "ann_lsh_near_pairs": lambda s, d: similarity.lsh_near_pairs(_embeddings(s, d)),
+        "embedding_centroids": lambda s, d: similarity.label_centroids(_embeddings(s, d)),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ocr_extract_spans": OCR_SPANS_SQL,
+        "ocr_render_text": OCR_RENDERED_SQL,
+        "ocr_detect_boxes": OCR_DETECT_BOXES_SQL,
+        # media_page_stats: image-typed, rows-only check (pytest covers it)
+        "tpch_q1_pricing": rel.Q1_SQL,
+        "tpch_q3_shipping": rel.Q3_SQL,
+        "tpch_q5_nation_volume": rel.Q5_SQL,
+        "top_customers": rel.TOP_CUSTOMERS_SQL,
+        "order_priority_count": rel.ORDER_PRIORITY_SQL,
+        "part_brand_stats": rel.PART_BRAND_SQL,
+        "lineitem_top_per_order": rel.LINEITEM_TOP_SQL,
+        "events_sessionize": rel.EVENTS_SESSIONIZE_SQL,
+        "events_hourly": rel.EVENTS_HOURLY_SQL,
+        "text_token_stats": text.TOKEN_STATS_SQL,
+        "text_quality_score": text.QUALITY_SCORE_SQL,
+        "text_lang_id": text.LANG_ID_SQL,
+        "doc_fingerprint": text.FINGERPRINT_SQL,
+        "dedup_exact": dedup.EXACT_DEDUP_SQL,
+        "dedup_minhash_bands": dedup.minhash_bands_sql(),
+        "dedup_token_jaccard": dedup.token_jaccard_pairs_sql(),
+        "dedup_simhash": dedup.simhash_sql(),
+        "ann_cosine_topk": similarity.cosine_topk_sql(),
+        "ann_lsh_buckets": similarity.lsh_buckets_sql(),
+        "ann_lsh_near_pairs": similarity.lsh_near_pairs_sql(),
+        "embedding_centroids": similarity.LABEL_CENTROIDS_SQL,
+    }

@@ -1,0 +1,59 @@
+"""Driver-contract queries vs their DuckDB oracles at sf0.001.
+
+Replicates the driver's comparison (row count + sorted columns +
+order-insensitive value equality) for every oracle-backed query in
+__spark_entry__, using the same testdata the driver uses.
+"""
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# The OCR queries run the full image pipeline (~20 s each on local[4]);
+# they're covered by test_pipeline_e2e + the sf0.01 driver gate, so the
+# per-query oracle sweep here covers the cheap relational/text/vector ops.
+SKIP_SLOW = {"ocr_extract_spans", "ocr_render_text", "ocr_detect_boxes", "media_page_stats"}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(df):
+    cols = sorted(df.columns)
+    out = df[cols].copy()
+    for c in cols:
+        if out[c].dtype.kind == "f":
+            out[c] = out[c].astype("float64").round(9)
+        out[c] = out[c].astype(str)
+    return cols, sorted(map(tuple, out.values.tolist()))
+
+
+@pytest.mark.parametrize("name", [n for n in entrymod.oracle_sql() if n not in SKIP_SLOW])
+def test_query_matches_oracle(spark, duck, name):
+    got = entrymod.queries()[name](spark, SF_DIR).toPandas()
+    want = duck.sql(entrymod.oracle_sql()[name]).df()
+    gc, gv = _norm(got)
+    wc, wv = _norm(want)
+    assert gc == wc
+    assert len(gv) == len(wv)
+    assert gv == wv
+
+
+def test_every_query_listed_or_justified():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every non-oracled query must be an image-typed op (documented)
+    assert set(qs) - set(oracles) == {"media_page_stats"}
