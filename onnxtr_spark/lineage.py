@@ -1,0 +1,100 @@
+"""Checkpointed extraction with per-partition-group lineage and resume.
+
+The north_rule requires the job to be resumable from checkpoint with
+per-partition lineage + metrics. Strategy (SURVEY.md §7 step 7):
+
+- documents are assigned to ``n_groups`` buckets by a deterministic hash
+  of doc_id (``pmod(xxhash64(doc_id), n_groups)`` — at 10^12-doc scale
+  these map 1:1 onto Iceberg partition groups / MERGE targets).
+- each group is extracted and written independently:
+  ``out/spans/group=<g>/`` via dynamic-partition overwrite (idempotent:
+  re-running a group replaces exactly that group's files — the
+  parquet-on-fs analog of Iceberg ``MERGE INTO`` on doc_id).
+- after a group's output commits, one lineage row is appended to
+  ``out/lineage/`` recording docs/pages/words/spans counts, wall time,
+  and the run id. Lineage is written AFTER data, so a crash between the
+  two at worst re-processes one group — never drops or duplicates rows
+  (overwrite makes re-processing idempotent).
+- resume: groups present in the lineage table are skipped.
+
+A driver-side loop over groups (not ``collect()`` of data — only of the
+already-done group ids) is the deliberate checkpoint grain: group count
+is small and fixed (e.g. 256 at production scale), each group is a full
+distributed job.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onnxtr_spark.stages.pipeline import extract_spans
+
+LINEAGE_SCHEMA = (
+    "run_id string, group int, n_docs long, n_pages long, n_spans long, "
+    "wall_ms double, completed_at_unix double"
+)
+
+
+def _with_group(docs: DataFrame, n_groups: int) -> DataFrame:
+    return docs.withColumn("group", F.pmod(F.xxhash64("doc_id"), F.lit(n_groups)).cast("int"))
+
+
+def completed_groups(spark: SparkSession, out_path: str) -> set[int]:
+    try:
+        rows = spark.read.parquet(f"{out_path}/lineage").select("group").distinct().collect()
+    except Exception:  # noqa: BLE001 — first run: no lineage yet
+        return set()
+    return {r["group"] for r in rows}
+
+
+def run_checkpointed(
+    spark: SparkSession,
+    docs: DataFrame,
+    media: DataFrame,
+    out_path: str,
+    n_groups: int = 8,
+    fail_after: int | None = None,
+) -> list[int]:
+    """Extract all doc groups, skipping completed ones. Returns the list
+    of groups processed this run. ``fail_after`` aborts after N groups
+    (test hook simulating a mid-job crash)."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    run_id = uuid.uuid4().hex[:12]
+    done = completed_groups(spark, out_path)
+    grouped = _with_group(docs, n_groups)
+    processed: list[int] = []
+
+    for g in range(n_groups):
+        if g in done:
+            continue
+        t0 = time.time()
+        gdocs = grouped.where(F.col("group") == g).drop("group")
+        n_docs = gdocs.count()
+        n_spans = 0
+        n_pages = 0
+        if n_docs:
+            flat = extract_spans(gdocs, media).withColumn("group", F.lit(g))
+            flat.write.mode("overwrite").partitionBy("group").parquet(f"{out_path}/spans")
+            n_spans = spark.read.parquet(f"{out_path}/spans").where(F.col("group") == g).count()
+            n_pages = (
+                gdocs.select(F.explode("spans").alias("s"))
+                .where(F.col("s.kind") == "media")
+                .count()
+            )
+        lineage_row = spark.createDataFrame(
+            [(run_id, g, n_docs, n_pages, n_spans, (time.time() - t0) * 1000.0, time.time())],
+            schema=LINEAGE_SCHEMA,
+        )
+        lineage_row.write.mode("append").parquet(f"{out_path}/lineage")
+        processed.append(g)
+        if fail_after is not None and len(processed) >= fail_after:
+            break
+    return processed
+
+
+def read_spans(spark: SparkSession, out_path: str) -> DataFrame:
+    return spark.read.parquet(f"{out_path}/spans").drop("group")

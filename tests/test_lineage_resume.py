@@ -1,0 +1,73 @@
+"""Checkpoint/resume semantics (FIXTURES.md §5): kill after k groups,
+re-run, assert no duplicate spans and full golden equality."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from onnxtr_spark.corpus import FIXTURE_TEXTS, build_corpus_pdfs, expected_spans
+from onnxtr_spark.lineage import completed_groups, read_spans, run_checkpointed
+from tests.test_pipeline_e2e import DOCS_SCHEMA, MEDIA_SCHEMA, golden_flat
+
+
+@pytest.fixture()
+def corpus(spark):
+    docs_pdf, media_pdf = build_corpus_pdfs(FIXTURE_TEXTS)
+    return (
+        spark.createDataFrame(docs_pdf, schema=DOCS_SCHEMA),
+        spark.createDataFrame(media_pdf, schema=MEDIA_SCHEMA),
+    )
+
+
+def test_crash_and_resume(spark, corpus, tmp_path):
+    docs, media = corpus
+    out = str(tmp_path / "out")
+
+    first = run_checkpointed(spark, docs, media, out, n_groups=4, fail_after=2)
+    assert len(first) == 2
+    assert completed_groups(spark, out) == set(first)
+
+    second = run_checkpointed(spark, docs, media, out, n_groups=4)
+    assert set(first).isdisjoint(second)
+    assert len(first) + len(second) == 4
+
+    got = read_spans(spark, out).toPandas().sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    want = golden_flat().sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "offset", "kind", "text", "media_ref"]].astype(str),
+        want.astype(str),
+    )
+
+    # lineage carries metrics for every group
+    lin = spark.read.parquet(f"{out}/lineage").toPandas()
+    assert sorted(lin["group"].tolist()) == [0, 1, 2, 3]
+    assert ((lin["n_spans"] > 0) == (lin["n_docs"] > 0)).all()
+    assert lin["n_docs"].sum() == len(FIXTURE_TEXTS)
+    assert (lin["wall_ms"] > 0).all()
+
+
+def test_rerun_is_noop(spark, corpus, tmp_path):
+    docs, media = corpus
+    out = str(tmp_path / "out")
+    run_checkpointed(spark, docs, media, out, n_groups=2)
+    n1 = read_spans(spark, out).count()
+    assert run_checkpointed(spark, docs, media, out, n_groups=2) == []
+    assert read_spans(spark, out).count() == n1
+
+
+def test_group_reprocess_idempotent(spark, corpus, tmp_path):
+    """Crash AFTER data write but BEFORE lineage commit: the group is
+    re-processed on resume and the overwrite leaves no duplicates."""
+    docs, media = corpus
+    out = str(tmp_path / "out")
+    run_checkpointed(spark, docs, media, out, n_groups=2, fail_after=1)
+    # simulate lost lineage for the completed group
+    import shutil
+
+    shutil.rmtree(f"{out}/lineage")
+    assert completed_groups(spark, out) == set()
+    run_checkpointed(spark, docs, media, out, n_groups=2)
+    got = read_spans(spark, out)
+    assert got.count() == got.dropDuplicates(["doc_id", "offset"]).count()
+    assert got.count() == len(golden_flat())
