@@ -67,19 +67,19 @@ def detect_pages(pages: DataFrame, cfg: DetectConfig = DetectConfig()) -> DataFr
             n = len(pdf)
             # I1 micro-batching: fixed-size model batches inside the Arrow chunk
             # (reference PreProcessor.batch_inputs, models/preprocessor/base.py:44-59).
+            pngs, heights, widths = pdf["png"].tolist(), pdf["height"].tolist(), pdf["width"].tolist()
             for start in range(0, n, batch_size):
-                chunk = pdf.iloc[start : start + batch_size]
                 resized = np.stack([
                     resize_preserve(imaging.decode_image(b), map_size, map_size, True, 255)
-                    for b in chunk["png"]
+                    for b in pngs[start : start + batch_size]
                 ])
                 prob_maps = engine.run(resized)  # B×H×W float32 in [0,1]
-                for i, (_, row) in enumerate(chunk.iterrows()):
+                for i in range(resized.shape[0]):
                     boxes = detect_post.postprocess_prob_map(
                         prob_maps[i], bin_thresh, box_thresh, unclip, morph_open=True
                     )
                     boxes = detect_post.remove_padding(
-                        boxes, int(row["height"]), int(row["width"]),
+                        boxes, int(heights[start + i]), int(widths[start + i]),
                         preserve_aspect_ratio=True, symmetric_pad=True,
                     )
                     out_boxes.append([b.tolist() for b in boxes.astype(np.float64)])

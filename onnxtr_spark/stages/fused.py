@@ -1,0 +1,116 @@
+"""Fused detect+recognize stage: page images → ordered word rows.
+
+One ``mapInPandas`` covering both model stages. Rationale (measured, see
+BASELINE.md): page blobs are the dominant data volume; keeping detect
+and recognize as separate Python stages ships every page across the
+JVM↔Python Arrow boundary twice more than necessary. Fusing them means
+a page's bytes are decoded exactly once per pipeline and never
+re-serialized. The standalone ``detect_pages``/``recognize_pages``
+stages remain the public per-operator API (mirroring the reference's
+standalone detection_predictor / recognition_predictor entry points);
+this fused stage is what the end-to-end pipeline uses — the same
+operator-fusion decision the reference makes by running both models in
+one process (models/predictor/predictor.py:72-154).
+
+Recognition model batches are flattened across all pages in the Arrow
+chunk (reference flattens across pages too, predictor.py:132).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from onnxtr_spark import imaging
+from onnxtr_spark.engine import get_detection_engine, get_recognition_engine
+from onnxtr_spark.kernels import detect_post, split_merge
+from onnxtr_spark.kernels.builder import word_order
+from onnxtr_spark.kernels.ctc import ctc_best_path
+from onnxtr_spark.kernels.geometry import extract_crops, resize_preserve
+from onnxtr_spark.stages.detect import DetectConfig
+from onnxtr_spark.stages.recognize import RECOGNIZE_SCHEMA, RecognizeConfig
+
+OUT_COLS = [
+    "doc_id", "offset", "media_ref", "word_id", "rank", "line_id",
+    "xmin", "ymin", "xmax", "ymax", "objectness", "text", "conf",
+]
+
+
+def detect_recognize_pages(
+    pages: DataFrame,
+    det_cfg: DetectConfig = DetectConfig(),
+    reco_cfg: RecognizeConfig = RecognizeConfig(),
+) -> DataFrame:
+    """Detect + recognize + per-page builder rank in one Arrow pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        det = get_detection_engine()
+        reco = get_recognition_engine(reco_cfg.vocab)
+        n_classes_vocab = reco_cfg.vocab
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            page_meta: list[dict] = []
+            flat_splits: list[np.ndarray] = []
+
+            for doc_id, offset, media_ref, png, height, width in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["png"], pdf["height"], pdf["width"]
+            ):
+                img = imaging.decode_image(png)
+                # --- detect (D1-D6 + P8), batch of one page at a time is
+                # fine here: the model is per-page and pages are large.
+                resized = resize_preserve(img, det_cfg.map_size, det_cfg.map_size, True, 255)
+                prob = det.run(resized[None])[0]
+                boxes = detect_post.postprocess_prob_map(
+                    prob, det_cfg.bin_thresh, det_cfg.box_thresh, det_cfg.unclip_ratio, morph_open=True
+                )
+                boxes = detect_post.remove_padding(boxes, int(height), int(width), True, True)
+
+                # --- crop + split (G1, P5, W1)
+                crops = extract_crops(img, boxes[:, :4].astype(np.float64)) if boxes.shape[0] else []
+                keep = [i for i, c in enumerate(crops) if c.shape[0] > 0 and c.shape[1] > 0]
+                crops = [crops[i] for i in keep]
+                boxes = boxes[keep] if keep else boxes[:0]
+                splits, crop_map, _ = split_merge.split_crops(
+                    crops, reco_cfg.critical_ar, reco_cfg.target_ar, reco_cfg.overlap_ratio
+                )
+                page_meta.append({
+                    "key": (doc_id, int(offset), media_ref),
+                    "boxes": boxes,
+                    "crop_map": crop_map,
+                    "start": len(flat_splits),
+                    "n_splits": len(splits),
+                })
+                flat_splits.extend(
+                    resize_preserve(s, reco_cfg.crop_h, reco_cfg.crop_w, symmetric_pad=False, pad_value=255)
+                    for s in splits
+                )
+
+            # --- recognize (I4 + C1), batched across pages
+            preds: list[tuple[str, float]] = []
+            for start in range(0, len(flat_splits), reco_cfg.batch_size):
+                batch = np.stack(flat_splits[start : start + reco_cfg.batch_size])
+                preds.extend(ctc_best_path(reco.run(batch), n_classes_vocab))
+
+            out_rows: list[tuple] = []
+            for meta in page_meta:
+                boxes = meta["boxes"]
+                if boxes.shape[0] == 0:
+                    continue
+                page_preds = preds[meta["start"] : meta["start"] + meta["n_splits"]]
+                words = split_merge.remap_preds(page_preds, meta["crop_map"], reco_cfg.overlap_ratio)
+                rank, line_id = word_order(boxes[:, :4])
+                doc_id, offset, media_ref = meta["key"]
+                for wi, ((text, conf), box) in enumerate(zip(words, boxes)):
+                    out_rows.append((
+                        doc_id, offset, media_ref, wi, int(rank[wi]), int(line_id[wi]),
+                        float(box[0]), float(box[1]), float(box[2]), float(box[3]),
+                        float(box[4]), text, float(conf),
+                    ))
+            yield pd.DataFrame(out_rows, columns=OUT_COLS)
+
+    return pages.mapInPandas(run, schema=RECOGNIZE_SCHEMA)

@@ -65,6 +65,10 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
     only the rendering itself runs in Python, Arrow-batched.
     """
     base = _with_words(documents)
+    # Rendering is CPU-bound Python: spread it across all cores even when
+    # the source is a single small parquet file (1 input partition).
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    base = base.repartition(parallelism)
     pages = base.select(
         "doc_id",
         F.posexplode(
@@ -83,14 +87,14 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
             if pdf.empty:
                 continue
             rows = []
-            for _, r in pdf.iterrows():
-                words = [w for w in list(r["page_words"]) if w]
+            for media_ref, page_words in zip(pdf["media_ref"], pdf["page_words"]):
+                words = [w for w in list(page_words) if w]
                 # Empty page -> blank image: detection finds no boxes, so
                 # the doc contributes only its pass-through text spans.
                 lines = [words[i : i + WORDS_PER_LINE] for i in range(0, len(words), WORDS_PER_LINE)] or [[]]
                 img = imaging.render_page(lines)
                 rows.append({
-                    "media_ref": r["media_ref"],
+                    "media_ref": media_ref,
                     "png": imaging.encode_image(img),
                     "height": img.shape[0],
                     "width": img.shape[1],

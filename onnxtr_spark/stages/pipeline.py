@@ -35,14 +35,25 @@ from onnxtr_spark.stages.recognize import RecognizeConfig, recognize_pages
 
 
 def media_pages(docs: DataFrame, media: DataFrame) -> DataFrame:
-    """Explode media spans and attach page bytes."""
+    """Explode media spans and attach page bytes.
+
+    The explicit keyed ``repartition`` after the join pins the parallel
+    grain of the model stages to pages-spread-across-all-cores. Without
+    it AQE (correctly, by byte size) coalesces the small compressed-blob
+    shuffle into a couple of partitions — but the Python model stages
+    are CPU-bound per *row*, not per byte, so byte-based coalescing
+    would serialize them. Explicit numPartitions is exempt from AQE
+    coalescing."""
     spans = (
         docs.select("doc_id", F.explode("spans").alias("s"))
         .where(F.col("s.kind") == "media")
         .select("doc_id", F.col("s.offset").alias("offset"), F.col("s.media_ref").alias("media_ref"))
     )
-    return spans.join(media, "media_ref").select(
-        "doc_id", "offset", "media_ref", "png", "height", "width"
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        spans.join(media, "media_ref")
+        .repartition(parallelism, "media_ref")
+        .select("doc_id", "offset", "media_ref", "png", "height", "width")
     )
 
 
@@ -51,11 +62,21 @@ def extract_spans(
     media: DataFrame,
     det_cfg: DetectConfig = DetectConfig(),
     reco_cfg: RecognizeConfig = RecognizeConfig(),
+    fused: bool = True,
 ) -> DataFrame:
-    """Full OCR extraction: flat span rows (doc_id, offset, kind, text, media_ref)."""
+    """Full OCR extraction: flat span rows (doc_id, offset, kind, text, media_ref).
+
+    ``fused=True`` (default) runs detect+recognize in one mapInPandas so
+    page bytes cross the JVM↔Python boundary once (see stages/fused.py);
+    ``fused=False`` chains the standalone stages (same results — asserted
+    in tests)."""
     pages = media_pages(docs, media)
-    detected = detect_pages(pages, det_cfg)
-    words = recognize_pages(detected, reco_cfg)
+    if fused:
+        from onnxtr_spark.stages.fused import detect_recognize_pages
+
+        words = detect_recognize_pages(pages, det_cfg, reco_cfg)
+    else:
+        words = recognize_pages(detect_pages(pages, det_cfg), reco_cfg)
     return assemble_spans(docs, words)
 
 
