@@ -41,7 +41,14 @@ def ctc_best_path(logits: np.ndarray, vocab: str, blank: int | None = None) -> l
     if blank is None:
         blank = len(vocab)
 
-    probs = softmax(logits, axis=-1).max(axis=-1).min(axis=1)
+    # Per-step top softmax probability without materializing the full
+    # softmax: max(softmax(l)) = exp(m - m) / sum(exp(l - m)) = 1 / s.
+    # Identical float ops to softmax(...).max(-1) (same shift, same sum,
+    # same single division) at ~1/3 the memory traffic — this kernel is
+    # DRAM-bound at high core counts.
+    m = logits.max(axis=-1, keepdims=True)
+    s = np.exp(logits - m).sum(axis=-1)  # (N, T)
+    probs = (1.0 / s).min(axis=1)
     best = np.argmax(logits, axis=-1)  # (N, T)
 
     words = []

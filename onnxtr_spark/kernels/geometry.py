@@ -56,7 +56,7 @@ def resize_preserve(
 
     ys = np.minimum((np.arange(new_h) / scale).astype(np.int64), h - 1)
     xs = np.minimum((np.arange(new_w) / scale).astype(np.int64), w - 1)
-    resized = img[ys][:, xs]
+    resized = img[np.ix_(ys, xs)]  # single gather, one copy
 
     out_shape = (target_h, target_w) + img.shape[2:]
     out = np.full(out_shape, pad_value, dtype=img.dtype)
@@ -67,3 +67,19 @@ def resize_preserve(
         off_y = off_x = 0
     out[off_y : off_y + new_h, off_x : off_x + new_w] = resized
     return out
+
+
+def resize_unpadded(img: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
+    """Aspect-preserving resize WITHOUT padding: content only, shape
+    (new_h, new_w, ...) with new_h <= target_h, new_w <= target_w.
+
+    Same scale/rounding as ``resize_preserve`` (scale = min of ratios,
+    round), so content pixels are identical — the batch step pads to the
+    batch's max width instead of a fixed one (ORT dynamic axes analog;
+    padding columns are pure waste in the T axis of the logits)."""
+    h, w = img.shape[:2]
+    scale = min(target_h / h, target_w / w)
+    new_h, new_w = max(1, round(h * scale)), max(1, round(w * scale))
+    ys = np.minimum((np.arange(new_h) / scale).astype(np.int64), h - 1)
+    xs = np.minimum((np.arange(new_w) / scale).astype(np.int64), w - 1)
+    return img[np.ix_(ys, xs)]

@@ -34,6 +34,9 @@ def get_spark(app_name: str = "onnxtr_spark", cpus: int | None = None, shuffle_p
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # 32 MB splits: media blobs are ~30 KB compressed rows — smaller
+        # splits keep blob-heavy scans parallel across all cores without
+        # a repartition (the blob side must never shuffle).
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .getOrCreate()
     )

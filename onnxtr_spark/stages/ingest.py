@@ -106,3 +106,32 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def materialize_corpus(spark: SparkSession, sf_dir: str, cache_dir: str) -> tuple[DataFrame, DataFrame]:
+    """One-time ingest: derive docs+media from documents and persist as
+    parquet (the production shape — media bytes live in storage keyed by
+    media_ref; extraction jobs scan them, they don't synthesize them).
+    Returns (docs, media) reading from the cache."""
+    import os
+
+    docs_path = f"{cache_dir}/docs.parquet"
+    media_path = f"{cache_dir}/media.parquet"
+    documents = load_documents(spark, sf_dir)
+    if not os.path.exists(docs_path):
+        docs_from_documents(documents).write.mode("overwrite").parquet(docs_path)
+    if not os.path.exists(media_path):
+        media_from_documents(documents).write.mode("overwrite").parquet(media_path)
+    return spark.read.parquet(docs_path), spark.read.parquet(media_path)
+
+
+def replicate_documents(documents: DataFrame, factor: int) -> DataFrame:
+    """Deterministically scale the corpus: ``factor`` copies with
+    disjoint doc_id ranges (doc_id + 10^7 * k). Used by bench --scaling
+    so per-job fixed costs amortize at high core counts."""
+    from functools import reduce
+
+    copies = [
+        documents.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000 * k)) for k in range(factor)
+    ]
+    return reduce(DataFrame.unionByName, copies)

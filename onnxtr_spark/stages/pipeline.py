@@ -50,6 +50,14 @@ def media_pages(docs: DataFrame, media: DataFrame) -> DataFrame:
         .select("doc_id", F.col("s.offset").alias("offset"), F.col("s.media_ref").alias("media_ref"))
     )
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    # Join + explicit hash repartition on media_ref. Measured A/B
+    # (BASELINE.md): a broadcast join that streams pages in scan order
+    # is ~30% SLOWER end-to-end than paying this small shuffle, because
+    # scan-contiguous pages have correlated per-page model cost (long
+    # docs cluster) → straggler tasks; the hash shuffle randomizes work
+    # per task. Page blobs are zlib-compressed (~2-3 KB/page), so the
+    # shuffle is cheap — and this is exactly the north_rule's skew
+    # salt: a 1000-page document scatters across all tasks.
     return (
         spans.join(media, "media_ref")
         .repartition(parallelism, "media_ref")

@@ -55,7 +55,12 @@ class RecognizeConfig:
     critical_ar: float = split_merge.CRITICAL_AR
     target_ar: int = split_merge.TARGET_AR
     overlap_ratio: float = split_merge.OVERLAP_RATIO
-    batch_size: int = 1024  # reference reco batch size
+    # Model batch. The reference uses 1024 (models/recognition/zoo.py:54)
+    # for ONNX-session efficiency; our per-batch working set is
+    # B×T×C float32 logits, and 256 keeps construction+decode inside
+    # cache instead of round-tripping DRAM (measured: DRAM-bound at 32
+    # cores with 1024).
+    batch_size: int = 256
     vocab: str = DEFAULT_VOCAB
 
 
