@@ -124,12 +124,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": rel.q1_pricing_summary,
         "tpch_q3_shipping": rel.q3_shipping_priority,
         "tpch_q5_nation_volume": rel.q5_nation_volume,
+        "tpch_q6_forecast": rel.q6_forecast_revenue,
+        "tpch_q10_returned": rel.q10_returned_items,
+        "tpch_q12_priority_status": rel.q12_priority_by_status,
+        "tpch_q14_brand_share": rel.q14_brand_revenue_share,
+        "tpch_q18_large_orders": rel.q18_large_orders,
         "top_customers": rel.top_customers,
         "order_priority_count": rel.order_priority_count,
         "part_brand_stats": rel.part_brand_stats,
         "lineitem_top_per_order": rel.lineitem_top_per_order,
         "events_sessionize": rel.events_sessionize,
         "events_hourly": rel.events_hourly,
+        "events_top_users": rel.events_top_users_per_type,
+        "docs_lang_stats": rel.docs_lang_stats,
         # text analysis
         "text_token_stats": lambda s, d: text.token_stats(_documents(s, d)),
         "text_quality_score": lambda s, d: text.quality_score(_documents(s, d)),
@@ -157,6 +164,13 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1_pricing": rel.Q1_SQL,
         "tpch_q3_shipping": rel.Q3_SQL,
         "tpch_q5_nation_volume": rel.Q5_SQL,
+        "tpch_q6_forecast": rel.Q6_SQL,
+        "tpch_q10_returned": rel.Q10_SQL,
+        "tpch_q12_priority_status": rel.Q12_SQL,
+        "tpch_q14_brand_share": rel.Q14_SQL,
+        "tpch_q18_large_orders": rel.Q18_SQL,
+        "events_top_users": rel.EVENTS_TOP_USERS_SQL,
+        "docs_lang_stats": rel.DOCS_LANG_SQL,
         "top_customers": rel.TOP_CUSTOMERS_SQL,
         "order_priority_count": rel.ORDER_PRIORITY_SQL,
         "part_brand_stats": rel.PART_BRAND_SQL,

@@ -268,3 +268,164 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2
 """
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: revenue delta from a discount band (pure scan:
+    filters push to parquet, single global agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+             F.count("*").cast("long").alias("n_rows"))
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: top-20 customers by returned-item revenue."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog: order-priority mix per lineitem linestatus."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") >= F.lit("1997-01-01"))
+    orders = _t(spark, sf_dir, "orders")
+    high = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).cast("long").alias("high_line_count"),
+            F.sum(1 - high).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q14_brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: one brand's share of revenue (broadcast part dim)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_brand") == "Brand#1", rev).otherwise(0.0)) * 100.0 / F.sum(rev), 4
+            ).alias("brand1_pct"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT round(sum(CASE WHEN p_brand = 'Brand#1' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             * 100.0 / sum(l_extendedprice * (1 - l_discount)), 4) AS brand1_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: orders whose total quantity exceeds a threshold."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "total_qty")
+    )
+
+
+Q18_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate, total_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150
+)
+JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+def events_top_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by total value per event type (grouped top-k window)."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type", "user_id").agg(F.round(F.sum("value"), 2).alias("total_value"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("total_value"), F.asc("user_id"))
+    return per.withColumn("rn", F.row_number().over(w).cast("long")).where(F.col("rn") <= 3)
+
+
+EVENTS_TOP_USERS_SQL = """
+SELECT event_type, user_id, total_value, rn
+FROM (
+  SELECT event_type, user_id, round(sum(value), 2) AS total_value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY round(sum(value), 2) DESC, user_id ASC) AS rn
+  FROM events GROUP BY event_type, user_id
+)
+WHERE rn <= 3
+"""
+
+
+def docs_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition: docs/chars by language and source."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+DOCS_LANG_SQL = """
+SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang, source
+"""

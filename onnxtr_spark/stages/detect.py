@@ -48,6 +48,12 @@ class DetectConfig:
     box_thresh: float = detect_post.BOX_THRESH
     unclip_ratio: float = detect_post.UNCLIP_RATIO
     batch_size: int = 2  # reference det batch size (models/zoo.py:22)
+    # loc_preds hooks (reference OCRPredictor.add_hook,
+    # models/predictor/base.py:77,204-210, applied predictor.py:112-113):
+    # callables (N,5) -> (N,5) applied to each page's boxes after
+    # postprocess+unpad, inside the executor stage. Must be picklable
+    # (top-level functions).
+    hooks: tuple = ()
 
 
 def detect_pages(pages: DataFrame, cfg: DetectConfig = DetectConfig()) -> DataFrame:
@@ -82,6 +88,8 @@ def detect_pages(pages: DataFrame, cfg: DetectConfig = DetectConfig()) -> DataFr
                         boxes, int(heights[start + i]), int(widths[start + i]),
                         preserve_aspect_ratio=True, symmetric_pad=True,
                     )
+                    for hook in cfg.hooks:
+                        boxes = hook(boxes)
                     out_boxes.append([b.tolist() for b in boxes.astype(np.float64)])
             res = pdf[["doc_id", "offset", "media_ref", "png", "height", "width"]].copy()
             res["boxes"] = out_boxes

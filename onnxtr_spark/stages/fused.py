@@ -80,6 +80,8 @@ def detect_recognize_pages(
                 boxes = detect_post.postprocess_pixel_map(
                     resized[:, :, 0], det_cfg.bin_thresh, det_cfg.box_thresh, det_cfg.unclip_ratio
                 )
+                for hook in det_cfg.hooks:  # loc_preds hooks (detect.py DetectConfig)
+                    boxes = hook(boxes)
 
                 # --- crop + split (G1, P5, W1)
                 crops = extract_crops(img, boxes[:, :4].astype(np.float64)) if boxes.shape[0] else []
