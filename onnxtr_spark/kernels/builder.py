@@ -90,6 +90,68 @@ def resolve_lines(boxes: np.ndarray, paragraph_break: float = PARAGRAPH_BREAK) -
     return lines
 
 
+def resolve_blocks(boxes: np.ndarray, lines: list[list[int]], t: float = 0.1) -> list[list[list[int]]]:
+    """Group lines into blocks (reference builder.py:148-212, straight path).
+
+    The reference clusters 6 geometric features of each line's enclosing
+    bbox with ``scipy.cluster.hierarchy.fclusterdata(t=0.1, depth=4,
+    criterion='distance', metric='euclidean')`` — single-linkage flat
+    clusters at distance threshold t, which are exactly the connected
+    components of the graph with edges where pairwise euclidean distance
+    <= t. Blocks keep the reference's ordering: first-occurrence order of
+    each cluster, lines in original order within a block (the dict
+    grouping at builder.py:201-207).
+    """
+    # enclosing bbox per line (resolve_enclosing_bbox, utils/geometry.py:167-…)
+    bl = np.array(
+        [
+            [
+                boxes[line, 0].min(),
+                boxes[line, 1].min(),
+                boxes[line, 2].max(),
+                boxes[line, 3].max(),
+            ]
+            for line in lines
+        ],
+        dtype=np.float64,
+    )
+    # 6 features (builder.py:186-197, straight branch)
+    feats = np.stack(
+        (
+            (bl[:, 0] + bl[:, 3]) / 2,
+            (bl[:, 1] + bl[:, 2]) / 2,
+            (bl[:, 0] + bl[:, 2]) / 2,
+            (bl[:, 1] + bl[:, 3]) / 2,
+            bl[:, 0],
+            bl[:, 1],
+        ),
+        axis=-1,
+    )
+    n = feats.shape[0]
+    d2 = ((feats[:, None, :] - feats[None, :, :]) ** 2).sum(-1)
+    adj = d2 <= t * t
+
+    parent = list(range(n))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if adj[i, j]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+
+    groups: dict[int, list[int]] = {}
+    for li in range(n):
+        groups.setdefault(find(li), []).append(li)
+    return [[lines[idx] for idx in group] for group in groups.values()]
+
+
 def word_order(boxes: np.ndarray, paragraph_break: float = PARAGRAPH_BREAK) -> tuple[np.ndarray, np.ndarray]:
     """Flatten ``resolve_lines`` into per-word (rank, line_id) arrays.
 
@@ -108,3 +170,28 @@ def word_order(boxes: np.ndarray, paragraph_break: float = PARAGRAPH_BREAK) -> t
             line_id[idx] = li
             pos += 1
     return rank, line_id
+
+
+def word_order_blocks(
+    boxes: np.ndarray, paragraph_break: float = PARAGRAPH_BREAK, block_t: float = 0.1
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Like ``word_order`` but with B4 block clustering: reading order is
+    block -> line -> word (blocks reorder lines exactly as the
+    reference's export does when resolve_blocks=True, builder.py:210).
+    Returns (rank, line_id, block_id)."""
+    n = boxes.shape[0]
+    rank = np.empty(n, dtype=np.int64)
+    line_id = np.empty(n, dtype=np.int64)
+    block_id = np.empty(n, dtype=np.int64)
+    lines = resolve_lines(boxes, paragraph_break)
+    pos = 0
+    li_global = 0
+    for bi, block in enumerate(resolve_blocks(boxes, lines, block_t)):
+        for line in block:
+            for idx in line:
+                rank[idx] = pos
+                line_id[idx] = li_global
+                block_id[idx] = bi
+                pos += 1
+            li_global += 1
+    return rank, line_id, block_id

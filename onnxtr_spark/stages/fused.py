@@ -27,14 +27,14 @@ from pyspark.sql import DataFrame
 from onnxtr_spark import imaging
 from onnxtr_spark.engine import get_detection_engine, get_recognition_engine
 from onnxtr_spark.kernels import detect_post, split_merge
-from onnxtr_spark.kernels.builder import word_order
+from onnxtr_spark.kernels.builder import word_order, word_order_blocks
 from onnxtr_spark.kernels.ctc import ctc_best_path
 from onnxtr_spark.kernels.geometry import extract_crops, resize_preserve, resize_unpadded
 from onnxtr_spark.stages.detect import DetectConfig
 from onnxtr_spark.stages.recognize import RECOGNIZE_SCHEMA, RecognizeConfig
 
 OUT_COLS = [
-    "doc_id", "offset", "media_ref", "word_id", "rank", "line_id",
+    "doc_id", "offset", "media_ref", "word_id", "rank", "line_id", "block_id",
     "xmin", "ymin", "xmax", "ymax", "objectness", "text", "conf",
 ]
 
@@ -124,11 +124,15 @@ def detect_recognize_pages(
                     continue
                 page_preds = preds[meta["start"] : meta["start"] + meta["n_splits"]]
                 words = split_merge.remap_preds(page_preds, meta["crop_map"], reco_cfg.overlap_ratio)
-                rank, line_id = word_order(boxes[:, :4])
+                if reco_cfg.resolve_blocks:
+                    rank, line_id, block_id = word_order_blocks(boxes[:, :4])
+                else:
+                    rank, line_id = word_order(boxes[:, :4])
+                    block_id = np.zeros_like(rank)
                 doc_id, offset, media_ref = meta["key"]
                 for wi, ((text, conf), box) in enumerate(zip(words, boxes)):
                     out_rows.append((
-                        doc_id, offset, media_ref, wi, int(rank[wi]), int(line_id[wi]),
+                        doc_id, offset, media_ref, wi, int(rank[wi]), int(line_id[wi]), int(block_id[wi]),
                         float(box[0]), float(box[1]), float(box[2]), float(box[3]),
                         float(box[4]), text, float(conf),
                     ))

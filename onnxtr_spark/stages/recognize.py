@@ -36,14 +36,14 @@ from pyspark.sql import DataFrame
 from onnxtr_spark import imaging
 from onnxtr_spark.engine import get_recognition_engine
 from onnxtr_spark.kernels import split_merge
-from onnxtr_spark.kernels.builder import word_order
+from onnxtr_spark.kernels.builder import word_order, word_order_blocks
 from onnxtr_spark.kernels.ctc import ctc_best_path
 from onnxtr_spark.kernels.geometry import extract_crops, resize_preserve
 from onnxtr_spark.vocabs import DEFAULT_VOCAB
 
 RECOGNIZE_SCHEMA = (
     "doc_id string, offset int, media_ref string, word_id int, rank int, line_id int, "
-    "xmin double, ymin double, xmax double, ymax double, objectness double, "
+    "block_id int, xmin double, ymin double, xmax double, ymax double, objectness double, "
     "text string, conf double"
 )
 
@@ -62,6 +62,9 @@ class RecognizeConfig:
     # cores with 1024).
     batch_size: int = 256
     vocab: str = DEFAULT_VOCAB
+    # B1-B3 always run; B4 block clustering is off by default like the
+    # reference (models/builder.py:33 resolve_blocks=False)
+    resolve_blocks: bool = False
 
 
 def recognize_pages(detected: DataFrame, cfg: RecognizeConfig = RecognizeConfig()) -> DataFrame:
@@ -120,7 +123,11 @@ def recognize_pages(detected: DataFrame, cfg: RecognizeConfig = RecognizeConfig(
                 page_preds = preds[meta["start"] : meta["start"] + meta["n_splits"]]
                 # W2: local crop_map indexes into the page's own split range.
                 words = split_merge.remap_preds(page_preds, meta["crop_map"], cfg.overlap_ratio)
-                rank, line_id = word_order(boxes[:, :4])
+                if cfg.resolve_blocks:
+                    rank, line_id, block_id = word_order_blocks(boxes[:, :4])
+                else:
+                    rank, line_id = word_order(boxes[:, :4])
+                    block_id = np.zeros_like(rank)
                 row = meta["row"]
                 for wi, ((text, conf), box) in enumerate(zip(words, boxes)):
                     out_rows.append({
@@ -130,6 +137,7 @@ def recognize_pages(detected: DataFrame, cfg: RecognizeConfig = RecognizeConfig(
                         "word_id": wi,
                         "rank": int(rank[wi]),
                         "line_id": int(line_id[wi]),
+                        "block_id": int(block_id[wi]),
                         "xmin": float(box[0]),
                         "ymin": float(box[1]),
                         "xmax": float(box[2]),
@@ -141,7 +149,7 @@ def recognize_pages(detected: DataFrame, cfg: RecognizeConfig = RecognizeConfig(
             yield pd.DataFrame(
                 out_rows,
                 columns=[
-                    "doc_id", "offset", "media_ref", "word_id", "rank", "line_id",
+                    "doc_id", "offset", "media_ref", "word_id", "rank", "line_id", "block_id",
                     "xmin", "ymin", "xmax", "ymax", "objectness", "text", "conf",
                 ],
             )
