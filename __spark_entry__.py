@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": lambda s, d: dedup.simhash(_documents(s, d)),
         # similarity search
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(_embeddings(s, d)),
+        "ann_ivf_topk": lambda s, d: similarity.ivf_topk(_embeddings(s, d)),
         "ann_lsh_buckets": lambda s, d: similarity.lsh_buckets(_embeddings(s, d)),
         "ann_lsh_near_pairs": lambda s, d: similarity.lsh_near_pairs(_embeddings(s, d)),
         "embedding_centroids": lambda s, d: similarity.label_centroids(_embeddings(s, d)),
@@ -186,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_token_jaccard": dedup.token_jaccard_pairs_sql(),
         "dedup_simhash": dedup.simhash_sql(),
         "ann_cosine_topk": similarity.cosine_topk_sql(),
+        "ann_ivf_topk": similarity.ivf_topk_sql(),
         "ann_lsh_buckets": similarity.lsh_buckets_sql(),
         "ann_lsh_near_pairs": similarity.lsh_near_pairs_sql(),
         "embedding_centroids": similarity.LABEL_CENTROIDS_SQL,

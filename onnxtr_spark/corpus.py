@@ -119,3 +119,28 @@ FIXTURE_TEXTS: list[tuple[str, str]] = [
     ("doc-0004", "single"),
     ("doc-0005", "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8),
 ]
+
+
+def rotation_for(doc_id: str, page: int) -> int:
+    """Deterministic stored-rotation (0..3 CCW turns) for the
+    orientation-path corpus variant."""
+    return (sum(ord(c) for c in doc_id) * 7 + page * 3) % 4
+
+
+def build_rotated_corpus_pdfs(texts: list[tuple[str, str]]) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Corpus variant exercising I5/G4: every page carries the
+    orientation watermark and is stored rotated by ``rotation_for``."""
+    doc_rows = []
+    media_rows = []
+    for doc_id, text in texts:
+        doc_rows.append({"doc_id": doc_id, "spans": doc_spans(doc_id, text)})
+        for p, (ref, img) in enumerate(render_doc_pages(doc_id, text)):
+            marked = imaging.add_orientation_mark(img)
+            rotated = np.ascontiguousarray(np.rot90(marked, rotation_for(doc_id, p)))
+            media_rows.append({
+                "media_ref": ref,
+                "png": imaging.encode_image(rotated),
+                "height": rotated.shape[0],
+                "width": rotated.shape[1],
+            })
+    return pd.DataFrame(doc_rows), pd.DataFrame(media_rows)

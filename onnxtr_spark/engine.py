@@ -74,6 +74,16 @@ class DetectionEngine:
         _busy_iters(MODEL_ITERS * n_pages)
 
 
+class OrientationEngine:
+    """Stub page-orientation classifier (reference I5: MobileNetV3
+    4-class over [0, -90, 180, 90], models/classification/models/
+    mobilenet.py:26 + predictor/base.py:37-61). Returns the number of
+    CCW np.rot90 turns per page (0..3); rectify with rot90(img, -k)."""
+
+    def run_one(self, img: np.ndarray) -> int:
+        return imaging.detect_orientation(img)
+
+
 class RecognitionEngine:
     """Stub recognition model: crop batch → per-timestep logits."""
 
@@ -96,6 +106,13 @@ def get_detection_engine() -> DetectionEngine:
     if "det" not in _SESSIONS:
         _SESSIONS["det"] = DetectionEngine()
     return _SESSIONS["det"]  # type: ignore[return-value]
+
+
+def get_orientation_engine() -> OrientationEngine:
+    """Per-worker cached orientation session."""
+    if "orient" not in _SESSIONS:
+        _SESSIONS["orient"] = OrientationEngine()
+    return _SESSIONS["orient"]  # type: ignore[return-value]
 
 
 def get_recognition_engine(vocab: str = DEFAULT_VOCAB) -> RecognitionEngine:

@@ -146,6 +146,98 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def ivf_topk(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5, nprobe: int = 3
+) -> DataFrame:
+    """IVF-style ANN: search only the ``nprobe`` nearest label-centroid
+    cells per query instead of the whole collection.
+
+    The label column stands in for a trained coarse quantizer (the
+    k-means assignment an IVF index maintains); candidate generation is
+    an equi-join on cell id — at 10^12 vectors the cell assignment is
+    the table's partition key and each probe is a partition-pruned scan.
+    Returns (query_id, neighbor_id, sim, rank) like ``cosine_topk`` —
+    approximate: only neighbors inside probed cells are considered.
+    """
+    from pyspark.sql import Window
+
+    cents = label_centroids(embeddings)
+    # centroid vectors per label, ordered by dim (small: labels × dims)
+    cent_vec = (
+        cents.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("cv"))
+        .select("label", F.transform("cv", lambda s: s["centroid"]).alias("centroid_vec"))
+    )
+    queries = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    # nprobe nearest cells per query (labels are few -> broadcast both ways)
+    qcell = (
+        queries.crossJoin(F.broadcast(cent_vec))
+        .select(
+            "query_id", "q", "label",
+            (_dot(F.col("q"), F.col("centroid_vec"))
+             / (_norm(F.col("q")) * _norm(F.col("centroid_vec")))).alias("cell_sim"),
+        )
+    )
+    wcell = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("label"))
+    probed = qcell.withColumn("cr", F.row_number().over(wcell)).where(F.col("cr") <= nprobe).select(
+        "query_id", "q", "label"
+    )
+    cands = embeddings.join(F.broadcast(probed), "label").where(F.col("vec_id") != F.col("query_id"))
+    sims = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        round_half_up(
+            _dot(F.col("q"), F.col("embedding")) / (_norm(F.col("q")) * _norm(F.col("embedding"))), ROUND
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), F.col("neighbor_id").cast("long"), "sim", "rank")
+    )
+
+
+def ivf_topk_sql(n_queries: int = 8, k: int = 5, nprobe: int = 3) -> str:
+    dotc = "list_sum(list_transform(list_zip(q.embedding, c.centroid_vec), p -> p[1]::DOUBLE * p[2]))"
+    nq = "sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in q.embedding]))"
+    nc = "sqrt(list_sum([x * x for x in c.centroid_vec]))"
+    dote = "list_sum(list_transform(list_zip(q.embedding, e.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    ne = "sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in e.embedding]))"
+    return f"""
+WITH cents AS (
+  SELECT label, list_transform(list_sort(list_zip(list(dim), list(centroid))), p -> p[2]) AS centroid_vec
+  FROM (
+    SELECT label, CAST(u.i - 1 AS BIGINT) AS dim,
+           (floor(avg(embedding[u.i]::DOUBLE) * 10000 + 0.5) / 10000.0 + 0.0) AS centroid
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    GROUP BY label, dim
+  ) GROUP BY label
+), probed AS (
+  SELECT query_id, label FROM (
+    SELECT q.vec_id AS query_id, c.label,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dotc} / ({nq} * {nc}) DESC, c.label ASC) AS cr
+    FROM (SELECT * FROM embeddings WHERE vec_id < {n_queries}) q, cents c
+  ) WHERE cr <= {nprobe}
+), sims AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         {round_half_up_sql(f'{dote} / ({nq} * {ne})', ROUND)} AS sim
+  FROM probed p
+  JOIN embeddings e ON e.label = p.label
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE e.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+) WHERE rank <= {k}
+"""
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label per-dimension centroid: (label, dim, centroid)."""
     return (

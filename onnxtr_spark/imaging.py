@@ -59,6 +59,35 @@ PAGE_W = 640
 CHAR_BASE = 96  # character c -> CHAR_BASE + vocab.index(c); requires len(vocab) < 130
 GAP_VALUE = 64
 WHITE = 255
+# Orientation watermark: intensity 240 -> darkness prob (255-240)/255 ≈
+# 0.059 < bin_thresh 0.1, so detection never sees it; the orientation
+# classifier stub does (engine.OrientationEngine). Drawn in the page
+# margin's top-left corner; after np.rot90(page, k) it sits in corner k.
+ORIENT_MARK = 240
+MARK_SLICE = (slice(8, 24), slice(8, 24))
+
+
+def add_orientation_mark(page: np.ndarray) -> np.ndarray:
+    page = page.copy()
+    page[MARK_SLICE[0], MARK_SLICE[1]] = ORIENT_MARK
+    return page
+
+
+def detect_orientation(img: np.ndarray) -> int:
+    """Which corner holds the watermark -> number of CCW np.rot90 turns
+    the page was stored with (0..3); 0 if no mark found."""
+    h, w = img.shape[:2]
+    ch = img[:, :, 0]
+    corners = [  # corner position of the TL mark after rot90(page, k)
+        ch[8:24, 8:24],          # k=0: top-left
+        ch[h - 24 : h - 8, 8:24],  # k=1: bottom-left
+        ch[h - 24 : h - 8, w - 24 : w - 8],  # k=2: bottom-right
+        ch[8:24, w - 24 : w - 8],  # k=3: top-right
+    ]
+    for k, region in enumerate(corners):
+        if region.size and (region == ORIENT_MARK).mean() > 0.5:
+            return k
+    return 0
 
 
 def encode_image(img: np.ndarray) -> bytes:

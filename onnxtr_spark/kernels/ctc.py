@@ -30,6 +30,35 @@ def decode_sequence(sequence: list[int], vocab: str) -> str:
     return "".join(vocab[int(c)] for c in sequence)
 
 
+def attention_decode(
+    logits: np.ndarray, vocab: str, conf_reduction: str = "mean"
+) -> list[tuple[str, float]]:
+    """Attention-style positional decode (C2): argmax per position,
+    truncate at <eos> (index len(vocab)).
+
+    Mirrors the reference's ViTSTR/PARSeq postprocessors
+    (models/recognition/models/vitstr.py:95-109, parseq.py:86-100):
+    confidence = mean of per-char top probability over the decoded
+    length (+eos); SAR/MASTER use min instead (sar.py:87-99) —
+    selectable via ``conf_reduction``.
+    """
+    eos = len(vocab)
+    m = logits.max(axis=-1, keepdims=True)
+    s = np.exp(logits - m).sum(axis=-1)
+    probs = 1.0 / s  # per-step top softmax prob (see ctc_best_path note)
+    best = np.argmax(logits, axis=-1)
+
+    out = []
+    reduce = np.mean if conf_reduction == "mean" else np.min
+    for seq, p in zip(best, probs):
+        stops = np.flatnonzero(seq == eos)
+        end = int(stops[0]) if stops.size else len(seq)
+        word = decode_sequence(seq[:end].tolist(), vocab)
+        conf = float(reduce(p[: end + 1])) if end + 1 <= len(p) else float(reduce(p))
+        out.append((word, conf))
+    return out
+
+
 def ctc_best_path(logits: np.ndarray, vocab: str, blank: int | None = None) -> list[tuple[str, float]]:
     """Best-path decode of a (N, T, C) logits batch.
 

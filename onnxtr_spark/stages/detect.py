@@ -54,6 +54,10 @@ class DetectConfig:
     # postprocess+unpad, inside the executor stage. Must be picklable
     # (top-level functions).
     hooks: tuple = ()
+    # I5/G4 analog (reference straighten_pages flag, models/zoo.py:19-27;
+    # predictor/base.py:102-124): classify page orientation and rectify
+    # with rot90 before detection. Off by default like the reference.
+    straighten_pages: bool = False
 
 
 def detect_pages(pages: DataFrame, cfg: DetectConfig = DetectConfig()) -> DataFrame:

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from onnxtr_spark import imaging
-from onnxtr_spark.engine import get_detection_engine, get_recognition_engine
+from onnxtr_spark.engine import get_detection_engine, get_orientation_engine, get_recognition_engine
 from onnxtr_spark.kernels import detect_post, split_merge
 from onnxtr_spark.kernels.builder import word_order, word_order_blocks
 from onnxtr_spark.kernels.ctc import ctc_best_path
@@ -66,6 +66,13 @@ def detect_recognize_pages(
                 # chain is DRAM-bound at high core counts). The
                 # standalone stages keep the 3-channel contract.
                 img = imaging.decode_image(png)[:, :, :1]
+                if det_cfg.straighten_pages:
+                    # I5 orientation classify + G4-style rectification:
+                    # undo the stored rotation before detection so all
+                    # downstream geometry sees a straight page.
+                    k = get_orientation_engine().run_one(img)
+                    if k:
+                        img = np.ascontiguousarray(np.rot90(img, -k))
                 # --- detect (D1-D6): the stub model is affine in pixel
                 # value, so it folds through the postprocess and runs on
                 # the uint8 map (postprocess_pixel_map docstring); `det`

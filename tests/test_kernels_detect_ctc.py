@@ -142,3 +142,23 @@ def test_softmax_and_ctc():
     logits = np.zeros((1, 3, 4), dtype=np.float32)
     logits[0, np.arange(3), classes] = 10.0
     assert ctc_best_path(logits, vocab)[0][0] == "aa"
+
+
+def test_attention_decode():
+    from onnxtr_spark.kernels.ctc import attention_decode
+
+    vocab = "abc"
+    eos = len(vocab)
+    # "ab" then eos then garbage that must be truncated
+    classes = [0, 1, eos, 2, 2]
+    logits = np.zeros((1, 5, 4), dtype=np.float32)
+    logits[0, np.arange(5), classes] = 9.0
+    out = attention_decode(logits, vocab)
+    assert out[0][0] == "ab"
+    # no eos -> full sequence decoded
+    classes = [2, 1, 0]
+    logits = np.zeros((1, 3, 4), dtype=np.float32)
+    logits[0, np.arange(3), classes] = 9.0
+    assert attention_decode(logits, vocab)[0][0] == "cba"
+    # min-reduction variant (SAR/MASTER semantics)
+    assert attention_decode(logits, vocab, conf_reduction="min")[0][1] <= attention_decode(logits, vocab)[0][1]
