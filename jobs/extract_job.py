@@ -1,0 +1,54 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Usage (the north_star's deployment shape):
+
+    spark-submit --master <cluster> \
+        --py-files onnxtr_spark.zip \
+        --conf spark.python.worker.reuse=true \
+        jobs/extract_job.py \
+        --docs  s3://bucket/docs_table \
+        --media s3://bucket/media_table \
+        --out   s3://bucket/extracted \
+        [--groups 256] [--streaming-dir <landing_dir>]
+
+Model artifacts for a real ONNX deployment ride along via
+``--files det.onnx reco.onnx`` and load once per Python worker
+(onnxtr_spark.engine session cache). Batch mode runs the checkpointed
+group loop (resume-safe); --streaming-dir instead drains new files with
+Trigger.AvailableNow.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from onnxtr_spark.lineage import run_checkpointed
+from onnxtr_spark.session import get_spark
+from onnxtr_spark.streaming.extract_stream import stream_extract_available_now
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True)
+    ap.add_argument("--media", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--groups", type=int, default=8)
+    ap.add_argument("--streaming-dir", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark("extract_job")
+    media = spark.read.parquet(args.media)
+    if args.streaming_dir:
+        q = stream_extract_available_now(
+            spark, args.streaming_dir, media, args.out, f"{args.out}/_checkpoint"
+        )
+        q.awaitTermination()
+    else:
+        docs = spark.read.parquet(args.docs)
+        done = run_checkpointed(spark, docs, media, args.out, n_groups=args.groups)
+        print(f"processed groups: {done}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from onnxtr_spark.stages.pipeline import extract_spans
 
 LINEAGE_SCHEMA = (
-    "run_id string, group int, n_docs long, n_pages long, n_spans long, "
+    "run_id string, group int, n_docs long, n_pages long, n_words long, n_spans long, "
     "wall_ms double, completed_at_unix double"
 )
 
@@ -76,17 +76,25 @@ def run_checkpointed(
         n_docs = gdocs.count()
         n_spans = 0
         n_pages = 0
+        n_words = 0
         if n_docs:
             flat = extract_spans(gdocs, media).withColumn("group", F.lit(g))
             flat.write.mode("overwrite").partitionBy("group").parquet(f"{out_path}/spans")
-            n_spans = spark.read.parquet(f"{out_path}/spans").where(F.col("group") == g).count()
+            written = spark.read.parquet(f"{out_path}/spans").where(F.col("group") == g)
+            counts = written.agg(
+                F.count("*").alias("spans"),
+                # OCR'd word spans carry their source page's media_ref
+                F.sum(F.when(F.col("media_ref") != "", 1).otherwise(0)).alias("words"),
+            ).collect()[0]
+            n_spans = int(counts["spans"])
+            n_words = int(counts["words"] or 0)
             n_pages = (
                 gdocs.select(F.explode("spans").alias("s"))
                 .where(F.col("s.kind") == "media")
                 .count()
             )
         lineage_row = spark.createDataFrame(
-            [(run_id, g, n_docs, n_pages, n_spans, (time.time() - t0) * 1000.0, time.time())],
+            [(run_id, g, n_docs, n_pages, n_words, n_spans, (time.time() - t0) * 1000.0, time.time())],
             schema=LINEAGE_SCHEMA,
         )
         lineage_row.write.mode("append").parquet(f"{out_path}/lineage")

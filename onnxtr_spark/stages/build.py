@@ -73,6 +73,66 @@ def to_doc_spans(flat_spans: DataFrame) -> DataFrame:
     )
 
 
+def export_hocr(words: DataFrame, page_dims: DataFrame) -> DataFrame:
+    """S8 hOCR XML sink (reference Page.export_as_xml,
+    io/elements.py:300-402): per page, an XHTML document with
+    ocr_page / ocr_line / ocrx_word divs carrying absolute-pixel
+    bboxes and confidences.
+
+    Pure-SQL string building: words grouped into lines by line_id,
+    lines into the page body — no Python in the loop.
+    ``page_dims``: (media_ref, height, width).
+    """
+    w = words.join(page_dims, "media_ref").select(
+        "media_ref", "line_id", "rank", "text", "conf",
+        F.floor(F.col("xmin") * F.col("width")).cast("int").alias("x0"),
+        F.floor(F.col("ymin") * F.col("height")).cast("int").alias("y0"),
+        F.ceil(F.col("xmax") * F.col("width")).cast("int").alias("x1"),
+        F.ceil(F.col("ymax") * F.col("height")).cast("int").alias("y1"),
+        "height", "width",
+    )
+    word_xml = w.withColumn(
+        "word_xml",
+        F.concat(
+            F.lit('<span class="ocrx_word" title="bbox '),
+            F.col("x0"), F.lit(" "), F.col("y0"), F.lit(" "), F.col("x1"), F.lit(" "), F.col("y1"),
+            F.lit("; x_wconf "), F.round(F.col("conf") * 100).cast("int"),
+            F.lit('">'), F.col("text"), F.lit("</span>"),
+        ),
+    )
+    lines = (
+        word_xml.groupBy("media_ref", "line_id", "height", "width")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list(F.struct("rank", "word_xml"))), lambda s: s["word_xml"]),
+                " ",
+            ).alias("line_body"),
+            F.min("rank").alias("line_rank"),
+        )
+        .withColumn(
+            "line_xml",
+            F.concat(F.lit('<span class="ocr_line">'), F.col("line_body"), F.lit("</span>")),
+        )
+    )
+    return (
+        lines.groupBy("media_ref", "height", "width")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list(F.struct("line_rank", "line_xml"))), lambda s: s["line_xml"]),
+                "",
+            ).alias("body")
+        )
+        .select(
+            "media_ref",
+            F.concat(
+                F.lit('<div class="ocr_page" title="bbox 0 0 '),
+                F.col("width"), F.lit(" "), F.col("height"), F.lit('">'),
+                F.col("body"), F.lit("</div>"),
+            ).alias("hocr"),
+        )
+    )
+
+
 def render_text(flat_spans: DataFrame) -> DataFrame:
     """S7 text-render sink: join span texts with spaces per doc
     (reference io/elements.py:171,427-429 joins words with ' ' and pages
