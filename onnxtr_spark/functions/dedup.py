@@ -52,10 +52,23 @@ GROUP BY 1
 """
 
 
+# Multiplicative universal family for MinHash: one md5 per shingle
+# (the cross-engine base hash), then sig_i = (A_i * (base mod P)) mod P
+# with P prime < 2^31 and odd multipliers A_i — products stay < 2^62 so
+# both engines compute identical overflow-free int64 arithmetic, and
+# each seed gets an independent min (8x fewer md5 evaluations than
+# hashing "seed:shingle" per seed).
+MINHASH_P = 2_147_483_629  # largest prime < 2^31
+MINHASH_A = (1_103_515_245, 69_069, 1_664_525, 22_695_477, 134_775_813, 214_013, 16_807, 48_271)
+
+
 def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """Per-doc MinHash signature: (doc_id, sig_0 .. sig_{k-1})."""
-    sh = shingles(documents)
-    aggs = [F.min(hash64(F.col("shingle"), seed)).alias(f"sig_{seed}") for seed in range(k)]
+    sh = shingles(documents).withColumn("base", F.pmod(hash64(F.col("shingle"), 0), F.lit(MINHASH_P)))
+    aggs = [
+        F.min(F.pmod(F.col("base") * F.lit(MINHASH_A[seed]), F.lit(MINHASH_P))).alias(f"sig_{seed}")
+        for seed in range(k)
+    ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -75,8 +88,14 @@ def minhash_bands(documents: DataFrame, k: int = MINHASH_K, bands: int = LSH_BAN
 
 
 def _minhash_sigs_sql(k: int = MINHASH_K) -> str:
-    cols = ",\n         ".join(f"min({hash64_sql('shingle', seed)}) AS sig_{seed}" for seed in range(k))
-    return f"SELECT doc_id,\n         {cols}\n  FROM ({_shingles_sql()})\n  GROUP BY doc_id"
+    base = f"(({hash64_sql('shingle', 0)}) % {MINHASH_P} + {MINHASH_P}) % {MINHASH_P}"
+    cols = ",\n         ".join(
+        f"min(({MINHASH_A[seed]} * base) % {MINHASH_P}) AS sig_{seed}" for seed in range(k)
+    )
+    return (
+        f"SELECT doc_id,\n         {cols}\n"
+        f"  FROM (SELECT doc_id, {base} AS base FROM ({_shingles_sql()}))\n  GROUP BY doc_id"
+    )
 
 
 def minhash_bands_sql(k: int = MINHASH_K, bands: int = LSH_BANDS) -> str:
@@ -105,6 +124,7 @@ def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
 def token_jaccard_pairs(documents: DataFrame, threshold: float = 0.9) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs via inverted-index join:
     (doc_a, doc_b, jaccard) with jaccard >= threshold, rounded to 4."""
+    documents = documents.repartition(documents.sparkSession.sparkContext.defaultParallelism)
     toks = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"), F.explode(F.array_distinct(tokens())).alias("tok")
     )
@@ -151,6 +171,7 @@ SIMHASH_BITS = 16
 
 def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash over token frequencies: (doc_id, simhash)."""
+    documents = documents.repartition(documents.sparkSession.sparkContext.defaultParallelism)
     toks = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"), F.explode(tokens()).alias("tok")
     ).withColumn("h", hash64(F.col("tok"), 7))

@@ -107,7 +107,12 @@ FROM documents
 
 def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, shingle) rows: distinct k-word shingles; docs with fewer
-    than k tokens contribute their whole normalized text."""
+    than k tokens contribute their whole normalized text.
+
+    The input is spread across cores first: the documents table is a
+    single parquet row-group, and shingle hashing is CPU-bound — without
+    the repartition one task does all of it."""
+    documents = documents.repartition(documents.sparkSession.sparkContext.defaultParallelism)
     toks = tokens()
     sh = F.when(
         F.size(toks) < k, F.array(F.array_join(toks, " "))
