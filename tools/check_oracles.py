@@ -20,11 +20,16 @@ sys.path.insert(0, ".")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+import os
+
+EXACT = os.environ.get("ORACLE_EXACT", "0") == "1"
+
+
 def norm_frame(df: pd.DataFrame) -> tuple:
     cols = sorted(df.columns)
     df = df[cols].copy()
     for c in cols:
-        if df[c].dtype.kind == "f":
+        if df[c].dtype.kind == "f" and not EXACT:
             df[c] = df[c].astype("float64").round(9)
         df[c] = df[c].astype(str)
     rows = sorted(df.itertuples(index=False, name=None))
