@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_priority_status": rel.q12_priority_by_status,
         "tpch_q14_brand_share": rel.q14_brand_revenue_share,
         "tpch_q18_large_orders": rel.q18_large_orders,
+        "tpch_q7_nation_pair": rel.q7_nation_volume_pair,
+        "tpch_q19_disjunctive": rel.q19_disjunctive_revenue,
+        "events_distinct_users": rel.events_distinct_users,
         "top_customers": rel.top_customers,
         "order_priority_count": rel.order_priority_count,
         "part_brand_stats": rel.part_brand_stats,
@@ -170,6 +173,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q12_priority_status": rel.Q12_SQL,
         "tpch_q14_brand_share": rel.Q14_SQL,
         "tpch_q18_large_orders": rel.Q18_SQL,
+        "tpch_q7_nation_pair": rel.Q7_SQL,
+        "tpch_q19_disjunctive": rel.Q19_SQL,
+        "events_distinct_users": rel.EVENTS_DISTINCT_SQL,
         "events_top_users": rel.EVENTS_TOP_USERS_SQL,
         "docs_lang_stats": rel.DOCS_LANG_SQL,
         "top_customers": rel.TOP_CUSTOMERS_SQL,
