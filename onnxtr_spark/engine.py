@@ -116,8 +116,10 @@ def get_orientation_engine() -> OrientationEngine:
 
 
 def get_recognition_engine(vocab: str = DEFAULT_VOCAB) -> RecognitionEngine:
-    """Per-worker cached recognition session."""
-    key = f"reco:{len(vocab)}"
+    """Per-worker cached recognition session. Keyed on the vocab string
+    itself — two vocabs of equal length must not collide (the session is
+    bound to the label->char map, not just the class count)."""
+    key = f"reco:{vocab}"
     if key not in _SESSIONS:
         _SESSIONS[key] = RecognitionEngine(vocab)
     return _SESSIONS[key]  # type: ignore[return-value]

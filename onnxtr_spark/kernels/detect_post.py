@@ -13,7 +13,8 @@ onnxtr/models/detection/core.py:33-90) without cv2/pyclipper:
   ``cv2.findContours(RETR_EXTERNAL)`` (postprocessor/base.py:103); we use
   two-pass union-find labeling — for straight pages only the component's
   bounding rectangle is consumed downstream, which is identical.
-- small-component filter: extent < 2 px dropped (postprocessor/base.py:106).
+- small-component filter: contour coordinate span (max-min) < 2 dropped
+  (postprocessor/base.py:106), i.e. pixel extent < 3.
 - D4 box score: mean prob over the (clipped) bounding rect
   (core.py:46-52); drop below box_thresh (postprocessor/base.py:116).
 - D5 unclip expansion: the reference offsets the polygon outward by
@@ -203,7 +204,10 @@ def bitmap_to_boxes(
     height, width = bitmap.shape[:2]
     boxes: list[list[float]] = []
     for x, y, w, h in connected_components(bitmap):
-        if w < 2 or h < 2:  # small-extent filter (postprocessor/base.py:106)
+        # Small-extent filter (postprocessor/base.py:106): the reference
+        # drops contours whose coordinate span (max - min) < 2 in either
+        # axis; pixel-count extent = span + 1, so drop w < 3 or h < 3.
+        if w < 3 or h < 3:
             continue
         score = box_score(pred, x, y, x + w, y + h)
         if score < box_thresh:
@@ -287,7 +291,7 @@ def postprocess_pixel_map(
     height, width = bitmap.shape[:2]
     boxes: list[list[float]] = []
     for x, y, w, h in connected_components(bitmap):
-        if w < 2 or h < 2:
+        if w < 3 or h < 3:  # contour-span < 2 (see bitmap_to_boxes)
             continue
         x0 = int(np.clip(np.floor(x), 0, width - 1))
         x1 = int(np.clip(np.ceil(x + w), 0, width - 1))

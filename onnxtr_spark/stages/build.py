@@ -73,61 +73,131 @@ def to_doc_spans(flat_spans: DataFrame) -> DataFrame:
     )
 
 
+HOCR_TITLE = "onnxtr_spark - XML export (hOCR)"
+HOCR_SYSTEM = "onnxtr_spark 0.2"
+
+
+def _xml_escape(col):
+    """Escape XML text content the way ElementTree does for element
+    text: & first, then < and > (the vocab includes all three; without
+    this a word like "a<b" produces malformed hOCR)."""
+    c = F.regexp_replace(col, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    return F.regexp_replace(c, ">", "&gt;")
+
+
+def _px(rel, dim):
+    """Relative coord -> absolute pixel, int(round(...)) like the
+    reference (io/elements.py:354 etc.; HALF_UP at the .5 boundary)."""
+    return F.round(rel * dim).cast("int")
+
+
 def export_hocr(words: DataFrame, page_dims: DataFrame) -> DataFrame:
     """S8 hOCR XML sink (reference Page.export_as_xml,
-    io/elements.py:300-402): per page, an XHTML document with
-    ocr_page / ocr_line / ocrx_word divs carrying absolute-pixel
-    bboxes and confidences.
+    io/elements.py:300-402): per page, a full hOCR XHTML document —
+    html/head(title, content-type, ocr-system, ocr-capabilities) and
+    body > div.ocr_page > div.ocr_carea > p.ocr_par > span.ocr_line >
+    span.ocrx_word, with absolute-pixel bboxes, per-page 1-based
+    block/line/word ids, and x_wconf confidences.
 
-    Pure-SQL string building: words grouped into lines by line_id,
-    lines into the page body — no Python in the loop.
-    ``page_dims``: (media_ref, height, width).
+    Pure-SQL string building (whole-stage codegen; no Python in the
+    loop): three grouped rollups word→line→block→page, each ordered by
+    reading rank. ``page_dims``: (media_ref, height, width).
     """
     w = words.join(page_dims, "media_ref").select(
-        "media_ref", "line_id", "rank", "text", "conf",
-        F.floor(F.col("xmin") * F.col("width")).cast("int").alias("x0"),
-        F.floor(F.col("ymin") * F.col("height")).cast("int").alias("y0"),
-        F.ceil(F.col("xmax") * F.col("width")).cast("int").alias("x1"),
-        F.ceil(F.col("ymax") * F.col("height")).cast("int").alias("y1"),
-        "height", "width",
+        "media_ref", "offset", "block_id", "line_id", "rank",
+        _xml_escape(F.col("text")).alias("text"), "conf",
+        "xmin", "ymin", "xmax", "ymax", "height", "width",
     )
-    word_xml = w.withColumn(
+    word_no = Window.partitionBy("media_ref").orderBy("rank")
+    word_xml = w.withColumn("word_no", F.row_number().over(word_no)).withColumn(
         "word_xml",
         F.concat(
-            F.lit('<span class="ocrx_word" title="bbox '),
-            F.col("x0"), F.lit(" "), F.col("y0"), F.lit(" "), F.col("x1"), F.lit(" "), F.col("y1"),
+            F.lit('<span class="ocrx_word" id="word_'), F.col("word_no"),
+            F.lit('" title="bbox '),
+            _px(F.col("xmin"), F.col("width")), F.lit(" "),
+            _px(F.col("ymin"), F.col("height")), F.lit(" "),
+            _px(F.col("xmax"), F.col("width")), F.lit(" "),
+            _px(F.col("ymax"), F.col("height")),
             F.lit("; x_wconf "), F.round(F.col("conf") * 100).cast("int"),
             F.lit('">'), F.col("text"), F.lit("</span>"),
         ),
     )
     lines = (
-        word_xml.groupBy("media_ref", "line_id", "height", "width")
+        word_xml.groupBy("media_ref", "offset", "block_id", "line_id", "height", "width")
         .agg(
             F.array_join(
                 F.transform(F.sort_array(F.collect_list(F.struct("rank", "word_xml"))), lambda s: s["word_xml"]),
-                " ",
+                "",
             ).alias("line_body"),
             F.min("rank").alias("line_rank"),
-        )
-        .withColumn(
-            "line_xml",
-            F.concat(F.lit('<span class="ocr_line">'), F.col("line_body"), F.lit("</span>")),
+            _px(F.min("xmin"), F.first("width")).alias("lx0"),
+            _px(F.min("ymin"), F.first("height")).alias("ly0"),
+            _px(F.max("xmax"), F.first("width")).alias("lx1"),
+            _px(F.max("ymax"), F.first("height")).alias("ly1"),
         )
     )
-    return (
-        lines.groupBy("media_ref", "height", "width")
+    line_no = Window.partitionBy("media_ref").orderBy("line_rank")
+    line_xml = lines.withColumn("line_no", F.row_number().over(line_no)).withColumn(
+        "line_xml",
+        F.concat(
+            F.lit('<span class="ocr_line" id="line_'), F.col("line_no"),
+            F.lit('" title="bbox '),
+            F.col("lx0"), F.lit(" "), F.col("ly0"), F.lit(" "), F.col("lx1"), F.lit(" "), F.col("ly1"),
+            F.lit("; baseline 0 0; x_size 0; x_descenders 0; x_ascenders 0\">"),
+            F.col("line_body"), F.lit("</span>"),
+        ),
+    )
+    blocks = (
+        line_xml.groupBy("media_ref", "offset", "block_id", "height", "width")
         .agg(
             F.array_join(
                 F.transform(F.sort_array(F.collect_list(F.struct("line_rank", "line_xml"))), lambda s: s["line_xml"]),
+                "",
+            ).alias("block_body"),
+            F.min("line_rank").alias("block_rank"),
+            F.concat_ws(
+                " ",
+                F.min("lx0").cast("string"), F.min("ly0").cast("string"),
+                F.max("lx1").cast("string"), F.max("ly1").cast("string"),
+            ).alias("bbox"),
+        )
+    )
+    block_no = Window.partitionBy("media_ref").orderBy("block_rank")
+    block_xml = blocks.withColumn("block_no", F.row_number().over(block_no)).withColumn(
+        "block_xml",
+        F.concat(
+            F.lit('<div class="ocr_carea" id="block_'), F.col("block_no"),
+            F.lit('" title="bbox '), F.col("bbox"),
+            F.lit('"><p class="ocr_par" id="par_'), F.col("block_no"),
+            F.lit('" title="bbox '), F.col("bbox"), F.lit('">'),
+            F.col("block_body"), F.lit("</p></div>"),
+        ),
+    )
+    head = (
+        '<html xmlns="http://www.w3.org/1999/xhtml" xml:lang="en"><head>'
+        f"<title>{HOCR_TITLE}</title>"
+        '<meta http-equiv="Content-Type" content="text/html; charset=utf-8" />'
+        f'<meta name="ocr-system" content="{HOCR_SYSTEM}" />'
+        '<meta name="ocr-capabilities" content="ocr_page ocr_carea ocr_par ocr_line ocrx_word" />'
+        "</head><body>"
+    )
+    return (
+        block_xml.groupBy("media_ref", "offset", "height", "width")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list(F.struct("block_rank", "block_xml"))), lambda s: s["block_xml"]),
                 "",
             ).alias("body")
         )
         .select(
             "media_ref",
             F.concat(
-                F.lit('<div class="ocr_page" title="bbox 0 0 '),
-                F.col("width"), F.lit(" "), F.col("height"), F.lit('">'),
-                F.col("body"), F.lit("</div>"),
+                F.lit(head),
+                F.lit('<div class="ocr_page" id="page_'), F.col("offset"),
+                F.lit('" title="image; bbox 0 0 '),
+                F.col("width"), F.lit(" "), F.col("height"), F.lit('; ppageno 0">'),
+                F.col("body"), F.lit("</div></body></html>"),
             ).alias("hocr"),
         )
     )

@@ -3,18 +3,24 @@
 The reference is pure batch (SURVEY.md §2.10); this is the Spark-native
 incremental mode a 10^12-doc ingest actually runs in: documents land as
 parquet files, a ``readStream`` + ``Trigger.AvailableNow`` job drains
-whatever is new and exits (cron-able), with exactly-once bookkeeping in
-the checkpoint. Per micro-batch we run the normal batch pipeline via
-``foreachBatch`` — the whole DAG (join, fused model stage, assembly
-window) is reused unchanged, and the media side stays a batch lookup
-table (the media store is keyed by media_ref; only docs stream).
+whatever is new and exits (cron-able). Per micro-batch we run the
+normal batch pipeline via ``foreachBatch`` — the whole DAG (join, fused
+model stage, assembly window) is reused unchanged, and the media side
+stays a batch lookup table (the media store is keyed by media_ref; only
+docs stream).
 
-Output: append-mode parquet of flat span rows, one directory per sink.
+Exactly-once: checkpoint bookkeeping makes replays *at-least*-once;
+the sink write is made idempotent (batch_id-partitioned dynamic
+overwrite, see ``process_batch``), which together gives exactly-once
+output even across crash/restart mid-batch.
+
+Output: parquet of flat span rows partitioned by batch_id.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from onnxtr_spark.stages.pipeline import extract_spans
 
@@ -47,11 +53,20 @@ def stream_extract_available_now(
     docs_stream = reader.load()
 
     def process_batch(batch_docs: DataFrame, batch_id: int) -> None:
+        # foreachBatch alone is only at-least-once: a crash after the
+        # write but before the checkpoint commit re-runs the micro-batch
+        # on restart. Writing each batch into its own batch_id partition
+        # with DYNAMIC partition overwrite makes the replay idempotent
+        # (the re-run replaces exactly its own partition), which upgrades
+        # the sink to exactly-once.
         if batch_docs.isEmpty():
             return
         (
             extract_spans(batch_docs, media)
-            .write.mode("append")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(f"{out_dir}/spans")
         )
 

@@ -21,14 +21,53 @@ def test_export_hocr(spark):
     hocr = export_hocr(words, media.select("media_ref", "height", "width")).collect()
     assert len(hocr) == 1
     xml = hocr[0]["hocr"]
-    assert xml.startswith('<div class="ocr_page" title="bbox 0 0 640 ')
-    # every source word appears as an ocrx_word with a plausible bbox
-    for w in FIXTURE_TEXTS[0][1].split():
-        assert f">{w}</span>" in xml
-    assert xml.count('class="ocr_line"') == len(re.findall(r'class="ocr_line"', xml))
-    m = re.search(r'ocrx_word" title="bbox (\d+) (\d+) (\d+) (\d+); x_wconf (\d+)"', xml)
+
+    # Structural parity with reference Page.export_as_xml
+    # (io/elements.py:300-402): well-formed XHTML with the full level
+    # hierarchy html > head/body > ocr_page > ocr_carea > ocr_par >
+    # ocr_line > ocrx_word and 1-based per-page ids.
+    import xml.etree.ElementTree as ET
+
+    ns = {"x": "http://www.w3.org/1999/xhtml"}
+    root = ET.fromstring(xml)
+    assert root.tag == "{http://www.w3.org/1999/xhtml}html"
+    metas = root.findall("x:head/x:meta", ns)
+    assert {m.get("name") for m in metas if m.get("name")} == {"ocr-system", "ocr-capabilities"}
+    page = root.find("x:body/x:div", ns)
+    assert page.get("class") == "ocr_page" and page.get("id") == "page_1"
+    assert re.fullmatch(r"image; bbox 0 0 640 \d+; ppageno 0", page.get("title"))
+    careas = page.findall("x:div", ns)
+    assert all(c.get("class") == "ocr_carea" for c in careas)
+    assert careas[0].get("id") == "block_1"
+    pars = [p for c in careas for p in c.findall("x:p", ns)]
+    assert all(p.get("class") == "ocr_par" for p in pars)
+    lines = [ln for p in pars for ln in p.findall("x:span", ns)]
+    assert all(ln.get("class") == "ocr_line" for ln in lines)
+    assert [ln.get("id") for ln in lines] == [f"line_{i + 1}" for i in range(len(lines))]
+    assert "baseline 0 0" in lines[0].get("title")
+    words_x = [w for ln in lines for w in ln.findall("x:span", ns)]
+    assert [w.get("id") for w in words_x] == [f"word_{i + 1}" for i in range(len(words_x))]
+    # every source word appears as an ocrx_word text, in reading order
+    assert [w.text for w in words_x] == FIXTURE_TEXTS[0][1].split()
+    m = re.fullmatch(r"bbox (\d+) (\d+) (\d+) (\d+); x_wconf (\d+)", words_x[0].get("title"))
     assert m and 0 <= int(m.group(1)) < int(m.group(3)) <= 640
     assert 0 < int(m.group(5)) <= 100
+
+
+def test_export_hocr_escapes_xml_specials(spark):
+    # The vocab includes < > & " — words containing them must produce
+    # well-formed XML (reference escapes via ElementTree; ADVICE round 1).
+    texts = [("doc-esc", 'a<b&c>d "quoted" plain')]
+    docs_pdf, media_pdf = build_corpus_pdfs(texts)
+    docs = spark.createDataFrame(docs_pdf, schema=DOCS_SCHEMA)
+    media = spark.createDataFrame(media_pdf, schema=MEDIA_SCHEMA)
+    words = detect_recognize_pages(media_pages(docs, media))
+    xml = export_hocr(words, media.select("media_ref", "height", "width")).collect()[0]["hocr"]
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml)  # raises if escaping is broken
+    got = [w.text for w in root.iter() if w.get("class") == "ocrx_word"]
+    assert got == ['a<b&c>d', '"quoted"', "plain"]
 
 
 def test_extract_job_cli(spark, tmp_path):
