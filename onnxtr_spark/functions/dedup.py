@@ -9,10 +9,12 @@ Spark-first shapes:
   LSH candidates come from a self-join on (band, band_key) — at scale
   the banded table is bucketed on band_key so the join is co-located.
 - SimHash: explode tokens once, 16 conditional sums in one groupBy.
-- token Jaccard: inverted-index self-join on token (never a cross
-  join); |A∩B| from the join, |A| |B| broadcast back. Quadratic only
-  in genuinely-similar pairs, which is the best any exact method does;
-  MinHash-LSH above is the subquadratic approximation.
+- token Jaccard: prefix-filtered inverted-index self-join (exact at
+  the threshold, SSJoin-style): only each doc's ⌊(1-t)·|X|⌋+1
+  rarest-by-global-DF tokens are indexed, so high-DF stopwords never
+  fan out d²; intersections are verified per candidate pair via
+  array_intersect. MinHash-LSH above is the subquadratic
+  approximation when even the candidate set must shrink.
 
 All JVM-side; md5-based hashing for cross-engine oracles (hashing.py).
 """
@@ -21,7 +23,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from onnxtr_spark.functions.hashing import hash64, hash64_sql
@@ -121,24 +123,73 @@ def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
     )
 
 
+def prefix_tokens(documents: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered inverted-index tokens: (doc_id, tok, n).
+
+    Exact prefix filtering (SSJoin/PPJoin family): order each doc's
+    distinct tokens by GLOBAL document frequency ascending (rarest
+    first, ties by token string — a total order), and index only the
+    first ``|X| - ceil(t·|X|) + 1`` tokens. Two docs with Jaccard ≥ t
+    share ≥ ceil(t·max(|A|,|B|)) tokens, so their prefixes must
+    intersect — no qualifying pair is lost. A stopword like "the" sits
+    LAST in every ordering and is indexed only by docs that are almost
+    entirely stopwords, so the d² blowup on high-DF tokens is gone:
+    the index size per doc is ≤ ⌊(1-t)·|X|⌋+1 (10% + 1 at t=0.9).
+    """
+    toks = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.explode(F.array_distinct(tokens())).alias("tok")
+    )
+    df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "tok")
+    wn = Window.partitionBy("doc_id")
+    # ceil(t·n) in exact arithmetic: t quantized to 4 decimals so the
+    # double division num·n/10⁴ is either an exact integer or ≥ 1e-4
+    # from one — naive ceil(0.9·10) is 10 in IEEE and would over-shrink
+    # the prefix, silently dropping boundary pairs with J exactly = t.
+    num = int(round(threshold * 10000))
+    alpha = F.ceil((F.lit(num) * F.col("n")).cast("double") / F.lit(10000.0))
+    return (
+        toks.join(df_counts, "tok")
+        .withColumn("pos", F.row_number().over(wdoc))
+        .withColumn("n", F.count("*").over(wn).cast("long"))
+        .where(F.col("pos") <= F.col("n") - alpha + 1)
+        .select("doc_id", "tok", "n")
+    )
+
+
 def token_jaccard_pairs(documents: DataFrame, threshold: float = 0.9) -> DataFrame:
-    """Exact token-set Jaccard near-dup pairs via inverted-index join:
-    (doc_a, doc_b, jaccard) with jaccard >= threshold, rounded to 4."""
+    """Exact token-set Jaccard near-dup pairs: (doc_a, doc_b, jaccard)
+    with jaccard >= threshold, rounded to 4.
+
+    Candidate generation is a self-join on the PREFIX index only (see
+    ``prefix_tokens`` — bounded per-doc fanout, exact at the
+    threshold); the exact |A∩B| is then computed per candidate pair
+    from per-doc sorted token arrays (``array_intersect``), so the
+    verify cost is per candidate, never per shared-token occurrence.
+    Output is identical to the unbounded inverted-index formulation —
+    the DuckDB oracle is unchanged."""
     documents = documents.repartition(documents.sparkSession.sparkContext.defaultParallelism)
     toks = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"), F.explode(F.array_distinct(tokens())).alias("tok")
     )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    inter = (
-        toks.alias("a")
-        .join(toks.alias("b"), "tok")
+    prefix = prefix_tokens(documents, threshold)
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").cast("long").alias("inter"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
     )
+    docsets = toks.groupBy("doc_id").agg(F.sort_array(F.collect_list("tok")).alias("toks"))
     return (
-        inter.join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"})), "doc_a")
-        .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"})), "doc_b")
+        cands.join(docsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "ta"), "doc_a")
+        .join(docsets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "tb"), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")).cast("long"))
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
