@@ -22,7 +22,7 @@ from onnxtr_spark.corpus import WORDS_PER_PAGE
 from onnxtr_spark.functions import dedup, media, similarity, text
 from onnxtr_spark.queries import relational as rel
 from onnxtr_spark.stages.ingest import docs_from_documents, load_documents, media_from_documents
-from onnxtr_spark.stages.pipeline import extract_from_testdata
+from onnxtr_spark.stages.pipeline import extract_from_testdata, extract_from_testdata_rotated
 from onnxtr_spark.stages.build import render_text
 from onnxtr_spark.stages.detect import detect_pages
 from onnxtr_spark.stages.pipeline import media_pages
@@ -65,6 +65,20 @@ SELECT w.doc_id, CAST(u.i AS BIGINT) AS offset, 'text' AS kind,
        concat('m-', w.doc_id, '-', CAST(CAST(floor((u.i - 1) / {WORDS_PER_PAGE}) AS INT) AS VARCHAR)) AS media_ref
 FROM w, UNNEST(generate_series(1, len(w.words))) AS u(i)
 """
+
+
+def _ocr_spans_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotated-word pipeline (assume_straight_pages=False): pages skewed
+    6-10° in-plane, detection emits (N,4,2) polygons
+    (kernels/rotated_post.py), recognition crops along them (G2),
+    reading order via the rotated builder sort (B1 rotated branch), B7
+    enclosing-box export. The oracle is the SAME span SQL — text and
+    reading order are rotation-invariant, so a green row proves the
+    whole rotated geometry chain end-to-end."""
+    out = extract_from_testdata_rotated(spark, sf_dir)
+    return out.select(
+        "doc_id", F.col("offset").cast("long").alias("offset"), "kind", "text", "media_ref"
+    )
 
 
 def _ocr_rendered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # OCR extraction pipeline (SURVEY §2.1-2.8)
         "ocr_extract_spans": _ocr_spans,
+        "ocr_extract_spans_rotated": _ocr_spans_rotated,
         "ocr_render_text": _ocr_rendered,
         "ocr_detect_boxes": _ocr_detect_boxes,
         "media_page_stats": _media_page_stats,
@@ -162,6 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "ocr_extract_spans": OCR_SPANS_SQL,
+        "ocr_extract_spans_rotated": OCR_SPANS_SQL,
         "ocr_render_text": OCR_RENDERED_SQL,
         "ocr_detect_boxes": OCR_DETECT_BOXES_SQL,
         # media_page_stats: image-typed, rows-only check (pytest covers it)

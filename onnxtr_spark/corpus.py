@@ -80,13 +80,15 @@ def expected_spans(doc_id: str, text: str) -> list[dict]:
     return out
 
 
-def render_doc_pages(doc_id: str, text: str, vocab: str = DEFAULT_VOCAB) -> Iterator[tuple[str, np.ndarray]]:
+def render_doc_pages(
+    doc_id: str, text: str, vocab: str = DEFAULT_VOCAB, **render_kwargs
+) -> Iterator[tuple[str, np.ndarray]]:
     """Yield (media_ref, page_image) for each page of a document."""
     words = doc_words(text)
     n_pages = max(1, -(-len(words) // WORDS_PER_PAGE))
     for p in range(n_pages):
         lines = [ln for ln in page_lines(words, p) if ln] or [[]]
-        yield media_ref(doc_id, p), imaging.render_page(lines, vocab)
+        yield media_ref(doc_id, p), imaging.render_page(lines, vocab, **render_kwargs)
 
 
 def build_corpus_pdfs(texts: list[tuple[str, str]]) -> tuple[pd.DataFrame, pd.DataFrame]:
@@ -119,6 +121,50 @@ FIXTURE_TEXTS: list[tuple[str, str]] = [
     ("doc-0004", "single"),
     ("doc-0005", "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8),
 ]
+
+
+def angle_for(doc_id: str, page: int) -> float:
+    """Deterministic in-plane skew angle (degrees) for the rotated-WORDS
+    corpus variant (per-word rotated geometry, not 90° page turns).
+    Magnitude 6..10° so the builder's rotated sort actually straightens
+    (reference min_angle=5.0, models/builder.py:55-62), alternating sign.
+    """
+    k = sum(ord(c) for c in doc_id) * 13 + page * 5
+    mag = 6 + (k % 5)
+    return float(mag if (k // 5) % 2 == 0 else -mag)
+
+
+# Rotated-corpus glyph geometry: wider cells so even a 2-char word blob
+# has aspect >= 1.6 — the page-angle estimate is a median of per-word
+# min-area-rect angles (rotated.estimate_page_angle), and near-square
+# blobs rasterized at map scale measure garbage angles (the reference
+# has the same fragility on short words; its corpora are real text).
+R_CELL_W = 10
+R_GAP_W = 6
+
+
+def build_rotated_words_corpus_pdfs(
+    texts: list[tuple[str, str]], page_w: int = 2 * imaging.PAGE_W
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Corpus variant exercising the rotated-word path (G2/G3/G5/B7,
+    assume_straight_pages=False): every page image is skewed in-plane by
+    ``angle_for`` degrees, so detection must emit (N,4,2) polygons and
+    recognition must crop along them. The double-width page keeps the
+    pytest fixtures' 55-char word renderable at the wider cells."""
+    doc_rows = []
+    media_rows = []
+    for doc_id, text in texts:
+        doc_rows.append({"doc_id": doc_id, "spans": doc_spans(doc_id, text)})
+        pages = render_doc_pages(doc_id, text, cell_w=R_CELL_W, gap_w=R_GAP_W, page_w=page_w)
+        for p, (ref, img) in enumerate(pages):
+            rot = imaging.rotate_image_nearest(img, angle_for(doc_id, p))
+            media_rows.append({
+                "media_ref": ref,
+                "png": imaging.encode_image(rot),
+                "height": rot.shape[0],
+                "width": rot.shape[1],
+            })
+    return pd.DataFrame(doc_rows), pd.DataFrame(media_rows)
 
 
 def rotation_for(doc_id: str, page: int) -> int:

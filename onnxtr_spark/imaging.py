@@ -119,10 +119,10 @@ def decode_image(blob: bytes) -> np.ndarray:
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
 
 
-def word_width(word: str) -> int:
+def word_width(word: str, cell_w: int = CELL_W, gap_w: int = GAP_W) -> int:
     """Rendered pixel width of a word's glyph blob."""
     n = len(word)
-    return n * CELL_W + (n - 1) * GAP_W
+    return n * cell_w + (n - 1) * gap_w
 
 
 def render_page(
@@ -131,6 +131,8 @@ def render_page(
     page_w: int = PAGE_W,
     jitter: bool = True,
     para_breaks: set[tuple[int, int]] | None = None,
+    cell_w: int = CELL_W,
+    gap_w: int = GAP_W,
 ) -> np.ndarray:
     """Render lines of words onto a white page (H×W×3 uint8).
 
@@ -150,7 +152,7 @@ def render_page(
         row: list[tuple[int, int, str]] = []
         for wi, word in enumerate(words):
             gap = (PARA_GAP if (li, wi) in para_breaks else WORD_GAP) if row else 0
-            w_px = word_width(word)
+            w_px = word_width(word, cell_w, gap_w)
             if w_px > limit:
                 raise ValueError(f"word too wide for page: {word!r}")
             if x + gap + w_px > limit:
@@ -171,19 +173,54 @@ def render_page(
                 x += PARA_GAP if (li, wi) in para_breaks else WORD_GAP
             dy = ((li * 31 + wi * 17) % 5) - 2 if jitter else 0
             y = y_base + dy
-            w_px = word_width(word)
+            w_px = word_width(word, cell_w, gap_w)
             cx = x
             for ci, ch in enumerate(word):
                 idx = vocab.find(ch)
                 if idx < 0:
                     raise ValueError(f"character {ch!r} not in vocab")
                 if ci > 0:
-                    page[y : y + CELL_H, cx : cx + GAP_W] = GAP_VALUE
-                    cx += GAP_W
-                page[y : y + CELL_H, cx : cx + CELL_W] = CHAR_BASE + idx
-                cx += CELL_W
+                    page[y : y + CELL_H, cx : cx + gap_w] = GAP_VALUE
+                    cx += gap_w
+                page[y : y + CELL_H, cx : cx + cell_w] = CHAR_BASE + idx
+                cx += cell_w
             x += w_px
     return page
+
+
+def rotate_image_nearest(img: np.ndarray, angle_deg: float, expand: bool = True, fill: int = WHITE) -> np.ndarray:
+    """Rotate an image by ``angle_deg`` (positive = counter-clockwise in
+    visual terms, i.e. content tilts up to the right with y down),
+    expanding the canvas to hold the full rotated content (the G4
+    rotate_image analog, reference utils/geometry.py:372-418 — nearest
+    sampling instead of cv2 bilinear so glyph pixel VALUES survive
+    exactly; the rotated-corpus renderer depends on that).
+
+    Inverse mapping: each output pixel center is rotated back into the
+    source frame and sampled nearest; out-of-source pixels get ``fill``.
+    """
+    h, w = img.shape[:2]
+    rad = np.deg2rad(angle_deg)
+    cos, sin = np.cos(rad), np.sin(rad)
+    if expand:
+        out_w = int(np.ceil(abs(w * cos) + abs(h * sin)))
+        out_h = int(np.ceil(abs(w * sin) + abs(h * cos)))
+    else:
+        out_w, out_h = w, h
+    # output pixel centers relative to output center
+    xs = np.arange(out_w) + 0.5 - out_w / 2
+    ys = np.arange(out_h) + 0.5 - out_h / 2
+    gx, gy = np.meshgrid(xs, ys)
+    # rotate back: visual CCW rotation of content = apply the inverse
+    # (CW) rotation to output coords; y-down flips the usual sign.
+    sx = gx * cos - gy * sin + w / 2
+    sy = gx * sin + gy * cos + h / 2
+    xi = np.floor(sx).astype(np.int64)
+    yi = np.floor(sy).astype(np.int64)
+    inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    out = np.full((out_h, out_w) + img.shape[2:], fill, dtype=img.dtype)
+    out[inside] = img[yi[inside], xi[inside]]
+    return out
 
 
 def page_to_prob(img: np.ndarray) -> np.ndarray:

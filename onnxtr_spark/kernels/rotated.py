@@ -114,6 +114,23 @@ def resolve_lines_rotated(boxes: np.ndarray, paragraph_break: float = PARAGRAPH_
     return lines
 
 
+def word_order_rotated(polys: np.ndarray, paragraph_break: float = PARAGRAPH_BREAK) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten ``resolve_lines_rotated`` into per-word (rank, line_id)
+    arrays aligned with the input (N,4,2) poly order — the rotated
+    counterpart of builder.word_order (same contract, consumed by the
+    fused stage's span assembly)."""
+    n = polys.shape[0]
+    rank = np.empty(n, dtype=np.int64)
+    line_id = np.empty(n, dtype=np.int64)
+    pos = 0
+    for li, line in enumerate(resolve_lines_rotated(polys, paragraph_break)):
+        for idx in line:
+            rank[idx] = pos
+            line_id[idx] = li
+            pos += 1
+    return rank, line_id
+
+
 def extract_rcrops_nearest(img: np.ndarray, polys: np.ndarray) -> list[np.ndarray]:
     """Crop rotated quadrilaterals by inverse affine mapping (G2 analog).
 

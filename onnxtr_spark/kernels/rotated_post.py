@@ -1,0 +1,320 @@
+"""Rotated detection post-processing: bitmap -> (N, 5, 2) polygons.
+
+Re-derives the reference's ``assume_straight_pages=False`` branch of
+GeneralDetectionPostProcessor (onnxtr/models/detection/postprocessor/
+base.py:38-139) without cv2/pyclipper:
+
+- D3 components: same union-find labeling as detect_post, but keeping
+  each component's row runs so the convex hull is available (the hull
+  of a pixel set equals the hull of its per-row run endpoints).
+- min-area rect: rotating calipers over the monotone-chain hull —
+  the cv2.minAreaRect analog (postprocessor/base.py:52).
+- D4 rotated box score: mean of the NONZERO probabilities inside the
+  component (core.py:54-58 masks with fillPoly(contour) and divides by
+  ``count_nonzero(product)`` — zero-prob pixels inside the mask do not
+  count; for a solid component, mask(contour) == the component's own
+  pixels, which we already hold as runs).
+- D5 rotated unclip: ``distance = (w+1)*(h+1)*ratio / (2*(w+h)+2)``
+  (the reference's +1 "cv2 approx" correction, base.py:54-56), round
+  joins via pyclipper then minAreaRect — for a rectangle input that
+  composition is exactly the same-angle rectangle grown by ``distance``
+  on each side (computed analytically), then ``order_points``.
+- ``order_points``: TL,TR,BR,BL ordering (utils/geometry.py:58-105:
+  centroid-angle sort, roll to min coordinate-sum, clockwise fix).
+- D6: relative coords, score appended as a 5th row ``[0, score]``,
+  clip to [0,1] (base.py:132-137); empty -> (0, 5, 2).
+- P8 rotated padding removal (models/detection/_utils/base.py:12-62):
+  note the faithful quirk — the transform runs BEFORE detach_scores
+  (predictor/base.py:56-62), so the score row's y coordinate is
+  remapped (and clipped) like any other point when width > height.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from onnxtr_spark.kernels.detect_post import BIN_THRESH, BOX_THRESH, UNCLIP_RATIO, binary_open_3x3
+
+
+def component_runs(bitmap: np.ndarray) -> list[list[tuple[int, int, int]]]:
+    """8-connected components as per-component row runs [(y, xs, xe)].
+
+    Same vectorized run extraction + union-find as
+    ``detect_post.connected_components``; components are returned in
+    raster order of their topmost-leftmost run (deterministic).
+    """
+    h, w = bitmap.shape
+    parent: list[int] = []
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = bitmap != 0
+    d = np.diff(padded, axis=1)
+    ys_all, xs_all = np.nonzero(d)
+    vals = d[ys_all, xs_all]
+    pos = vals > 0
+    ys_s, starts = ys_all[pos], xs_all[pos]
+    ends = xs_all[~pos]
+
+    prev_runs: list[tuple[int, int, int]] = []
+    prev_y = -2
+    all_runs: list[tuple[int, int, int, int]] = []
+    cur_runs: list[tuple[int, int, int]] = []
+    for i in range(len(ys_s)):
+        y = int(ys_s[i])
+        xs, xe = int(starts[i]), int(ends[i])
+        if y != prev_y:
+            prev_runs = cur_runs if y == prev_y + 1 else []
+            cur_runs = []
+            prev_y = y
+        label = len(parent)
+        parent.append(label)
+        for pxs, pxe, plabel in prev_runs:
+            if pxs < xe + 1 and pxe > xs - 1:
+                ra, rb = find(label), find(plabel)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        cur_runs.append((xs, xe, label))
+        all_runs.append((y, xs, xe, label))
+
+    groups: dict[int, list[tuple[int, int, int]]] = {}
+    order: list[int] = []
+    for y, xs, xe, label in all_runs:
+        root = find(label)
+        if root not in groups:
+            groups[root] = []
+            order.append(root)
+        groups[root].append((y, xs, xe))
+    return [groups[root] for root in order]
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Monotone-chain convex hull; returns hull vertices in CCW order
+    (standard math orientation — visually clockwise with y down)."""
+    pts = np.unique(points.astype(np.float64), axis=0)  # sorts lexicographically
+    if pts.shape[0] <= 2:
+        return pts
+
+    def half(seq: np.ndarray) -> list[np.ndarray]:
+        out: list[np.ndarray] = []
+        for p in seq:
+            while len(out) >= 2:
+                ax, ay = out[-1] - out[-2]
+                bx, by = p - out[-2]
+                if ax * by - ay * bx > 0:
+                    break
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def min_area_rect(points: np.ndarray) -> tuple[float, float, float, float, float]:
+    """Minimum-area oriented bounding rectangle (cv2.minAreaRect analog).
+
+    Returns (cx, cy, w, h, angle_rad) with the rect's u axis (width) at
+    ``angle_rad``. Rotating calipers: the optimal rect is aligned with
+    some hull edge.
+    """
+    hull = convex_hull(points)
+    if hull.shape[0] == 1:
+        return float(hull[0, 0]), float(hull[0, 1]), 0.0, 0.0, 0.0
+    if hull.shape[0] == 2:
+        dvec = hull[1] - hull[0]
+        c = hull.mean(axis=0)
+        return float(c[0]), float(c[1]), float(np.hypot(*dvec)), 0.0, float(np.arctan2(dvec[1], dvec[0]))
+    edges = np.roll(hull, -1, axis=0) - hull
+    lens = np.hypot(edges[:, 0], edges[:, 1])
+    us = edges / lens[:, None]  # (E, 2) unit edge dirs
+    vs = np.stack([-us[:, 1], us[:, 0]], axis=1)  # perpendiculars
+    pu = hull @ us.T  # (H, E) projections on each edge dir
+    pv = hull @ vs.T
+    w = pu.max(0) - pu.min(0)
+    h = pv.max(0) - pv.min(0)
+    best = int(np.argmin(w * h))
+    cu = (pu[:, best].max() + pu[:, best].min()) / 2
+    cv_ = (pv[:, best].max() + pv[:, best].min()) / 2
+    center = cu * us[best] + cv_ * vs[best]
+    return (
+        float(center[0]),
+        float(center[1]),
+        float(w[best]),
+        float(h[best]),
+        float(np.arctan2(us[best, 1], us[best, 0])),
+    )
+
+
+def box_points(cx: float, cy: float, w: float, h: float, angle_rad: float) -> np.ndarray:
+    """The rect's 4 corners (4, 2), unordered convention (cv2.boxPoints
+    analog) — callers pass the result through ``order_points``."""
+    u = np.array([np.cos(angle_rad), np.sin(angle_rad)])
+    v = np.array([-np.sin(angle_rad), np.cos(angle_rad)])
+    c = np.array([cx, cy])
+    return np.stack([
+        c - u * w / 2 - v * h / 2,
+        c + u * w / 2 - v * h / 2,
+        c + u * w / 2 + v * h / 2,
+        c - u * w / 2 + v * h / 2,
+    ])
+
+
+def order_points(pts: np.ndarray) -> np.ndarray:
+    """Order a (4,2) quadrangle TL,TR,BR,BL (utils/geometry.py:82-104):
+    CCW-by-centroid-angle sort, start at the min coordinate-sum point,
+    then enforce clockwise orientation (shoelace area < 0 in y-down
+    image coords means counter-clockwise visually -> reversed+rolled).
+    """
+    pts = np.asarray(pts)
+    c = pts.mean(axis=0)
+    angles = np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0])
+    pts = pts[np.argsort(angles)]
+    start_idx = int(np.argmin(pts.sum(axis=1)))
+    pts = np.roll(pts, -start_idx, axis=0)
+    area = 0.5 * np.sum(pts[:, 0] * np.roll(pts[:, 1], -1) - pts[:, 1] * np.roll(pts[:, 0], -1))
+    if area < 0:
+        pts = np.roll(pts[::-1], 1, axis=0)
+    return pts
+
+
+def unclip_rotated(
+    cx: float, cy: float, w: float, h: float, angle_rad: float, unclip_ratio: float = UNCLIP_RATIO
+) -> np.ndarray:
+    """D5 rotated unclip: expand the min-area rect by
+    ``distance = (w+1)(h+1) * ratio / (2(w+h) + 2)`` per side (the
+    reference's pyclipper round-join offset + minAreaRect composition,
+    postprocessor/base.py:54-81 — analytic for rectangles), then order
+    points TL,TR,BR,BL. Returns (4, 2) absolute corner coords.
+    """
+    area = (w + 1.0) * (h + 1.0)
+    length = 2.0 * (w + h) + 2.0
+    d = area * unclip_ratio / length
+    return order_points(box_points(cx, cy, w + 2 * d, h + 2 * d, angle_rad))
+
+
+def _runs_score_px(px_map: np.ndarray, runs: list[tuple[int, int, int]]) -> float:
+    """Rotated D4 on the stub-folded pixel map: mean of nonzero
+    probabilities over the component's own pixels (see module doc)."""
+    total = 0.0
+    count = 0
+    for y, xs, xe in runs:
+        probs = (255.0 - px_map[y, xs:xe].astype(np.float64)) / 255.0
+        nz = probs > 0
+        total += float(probs[nz].sum())
+        count += int(nz.sum())
+    return total / count if count else 0.0
+
+
+def _runs_score_prob(pred: np.ndarray, runs: list[tuple[int, int, int]]) -> float:
+    total = 0.0
+    count = 0
+    for y, xs, xe in runs:
+        probs = pred[y, xs:xe].astype(np.float64)
+        nz = probs > 0
+        total += float(probs[nz].sum())
+        count += int(nz.sum())
+    return total / count if count else 0.0
+
+
+def _polys_from_components(
+    bitmap: np.ndarray,
+    score_fn,
+    box_thresh: float,
+    unclip_ratio: float,
+) -> np.ndarray:
+    height, width = bitmap.shape[:2]
+    polys: list[np.ndarray] = []
+    for runs in component_runs(bitmap):
+        ys = [r[0] for r in runs]
+        x0 = min(r[1] for r in runs)
+        x1 = max(r[2] for r in runs)
+        # contour span < 2 filter, i.e. pixel extent < 3 (base.py:106)
+        if (x1 - x0) < 3 or (max(ys) - min(ys) + 1) < 3:
+            continue
+        score = score_fn(runs)
+        if score < box_thresh:
+            continue
+        pts = []
+        for y, xs, xe in runs:
+            pts.append((xs, y))
+            pts.append((xe - 1, y))
+        quad = unclip_rotated(*min_area_rect(np.asarray(pts, dtype=np.float64)), unclip_ratio)
+        quad[:, 0] /= width
+        quad[:, 1] /= height
+        polys.append(np.vstack([quad, np.array([0.0, score])]))
+    if not polys:
+        return np.zeros((0, 5, 2), dtype=np.float32)
+    return np.clip(np.asarray(polys, dtype=np.float32), 0, 1)
+
+
+def bitmap_to_polys(
+    pred: np.ndarray,
+    bitmap: np.ndarray,
+    box_thresh: float = BOX_THRESH,
+    unclip_ratio: float = UNCLIP_RATIO,
+) -> np.ndarray:
+    """Binary map -> (N, 5, 2) rotated polygons [TL,TR,BR,BL,(0,score)]
+    in relative coords clipped to [0,1] (postprocessor/base.py:83-139,
+    rotated path) — the real-prob-map variant."""
+    return _polys_from_components(
+        bitmap, lambda runs: _runs_score_prob(pred, runs), box_thresh, unclip_ratio
+    )
+
+
+def postprocess_pixel_map_rotated(
+    px_map: np.ndarray,
+    bin_thresh: float = BIN_THRESH,
+    box_thresh: float = BOX_THRESH,
+    unclip_ratio: float = UNCLIP_RATIO,
+    morph_open: bool = True,
+) -> np.ndarray:
+    """Full rotated D1-D6 chain folded through the affine stub model,
+    directly on the uint8 map (see detect_post.postprocess_pixel_map for
+    the folding argument — identical here, geometry is bit-identical)."""
+    pix_thresh = float(np.floor(255.0 - 255.0 * bin_thresh))
+    bitmap = (px_map <= pix_thresh).astype(np.uint8)
+    if morph_open:
+        bitmap = binary_open_3x3(bitmap)
+    return _polys_from_components(
+        bitmap, lambda runs: _runs_score_px(px_map, runs), box_thresh, unclip_ratio
+    )
+
+
+def remove_padding_rotated(
+    polys: np.ndarray,
+    page_h: int,
+    page_w: int,
+    preserve_aspect_ratio: bool = True,
+    symmetric_pad: bool = True,
+) -> np.ndarray:
+    """P8 rotated branches on (N, 5, 2) polys (incl. score row — see the
+    module-doc quirk note: the reference remaps the score row too)."""
+    if not preserve_aspect_ratio or polys.shape[0] == 0:
+        return polys
+    out = polys.copy()
+    if page_h > page_w:
+        if symmetric_pad:
+            out[:, :, 0] = (out[:, :, 0] - 0.5) * page_h / page_w + 0.5
+        else:
+            out[:, :, 0] *= page_h / page_w
+    elif page_w > page_h:
+        if symmetric_pad:
+            out[:, :, 1] = (out[:, :, 1] - 0.5) * page_w / page_h + 0.5
+        else:
+            out[:, :, 1] *= page_w / page_h
+    return np.clip(out, 0, 1)
+
+
+def polys_to_straight(polys: np.ndarray) -> np.ndarray:
+    """B7 straight-box export: rotated (N, 4, 2) -> enclosing (N, 4)
+    [xmin, ymin, xmax, ymax] (models/builder.py:322-326)."""
+    if polys.shape[0] == 0:
+        return np.zeros((0, 4), dtype=polys.dtype)
+    return np.concatenate((polys.min(1), polys.max(1)), -1)

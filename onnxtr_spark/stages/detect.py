@@ -58,6 +58,15 @@ class DetectConfig:
     # predictor/base.py:102-124): classify page orientation and rectify
     # with rot90 before detection. Off by default like the reference.
     straighten_pages: bool = False
+    # Rotated-word path (reference assume_straight_pages flag,
+    # models/zoo.py:19-27): when False, detection emits (N,4,2) polygons
+    # (kernels/rotated_post.py), recognition crops along them
+    # (kernels/rotated.extract_rcrops_nearest), the builder uses the
+    # rotated sort/line kernels, and exported geometry is the B7
+    # enclosing straight box (models/builder.py:322-326). Wired in the
+    # fused stage (stages/fused.py); the standalone detect stage is
+    # straight-only (its output schema carries straight boxes).
+    assume_straight_pages: bool = True
 
 
 def detect_pages(pages: DataFrame, cfg: DetectConfig = DetectConfig()) -> DataFrame:

@@ -26,10 +26,11 @@ from pyspark.sql import DataFrame
 
 from onnxtr_spark import imaging
 from onnxtr_spark.engine import get_detection_engine, get_orientation_engine, get_recognition_engine
-from onnxtr_spark.kernels import detect_post, split_merge
+from onnxtr_spark.kernels import detect_post, rotated_post, split_merge
 from onnxtr_spark.kernels.builder import word_order, word_order_blocks
 from onnxtr_spark.kernels.ctc import ctc_best_path
 from onnxtr_spark.kernels.geometry import extract_crops, resize_preserve, resize_unpadded
+from onnxtr_spark.kernels.rotated import extract_rcrops_nearest, word_order_rotated
 from onnxtr_spark.stages.detect import DetectConfig
 from onnxtr_spark.stages.recognize import RECOGNIZE_SCHEMA, RecognizeConfig
 
@@ -78,29 +79,53 @@ def detect_recognize_pages(
                 # the uint8 map (postprocess_pixel_map docstring); `det`
                 # (the session) defines that affine contract and runs
                 # unfolded in the standalone stage. The map is resized
-                # WITHOUT padding — content-exact, so relative coords
-                # are page-relative directly and P8 padding removal is
-                # the identity (it stays real in the standalone stage);
-                # map passes skip the ~30% pad rows a square map carries.
+                # WITHOUT padding — content-exact AND isotropic (one
+                # scale = min ratio for both axes), so relative coords
+                # are page-relative directly, rotation angles survive,
+                # and P8 padding removal is the identity (it stays real
+                # in the standalone stage); map passes skip the ~30% pad
+                # rows a square map carries.
                 det.simulate_model_cost(1)  # no-op unless SPARK_GRAFT_MODEL_MS set
                 resized = resize_unpadded(img, det_cfg.map_size, det_cfg.map_size)
-                boxes = detect_post.postprocess_pixel_map(
-                    resized[:, :, 0], det_cfg.bin_thresh, det_cfg.box_thresh, det_cfg.unclip_ratio
-                )
-                for hook in det_cfg.hooks:  # loc_preds hooks (detect.py DetectConfig)
-                    boxes = hook(boxes)
-
-                # --- crop + split (G1, P5, W1)
-                crops = extract_crops(img, boxes[:, :4].astype(np.float64)) if boxes.shape[0] else []
+                if det_cfg.assume_straight_pages:
+                    boxes = detect_post.postprocess_pixel_map(
+                        resized[:, :, 0], det_cfg.bin_thresh, det_cfg.box_thresh, det_cfg.unclip_ratio
+                    )
+                    for hook in det_cfg.hooks:  # loc_preds hooks (detect.py DetectConfig)
+                        boxes = hook(boxes)
+                    # --- crop + split (G1, P5, W1)
+                    crops = extract_crops(img, boxes[:, :4].astype(np.float64)) if boxes.shape[0] else []
+                    polys = None
+                else:
+                    # Rotated-word path (assume_straight_pages=False,
+                    # reference predictor.py:91-129): (N,5,2) polygons,
+                    # G2 rotated crop extract, B7 enclosing-box export.
+                    polys5 = rotated_post.postprocess_pixel_map_rotated(
+                        resized[:, :, 0], det_cfg.bin_thresh, det_cfg.box_thresh, det_cfg.unclip_ratio
+                    )
+                    for hook in det_cfg.hooks:
+                        polys5 = hook(polys5)
+                    polys = polys5[:, :4, :].astype(np.float64)
+                    scores = polys5[:, 4, 1].astype(np.float64)  # detach_scores, geometry.py:119-122
+                    crops = extract_rcrops_nearest(img, polys) if polys.shape[0] else []
+                    # B7 straight-box export carried in the output cols
+                    boxes = (
+                        np.concatenate([rotated_post.polys_to_straight(polys), scores[:, None]], axis=1)
+                        if polys.shape[0]
+                        else np.zeros((0, 5), dtype=np.float64)
+                    )
                 keep = [i for i, c in enumerate(crops) if c.shape[0] > 0 and c.shape[1] > 0]
                 crops = [crops[i] for i in keep]
                 boxes = boxes[keep] if keep else boxes[:0]
+                if polys is not None:
+                    polys = polys[keep] if keep else polys[:0]
                 splits, crop_map, _ = split_merge.split_crops(
                     crops, reco_cfg.critical_ar, reco_cfg.target_ar, reco_cfg.overlap_ratio
                 )
                 page_meta.append({
                     "key": (doc_id, int(offset), media_ref),
                     "boxes": boxes,
+                    "polys": polys,
                     "crop_map": crop_map,
                     "start": len(flat_splits),
                     "n_splits": len(splits),
@@ -131,7 +156,12 @@ def detect_recognize_pages(
                     continue
                 page_preds = preds[meta["start"] : meta["start"] + meta["n_splits"]]
                 words = split_merge.remap_preds(page_preds, meta["crop_map"], reco_cfg.overlap_ratio)
-                if reco_cfg.resolve_blocks:
+                if meta["polys"] is not None:
+                    # rotated B1/B2: straighten by -estimate_page_angle
+                    # then the standard sort/line scan (builder.py:55-63)
+                    rank, line_id = word_order_rotated(meta["polys"])
+                    block_id = np.zeros_like(rank)  # B4 is straight-only (reference default off)
+                elif reco_cfg.resolve_blocks:
                     rank, line_id, block_id = word_order_blocks(boxes[:, :4])
                 else:
                     rank, line_id = word_order(boxes[:, :4])

@@ -58,11 +58,17 @@ def docs_from_documents(documents: DataFrame) -> DataFrame:
     return base.select("doc_id", F.concat(F.array(header), media_spans).alias("spans"))
 
 
-def media_from_documents(documents: DataFrame) -> DataFrame:
+def media_from_documents(documents: DataFrame, rotate_words: bool = False) -> DataFrame:
     """documents(doc_id, text, ...) → media(media_ref, png, height, width).
 
     Page word-lists are computed JVM-side (explode of per-page slices);
     only the rendering itself runs in Python, Arrow-batched.
+
+    ``rotate_words=True`` renders the rotated-words corpus variant:
+    each page image is skewed in-plane by ``corpus.angle_for`` degrees
+    (6-10°, deterministic per page), exercising the
+    ``assume_straight_pages=False`` pipeline. The OCR oracle is
+    unchanged — word text and reading order are rotation-invariant.
     """
     base = _with_words(documents)
     # Rendering is CPU-bound Python: spread it across all cores even when
@@ -83,6 +89,9 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
     )
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from onnxtr_spark.corpus import R_CELL_W, R_GAP_W, angle_for
+
+        render_kwargs = {"cell_w": R_CELL_W, "gap_w": R_GAP_W} if rotate_words else {}
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -92,7 +101,11 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
                 # Empty page -> blank image: detection finds no boxes, so
                 # the doc contributes only its pass-through text spans.
                 lines = [words[i : i + WORDS_PER_LINE] for i in range(0, len(words), WORDS_PER_LINE)] or [[]]
-                img = imaging.render_page(lines)
+                img = imaging.render_page(lines, **render_kwargs)
+                if rotate_words:
+                    # media_ref is "m-<doc>-<page>"
+                    doc_id, page = media_ref[2:].rsplit("-", 1)
+                    img = imaging.rotate_image_nearest(img, angle_for(doc_id, int(page)))
                 rows.append({
                     "media_ref": media_ref,
                     "png": imaging.encode_image(img),

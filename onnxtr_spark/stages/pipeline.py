@@ -100,3 +100,16 @@ def extract_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_from_documents(documents)
     media = media_from_documents(documents)
     return extract_spans(docs, media)
+
+
+def extract_from_testdata_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotated-word pipeline end-to-end (assume_straight_pages=False):
+    pages are skewed 6-10° in-plane at ingest; detection emits (N,4,2)
+    polygons, recognition crops along them, the builder straightens for
+    reading order, and exported geometry is the B7 enclosing box. Output
+    spans must equal the straight pipeline's (the oracle is identical —
+    text and order are rotation-invariant)."""
+    documents = load_documents(spark, sf_dir)
+    docs = docs_from_documents(documents)
+    media = media_from_documents(documents, rotate_words=True)
+    return extract_spans(docs, media, det_cfg=DetectConfig(assume_straight_pages=False))
