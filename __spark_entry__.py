@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from onnxtr_spark.corpus import WORDS_PER_PAGE
-from onnxtr_spark.functions import dedup, media, similarity, text
+from onnxtr_spark.functions import dedup, evaluation, media, similarity, text
 from onnxtr_spark.queries import relational as rel
 from onnxtr_spark.stages.ingest import docs_from_documents, load_documents, media_from_documents
 from onnxtr_spark.stages.pipeline import extract_from_testdata, extract_from_testdata_rotated
@@ -120,6 +120,34 @@ FROM pages
 """
 
 
+def _eval_text_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextMatch over (gt, pred) word pairs where gt is the REAL OCR
+    pipeline's recognized words and pred applies deterministic
+    degradations (evaluation.degraded_word) — exercises the metric
+    aggregation end-to-end behind a live extraction run."""
+    spans = extract_from_testdata(spark, sf_dir)
+    words = spans.where(F.col("offset") >= 1)
+    pairs = words.select(
+        F.col("text").alias("gt"),
+        evaluation.degraded_word(F.col("offset").cast("long"), F.col("text")).alias("pred"),
+    )
+    return evaluation.text_match(pairs)
+
+
+def _eval_localization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LocalizationConfusion (Hungarian IoU matching per page in
+    applyInPandas) over the deterministic synthetic evaluation grid."""
+    boxes = evaluation.eval_boxes_from_documents(_documents(spark, sf_dir)).drop("text")
+    return evaluation.localization_confusion(boxes)
+
+
+def _eval_ocr_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCRMetric: Hungarian IoU matching + string-match flavors on the
+    matched pairs, over the same synthetic grid with degraded text."""
+    boxes = evaluation.eval_boxes_from_documents(_documents(spark, sf_dir))
+    return evaluation.ocr_metric(boxes)
+
+
 def _media_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_documents(spark, sf_dir)
     return media.page_stats(media_from_documents(documents))
@@ -135,6 +163,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_render_text": _ocr_rendered,
         "ocr_detect_boxes": _ocr_detect_boxes,
         "media_page_stats": _media_page_stats,
+        # evaluation metrics (reference scripts/evaluate.py:20,92-95)
+        "eval_text_match": _eval_text_match,
+        "eval_localization": _eval_localization,
+        "eval_ocr_metric": _eval_ocr_metric,
         # relational / TPC-H-ish
         "tpch_q1_pricing": rel.q1_pricing_summary,
         "tpch_q3_shipping": rel.q3_shipping_priority,
@@ -181,6 +213,9 @@ def oracle_sql() -> dict[str, str]:
         "ocr_render_text": OCR_RENDERED_SQL,
         "ocr_detect_boxes": OCR_DETECT_BOXES_SQL,
         # media_page_stats: image-typed, rows-only check (pytest covers it)
+        "eval_text_match": evaluation.text_match_sql(evaluation.TEXT_MATCH_PAIRS_CTE),
+        "eval_localization": evaluation.localization_confusion_sql(),
+        "eval_ocr_metric": evaluation.ocr_metric_sql(),
         "tpch_q1_pricing": rel.Q1_SQL,
         "tpch_q3_shipping": rel.Q3_SQL,
         "tpch_q5_nation_volume": rel.Q5_SQL,
