@@ -148,6 +148,68 @@ def _eval_ocr_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluation.ocr_metric(boxes)
 
 
+def _artefact_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 + F6: artefact detection over pages carrying deterministic
+    artefact blocks — YOLO-contract stub session, conf filter >= 0.5,
+    class argmax, rescale from the 1024^2 input space with int()
+    truncation, greedy NMS (reference contrib/artefacts.py:65-104). The
+    oracle derives the surviving true boxes from the placement rule and
+    mirrors the float rescale op-for-op."""
+    from onnxtr_spark.stages.artefacts import detect_artefacts
+
+    documents = load_documents(spark, sf_dir)
+    pages = media_pages(
+        docs_from_documents(documents), media_from_documents(documents, artefacts=True)
+    )
+    return detect_artefacts(pages)
+
+
+ARTEFACT_DETECT_SQL = f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         list_sum([ord(c) for c in string_split(CAST(doc_id AS VARCHAR), '')]) AS d
+  FROM documents
+), pages AS (
+  SELECT doc_id, d, n_words,
+         unnest(generate_series(0, CAST(greatest(1, ceil(n_words / {WORDS_PER_PAGE}.0)) AS INT) - 1)) AS p
+  FROM docs
+), dims AS (
+  SELECT doc_id, d, p,
+         640.0 AS w,
+         CAST(96 + (greatest(1, CAST(ceil(least(n_words - p * {WORDS_PER_PAGE}, {WORDS_PER_PAGE}) / 5.0) AS INT)) - 1) * 48 AS DOUBLE) AS h
+  FROM pages
+), arts AS (
+  SELECT doc_id, p, w, h,
+         unnest(generate_series(0, CAST((d + p) % 4 AS INT) - 1)) AS k,
+         d
+  FROM dims
+), boxes AS (
+  SELECT concat('m-', doc_id, '-', CAST(p AS VARCHAR)) AS media_ref,
+         CAST((d + p + k) % 4 AS INT) AS cls,
+         CAST(8 + 80 * k AS DOUBLE) AS x0, 4.0 AS y0, w, h
+  FROM arts
+), yolo AS (
+  -- engine.ArtefactEngine: (cx, cy, bw, bh) in 1024-space, same float op order
+  SELECT media_ref, cls,
+         (x0 + (64.0) / 2.0) * 1024.0 / w AS cx,
+         (y0 + (24.0) / 2.0) * 1024.0 / h AS cy,
+         64.0 * 1024.0 / w AS bw,
+         24.0 * 1024.0 / h AS bh,
+         w, h
+  FROM boxes
+)
+SELECT media_ref,
+       CASE cls WHEN 0 THEN 'bar_code' WHEN 1 THEN 'qr_code' WHEN 2 THEN 'logo' ELSE 'photo' END AS label,
+       0.55::DOUBLE + 0.1::DOUBLE * cls AS confidence,
+       CAST(trunc((cx - bw / 2) * (w / 1024.0)) AS INT) AS xmin,
+       CAST(trunc((cy - bh / 2) * (h / 1024.0)) AS INT) AS ymin,
+       CAST(trunc((cx + bw / 2) * (w / 1024.0)) AS INT) AS xmax,
+       CAST(trunc((cy + bh / 2) * (h / 1024.0)) AS INT) AS ymax
+FROM yolo
+"""
+
+
 def _media_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_documents(spark, sf_dir)
     return media.page_stats(media_from_documents(documents))
@@ -163,6 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_render_text": _ocr_rendered,
         "ocr_detect_boxes": _ocr_detect_boxes,
         "media_page_stats": _media_page_stats,
+        "artefact_detect": _artefact_detect,
         # evaluation metrics (reference scripts/evaluate.py:20,92-95)
         "eval_text_match": _eval_text_match,
         "eval_localization": _eval_localization,
@@ -213,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "ocr_render_text": OCR_RENDERED_SQL,
         "ocr_detect_boxes": OCR_DETECT_BOXES_SQL,
         # media_page_stats: image-typed, rows-only check (pytest covers it)
+        "artefact_detect": ARTEFACT_DETECT_SQL,
         "eval_text_match": evaluation.text_match_sql(evaluation.TEXT_MATCH_PAIRS_CTE),
         "eval_localization": evaluation.localization_confusion_sql(),
         "eval_ocr_metric": evaluation.ocr_metric_sql(),

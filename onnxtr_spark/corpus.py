@@ -167,6 +167,28 @@ def build_rotated_words_corpus_pdfs(
     return pd.DataFrame(doc_rows), pd.DataFrame(media_rows)
 
 
+# Artefact corpus rules (I6 path). Placement keeps blocks inside the
+# top page margin (y < 28 + clearance to the first glyph row at y>=38),
+# horizontally disjoint (80 px pitch, 64 px wide -> 16 px gaps, so NMS
+# never merges distinct artefacts).
+ART_W, ART_H, ART_Y0, ART_PITCH, ART_X0 = 64, 24, 4, 80, 8
+
+
+def _doc_num(doc_id: str) -> int:
+    return sum(ord(c) for c in doc_id)
+
+
+def artefacts_for(doc_id: str, page: int) -> list[tuple[int, int, int, int, int]]:
+    """Deterministic artefact blocks for a page: (cls, x0, y0, w, h).
+    0-3 blocks per page, classes cycling bar_code/qr_code/logo/photo."""
+    d = _doc_num(doc_id)
+    n = (d + page) % 4
+    return [
+        ((d + page + k) % 4, ART_X0 + ART_PITCH * k, ART_Y0, ART_W, ART_H)
+        for k in range(n)
+    ]
+
+
 def rotation_for(doc_id: str, page: int) -> int:
     """Deterministic stored-rotation (0..3 CCW turns) for the
     orientation-path corpus variant."""

@@ -101,6 +101,58 @@ class RecognitionEngine:
         return logits
 
 
+ARTEFACT_LABELS = ["bar_code", "qr_code", "logo", "photo"]  # reference contrib/artefacts.py:20
+ART_INPUT = 1024  # reference yolov8_artefact input_shape (3, 1024, 1024)
+
+
+class ArtefactEngine:
+    """Stub artefact detector with the YOLOv8 output contract
+    (reference contrib/artefacts.py:17-104): per image, rows of
+    [cx, cy, w, h, score_0..score_3] in input-shape (1024²) coordinate
+    space. The stub finds each artefact class's pixel-value block
+    (imaging.ART_BASE + cls) and emits:
+
+    - the true box, confidence 0.55 + 0.1*cls (one-hot-ish scores);
+    - a duplicate shifted +2/+2 at confidence-0.1 — suppressed by NMS;
+    - one low-confidence (0.3) background row — dropped by the 0.5
+      conf filter.
+
+    So the real postprocess chain (conf filter → argmax → rescale →
+    NMS) is exercised, not just passed through.
+    """
+
+    def run_one(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        ch = img[:, :, 0]
+        rows: list[list[float]] = []
+        for cls in range(imaging.N_ART_CLASSES):
+            ys, xs = np.nonzero(ch == imaging.ART_BASE + cls)
+            if ys.size == 0:
+                continue
+            x0, x1 = int(xs.min()), int(xs.max()) + 1
+            y0, y1 = int(ys.min()), int(ys.max()) + 1
+            cx = (x0 + (x1 - x0) / 2.0) * ART_INPUT / w
+            cy = (y0 + (y1 - y0) / 2.0) * ART_INPUT / h
+            bw = (x1 - x0) * ART_INPUT / w
+            bh = (y1 - y0) * ART_INPUT / h
+            conf = 0.55 + 0.1 * cls
+            scores = [0.01] * imaging.N_ART_CLASSES
+            scores[cls] = conf
+            rows.append([cx, cy, bw, bh, *scores])
+            dup = [0.01] * imaging.N_ART_CLASSES
+            dup[cls] = conf - 0.1
+            rows.append([cx + 2.0, cy + 2.0, bw, bh, *dup])
+        rows.append([512.0, 512.0, 40.0, 40.0, 0.3, 0.01, 0.01, 0.01])
+        return np.asarray(rows, dtype=np.float64)
+
+
+def get_artefact_engine() -> ArtefactEngine:
+    """Per-worker cached artefact session."""
+    if "artefact" not in _SESSIONS:
+        _SESSIONS["artefact"] = ArtefactEngine()
+    return _SESSIONS["artefact"]  # type: ignore[return-value]
+
+
 def get_detection_engine() -> DetectionEngine:
     """Per-worker cached detection session (reference engine.py:102-112)."""
     if "det" not in _SESSIONS:

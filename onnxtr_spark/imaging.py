@@ -65,6 +65,21 @@ WHITE = 255
 # margin's top-left corner; after np.rot90(page, k) it sits in corner k.
 ORIENT_MARK = 240
 MARK_SLICE = (slice(8, 24), slice(8, 24))
+# Artefact blocks (I6 path): class c -> pixel value ART_BASE + c.
+# 230..233 sit ABOVE the text-detection pixel cutoff (floor(255-25.5) =
+# 229, detect_post.postprocess_pixel_map) so artefacts are invisible to
+# the text path, below ORIENT_MARK (240), and above the vocab glyph
+# range (96+125=221) so a text crop overlapping one decodes blank.
+ART_BASE = 230
+N_ART_CLASSES = 4
+
+
+def add_artefacts(page: np.ndarray, arts: list[tuple[int, int, int, int, int]]) -> np.ndarray:
+    """Draw artefact blocks [(cls, x0, y0, w, h)] as flat value rects."""
+    page = page.copy()
+    for cls, x0, y0, w, h in arts:
+        page[y0 : y0 + h, x0 : x0 + w] = ART_BASE + cls
+    return page
 
 
 def add_orientation_mark(page: np.ndarray) -> np.ndarray:

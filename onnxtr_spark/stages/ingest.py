@@ -58,7 +58,9 @@ def docs_from_documents(documents: DataFrame) -> DataFrame:
     return base.select("doc_id", F.concat(F.array(header), media_spans).alias("spans"))
 
 
-def media_from_documents(documents: DataFrame, rotate_words: bool = False) -> DataFrame:
+def media_from_documents(
+    documents: DataFrame, rotate_words: bool = False, artefacts: bool = False
+) -> DataFrame:
     """documents(doc_id, text, ...) → media(media_ref, png, height, width).
 
     Page word-lists are computed JVM-side (explode of per-page slices);
@@ -69,6 +71,10 @@ def media_from_documents(documents: DataFrame, rotate_words: bool = False) -> Da
     (6-10°, deterministic per page), exercising the
     ``assume_straight_pages=False`` pipeline. The OCR oracle is
     unchanged — word text and reading order are rotation-invariant.
+
+    ``artefacts=True`` draws ``corpus.artefacts_for`` blocks in the top
+    page margin (pixel values above the text-detection cutoff, so the
+    text path is byte-identical) for the artefact-detection stage.
     """
     base = _with_words(documents)
     # Rendering is CPU-bound Python: spread it across all cores even when
@@ -89,7 +95,7 @@ def media_from_documents(documents: DataFrame, rotate_words: bool = False) -> Da
     )
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from onnxtr_spark.corpus import R_CELL_W, R_GAP_W, angle_for
+        from onnxtr_spark.corpus import R_CELL_W, R_GAP_W, angle_for, artefacts_for
 
         render_kwargs = {"cell_w": R_CELL_W, "gap_w": R_GAP_W} if rotate_words else {}
         for pdf in batches:
@@ -102,6 +108,9 @@ def media_from_documents(documents: DataFrame, rotate_words: bool = False) -> Da
                 # the doc contributes only its pass-through text spans.
                 lines = [words[i : i + WORDS_PER_LINE] for i in range(0, len(words), WORDS_PER_LINE)] or [[]]
                 img = imaging.render_page(lines, **render_kwargs)
+                if artefacts:
+                    doc_id, page = media_ref[2:].rsplit("-", 1)
+                    img = imaging.add_artefacts(img, artefacts_for(doc_id, int(page)))
                 if rotate_words:
                     # media_ref is "m-<doc>-<page>"
                     doc_id, page = media_ref[2:].rsplit("-", 1)
