@@ -26,13 +26,74 @@ N→4N scaling-efficiency bar.
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
 
 import numpy as np
 
 from onnxtr_spark import imaging
 from onnxtr_spark.vocabs import DEFAULT_VOCAB
 
-_SESSIONS: dict[str, object] = {}
+_SESSIONS: dict[tuple, object] = {}
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """The reference EngineConfig analog (models/engine.py:33-90) plus
+    the model-registry parameter (factory/hub.py custom-model path):
+    which model to load, where from, and how the session is configured.
+    Hashable so stage configs stay picklable and the per-worker session
+    cache can key on it.
+
+    ``input_contract`` declares the tensor layout the session expects:
+    ``uint8_bhwc`` (the folded stub fast path) or ``float_bchw`` /
+    ``float_bhwc`` (a real CNN: P1-P4 preprocess runs ahead of the
+    session — kernels/preprocess.py)."""
+
+    arch: str = "stub_fast"
+    model_path: str | None = None  # real .onnx artifact (ship via --files/addFile)
+    # Module imported (on the EXECUTOR, before session resolution) to
+    # register custom archs — driver-side register_model calls don't
+    # reach Spark Python workers; shipping a registering module via
+    # spark-submit --py-files and naming it here does.
+    factory_module: str | None = None
+    providers: tuple[str, ...] = ("CPUExecutionProvider",)
+    # 1, not ORT's default -1: executor cores must not be oversubscribed
+    # (the single biggest threat to the N->4N scaling bar, SURVEY.md §4)
+    intra_op_num_threads: int = 1
+    input_contract: str = "uint8_bhwc"
+    mean: tuple[float, float, float] = (0.5, 0.5, 0.5)
+    std: tuple[float, float, float] = (1.0, 1.0, 1.0)
+
+
+# arch -> factory(cfg, **kwargs) -> session-like object. The registry is
+# module-level per Python worker; custom archs registered on the driver
+# must be registered by an importable module (pickled closures won't
+# reach workers) — same constraint as the reference's hub loaders.
+MODEL_REGISTRY: dict[str, Callable[..., object]] = {}
+
+
+def register_model(arch: str, factory: Callable[..., object]) -> None:
+    """Register a model factory under an architecture name (the
+    models/factory/hub.py custom-model entry point analog)."""
+    MODEL_REGISTRY[arch] = factory
+
+
+def _resolve(kind: str, cfg: EngineConfig, **kwargs) -> object:
+    key = (kind, cfg.arch, cfg.model_path, tuple(sorted(kwargs.items())))
+    if key not in _SESSIONS:
+        if cfg.arch not in MODEL_REGISTRY and cfg.factory_module:
+            import importlib
+
+            importlib.import_module(cfg.factory_module)
+        if cfg.arch not in MODEL_REGISTRY:
+            raise NotImplementedError(
+                f"arch {cfg.arch!r} is not registered; onnxruntime is absent in this "
+                "container, so a real model_path needs a registered factory that wraps "
+                "an InferenceSession (register_model)."
+            )
+        _SESSIONS[key] = MODEL_REGISTRY[cfg.arch](cfg, **kwargs)
+    return _SESSIONS[key]
 
 # Optional model-cost emulation for scaling studies: the stub models are
 # orders of magnitude cheaper than real CNNs (the reference's fast_base
@@ -146,32 +207,54 @@ class ArtefactEngine:
         return np.asarray(rows, dtype=np.float64)
 
 
-def get_artefact_engine() -> ArtefactEngine:
+def get_artefact_engine(cfg: EngineConfig | None = None) -> ArtefactEngine:
     """Per-worker cached artefact session."""
-    if "artefact" not in _SESSIONS:
-        _SESSIONS["artefact"] = ArtefactEngine()
-    return _SESSIONS["artefact"]  # type: ignore[return-value]
+    return _resolve("artefact", cfg or EngineConfig(arch="stub_yolo_artefact"))  # type: ignore[return-value]
 
 
-def get_detection_engine() -> DetectionEngine:
-    """Per-worker cached detection session (reference engine.py:102-112)."""
-    if "det" not in _SESSIONS:
-        _SESSIONS["det"] = DetectionEngine()
-    return _SESSIONS["det"]  # type: ignore[return-value]
+class FloatDetectionEngine:
+    """Detection stub with a REAL CNN's input contract: float32,
+    normalized, optionally channels-first (P1-P4 must run ahead of it —
+    kernels/preprocess.py). Functionally identical to DetectionEngine:
+    it denormalizes back to pixel space, so the contract test can assert
+    the float path reproduces the uint8 fast path bit-for-bit."""
+
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+
+    def run(self, batch: np.ndarray) -> np.ndarray:
+        if batch.dtype != np.float32:
+            raise TypeError(f"float-contract model got {batch.dtype}")
+        if self.cfg.input_contract == "float_bchw":
+            batch = np.moveaxis(batch, 1, -1)
+        mean = np.asarray(self.cfg.mean, dtype=np.float32)
+        std = np.asarray(self.cfg.std, dtype=np.float32)
+        px = (batch * std + mean) * np.float32(255.0)
+        return (np.float32(255.0) - px[..., 0]) / np.float32(255.0)
 
 
-def get_orientation_engine() -> OrientationEngine:
+register_model("stub_fast", lambda cfg: DetectionEngine())
+register_model("stub_fast_float", FloatDetectionEngine)
+register_model("stub_crnn", lambda cfg, vocab=DEFAULT_VOCAB: RecognitionEngine(vocab))
+register_model("stub_mobilenet_orient", lambda cfg: OrientationEngine())
+register_model("stub_yolo_artefact", lambda cfg: ArtefactEngine())
+
+DEFAULT_ENGINE = EngineConfig()
+
+
+def get_detection_engine(cfg: EngineConfig | None = None) -> DetectionEngine:
+    """Per-worker cached detection session (reference engine.py:102-112),
+    resolved through the model registry (config-only model swap)."""
+    return _resolve("det", cfg or DEFAULT_ENGINE)  # type: ignore[return-value]
+
+
+def get_orientation_engine(cfg: EngineConfig | None = None) -> OrientationEngine:
     """Per-worker cached orientation session."""
-    if "orient" not in _SESSIONS:
-        _SESSIONS["orient"] = OrientationEngine()
-    return _SESSIONS["orient"]  # type: ignore[return-value]
+    return _resolve("orient", cfg or EngineConfig(arch="stub_mobilenet_orient"))  # type: ignore[return-value]
 
 
-def get_recognition_engine(vocab: str = DEFAULT_VOCAB) -> RecognitionEngine:
+def get_recognition_engine(vocab: str = DEFAULT_VOCAB, cfg: EngineConfig | None = None) -> RecognitionEngine:
     """Per-worker cached recognition session. Keyed on the vocab string
     itself — two vocabs of equal length must not collide (the session is
     bound to the label->char map, not just the class count)."""
-    key = f"reco:{vocab}"
-    if key not in _SESSIONS:
-        _SESSIONS[key] = RecognitionEngine(vocab)
-    return _SESSIONS[key]  # type: ignore[return-value]
+    return _resolve("reco", cfg or EngineConfig(arch="stub_crnn"), vocab=vocab)  # type: ignore[return-value]

@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from onnxtr_spark import imaging
-from onnxtr_spark.engine import get_detection_engine
+from onnxtr_spark.engine import EngineConfig, get_detection_engine
 from onnxtr_spark.kernels import detect_post
 
 DETECT_SCHEMA = (
@@ -67,6 +67,13 @@ class DetectConfig:
     # fused stage (stages/fused.py); the standalone detect stage is
     # straight-only (its output schema carries straight boxes).
     assume_straight_pages: bool = True
+    # Model registry / EngineConfig analog (reference models/engine.py:
+    # 33-90 + factory/hub.py): which session the stage resolves. The
+    # default stub consumes raw uint8 pages (the folded fast path); a
+    # float-contract engine (input_contract="float_bchw"/"float_bhwc")
+    # gets the REAL P1-P4 preprocess (kernels/preprocess.py) ahead of
+    # the session — a real ONNX model drops in via config only.
+    engine: EngineConfig = EngineConfig()
 
 
 def detect_pages(pages: DataFrame, cfg: DetectConfig = DetectConfig()) -> DataFrame:
@@ -78,7 +85,8 @@ def detect_pages(pages: DataFrame, cfg: DetectConfig = DetectConfig()) -> DataFr
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from onnxtr_spark.kernels.geometry import resize_preserve
 
-        engine = get_detection_engine()
+        engine = get_detection_engine(cfg.engine)
+        float_path = cfg.engine.input_contract.startswith("float")
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -88,12 +96,24 @@ def detect_pages(pages: DataFrame, cfg: DetectConfig = DetectConfig()) -> DataFr
             # (reference PreProcessor.batch_inputs, models/preprocessor/base.py:44-59).
             pngs, heights, widths = pdf["png"].tolist(), pdf["height"].tolist(), pdf["width"].tolist()
             for start in range(0, n, batch_size):
-                resized = np.stack([
-                    resize_preserve(imaging.decode_image(b), map_size, map_size, True, 255)
-                    for b in pngs[start : start + batch_size]
-                ])
-                prob_maps = engine.run(resized)  # B×H×W float32 in [0,1]
-                for i in range(resized.shape[0]):
+                if float_path:
+                    # real-CNN contract: P1-P4 preprocess ahead of the session
+                    from onnxtr_spark.kernels.preprocess import preprocess_samples
+
+                    fmt = "BCHW" if cfg.engine.input_contract == "float_bchw" else "BHWC"
+                    batch = preprocess_samples(
+                        [np.asarray(imaging.decode_image(b)) for b in pngs[start : start + batch_size]],
+                        map_size, map_size, batch_size,
+                        mean=cfg.engine.mean, std=cfg.engine.std, output_format=fmt,
+                        pad_value=255,
+                    )[0]
+                else:
+                    batch = np.stack([
+                        resize_preserve(imaging.decode_image(b), map_size, map_size, True, 255)
+                        for b in pngs[start : start + batch_size]
+                    ])
+                prob_maps = engine.run(batch)  # B×H×W float32 in [0,1]
+                for i in range(prob_maps.shape[0]):
                     boxes = detect_post.postprocess_prob_map(
                         prob_maps[i], bin_thresh, box_thresh, unclip, morph_open=True
                     )

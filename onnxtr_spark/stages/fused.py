@@ -47,9 +47,15 @@ def detect_recognize_pages(
 ) -> DataFrame:
     """Detect + recognize + per-page builder rank in one Arrow pass."""
 
+    if det_cfg.engine.input_contract != "uint8_bhwc":
+        raise ValueError(
+            "the fused stage folds the model through the uint8 pixel map; "
+            "float-contract engines run via the standalone detect/recognize stages"
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        det = get_detection_engine()
-        reco = get_recognition_engine(reco_cfg.vocab)
+        det = get_detection_engine(det_cfg.engine)
+        reco = get_recognition_engine(reco_cfg.vocab, reco_cfg.engine)
         n_classes_vocab = reco_cfg.vocab
 
         for pdf in batches:

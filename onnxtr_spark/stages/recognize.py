@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from onnxtr_spark import imaging
-from onnxtr_spark.engine import get_recognition_engine
+from onnxtr_spark.engine import EngineConfig, get_recognition_engine
 from onnxtr_spark.kernels import split_merge
 from onnxtr_spark.kernels.builder import word_order, word_order_blocks
 from onnxtr_spark.kernels.ctc import ctc_best_path
@@ -65,13 +65,15 @@ class RecognizeConfig:
     # B1-B3 always run; B4 block clustering is off by default like the
     # reference (models/builder.py:33 resolve_blocks=False)
     resolve_blocks: bool = False
+    # session resolution (model registry / EngineConfig analog)
+    engine: EngineConfig = EngineConfig(arch="stub_crnn")
 
 
 def recognize_pages(detected: DataFrame, cfg: RecognizeConfig = RecognizeConfig()) -> DataFrame:
     """Run recognition + per-page builder geometry over detect output."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        engine = get_recognition_engine(cfg.vocab)
+        engine = get_recognition_engine(cfg.vocab, cfg.engine)
 
         for pdf in batches:
             if pdf.empty:
