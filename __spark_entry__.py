@@ -148,6 +148,37 @@ def _eval_ocr_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluation.ocr_metric(boxes)
 
 
+def _html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 + north-rule HTML boilerplate strip: synthesize a
+    boilerplate-laden page per doc (nav/header/footer/aside/script with
+    decoy content), strip it back to main text — all JVM-side regexp
+    column algebra. Oracle: roundtrip to the doc's normalized text."""
+    from onnxtr_spark.sources.html import html_extract_query
+
+    return html_extract_query(_documents(spark, sf_dir))
+
+
+def _pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 + north-rule PDF parse: build a REAL minimal PDF per doc
+    (FlateDecode content streams, xref) and parse the text back via
+    content-stream Tj/TJ evaluation. Oracle: per-page word chunks."""
+    from onnxtr_spark.sources.pdf import pdf_extract_query
+
+    return pdf_extract_query(_documents(spark, sf_dir))
+
+
+def _html_sql() -> str:
+    from onnxtr_spark.sources.html import HTML_EXTRACT_SQL
+
+    return HTML_EXTRACT_SQL
+
+
+def _pdf_sql() -> str:
+    from onnxtr_spark.sources.pdf import PDF_EXTRACT_SQL
+
+    return PDF_EXTRACT_SQL
+
+
 def _artefact_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I6 + F6: artefact detection over pages carrying deterministic
     artefact blocks — YOLO-contract stub session, conf filter >= 0.5,
@@ -226,6 +257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_detect_boxes": _ocr_detect_boxes,
         "media_page_stats": _media_page_stats,
         "artefact_detect": _artefact_detect,
+        "html_main_content": _html_main_content,
+        "pdf_extract_text": _pdf_extract_text,
         # evaluation metrics (reference scripts/evaluate.py:20,92-95)
         "eval_text_match": _eval_text_match,
         "eval_localization": _eval_localization,
@@ -277,6 +310,8 @@ def oracle_sql() -> dict[str, str]:
         "ocr_detect_boxes": OCR_DETECT_BOXES_SQL,
         # media_page_stats: image-typed, rows-only check (pytest covers it)
         "artefact_detect": ARTEFACT_DETECT_SQL,
+        "html_main_content": _html_sql(),
+        "pdf_extract_text": _pdf_sql(),
         "eval_text_match": evaluation.text_match_sql(evaluation.TEXT_MATCH_PAIRS_CTE),
         "eval_localization": evaluation.localization_confusion_sql(),
         "eval_ocr_metric": evaluation.ocr_metric_sql(),

@@ -1,0 +1,110 @@
+"""HTML main-content extraction (S3 + the north-rule's "HTML
+boilerplate strip / DOM heuristics"), entirely JVM-side.
+
+The reference's read_html (io/html.py:11-26) renders a page to PDF and
+re-enters the image pipeline; at 10^12 docs the right primitive is a
+direct text path: strip boilerplate containers, keep content blocks.
+Everything here is chained regexp column algebra — whole-stage codegen,
+no Python anywhere, and every regex stays inside RE2's feature set (no
+backreferences) so the DuckDB oracle can run the same program.
+
+Heuristics (tag-level, the readability-family first stage):
+- drop <head>, <script>, <style>, <noscript> with their contents;
+- drop the boilerplate containers <nav>, <header>, <footer>, <aside>
+  with their contents (non-nested per tag — documented limitation);
+- strip remaining tags, decode the common entities, collapse
+  whitespace.
+
+``synthesize_html`` builds a deterministic boilerplate-laden page from
+a document's text (content split into <p> blocks; decoy <p> junk inside
+nav/header/aside/footer so extraction order actually matters), giving
+the roundtrip oracle: main content == the document's normalized text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from onnxtr_spark.corpus import WORDS_PER_PAGE
+
+# (pattern, replacement) chain; applied in order. RE2-safe: one rule per
+# tag instead of a backreferenced <(a|b)>...</\1>.
+_DROP_BLOCKS = ["head", "script", "style", "noscript", "nav", "header", "footer", "aside"]
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
+
+
+def _escape(col: Column) -> Column:
+    c = F.regexp_replace(col, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    return F.regexp_replace(c, ">", "&gt;")
+
+
+def html_main_text(col: Column) -> Column:
+    """Boilerplate-stripped main text of an HTML string column."""
+    c = col
+    for tag in _DROP_BLOCKS:
+        c = F.regexp_replace(c, f"(?s)<{tag}\\b[^>]*>.*?</{tag}>", " ")
+    c = F.regexp_replace(c, "<[^>]+>", " ")
+    for ent, ch in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_main_text_sql(expr: str) -> str:
+    """DuckDB mirror of ``html_main_text`` (RE2 flavor)."""
+    c = expr
+    for tag in _DROP_BLOCKS:
+        c = f"regexp_replace({c}, '(?s)<{tag}\\b[^>]*>.*?</{tag}>', ' ', 'g')"
+    c = f"regexp_replace({c}, '<[^>]+>', ' ', 'g')"
+    for ent, ch in _ENTITIES:
+        lit = ch.replace("'", "''")
+        c = f"replace({c}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+
+
+def synthesize_html(documents: DataFrame) -> DataFrame:
+    """(doc_id, html): a deterministic boilerplate-laden page whose main
+    content is the document text, chunked into one <p> per
+    WORDS_PER_PAGE words. Pure JVM string building."""
+    base = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.split(F.trim("text"), r"\s+").alias("words"),
+    ).withColumn("n_chunks", F.greatest(F.lit(1), F.ceil(F.size("words") / WORDS_PER_PAGE)).cast("int"))
+    paras = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_chunks") - 1),
+            lambda p: F.concat(
+                F.lit("<p>"),
+                _escape(F.array_join(F.slice(F.col("words"), p * WORDS_PER_PAGE + 1, WORDS_PER_PAGE), " ")),
+                F.lit("</p>"),
+            ),
+        ),
+        "",
+    )
+    return base.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>junk title "), F.col("doc_id"),
+            F.lit("</title><style>body{margin:0}</style><script>var t=1&&2<3;</script></head><body>"),
+            F.lit('<nav><ul><li><a href="/">home</a></li><li><p>nav junk paragraph</p></li></ul></nav>'),
+            F.lit('<header><h1 class="site">SiteName &amp; Co</h1><p>tagline boilerplate</p></header>'),
+            F.lit("<main>"), paras, F.lit("</main>"),
+            F.lit("<aside><p>related junk</p><p>more junk</p></aside>"),
+            F.lit("<footer><p>&copy; 2026 SiteName</p></footer></body></html>"),
+        ).alias("html"),
+    )
+
+
+def html_extract_query(documents: DataFrame) -> DataFrame:
+    """(doc_id, main_text): synthesize → strip; roundtrip-oracled
+    against the documents table's normalized text."""
+    html = synthesize_html(documents)
+    return html.select("doc_id", html_main_text(F.col("html")).alias("main_text"))
+
+
+HTML_EXTRACT_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       regexp_replace(trim(text), '\\s+', ' ', 'g') AS main_text
+FROM documents
+"""

@@ -1,0 +1,90 @@
+"""HTML boilerplate strip (S3) and PDF content-stream parse (S1)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from onnxtr_spark.sources import html as H
+from onnxtr_spark.sources import pdf as P
+
+
+def test_pdf_roundtrip_with_escapes():
+    texts = ["hello world", "long " * 20 + "tail", "", "par(en)s \\ backslash", "tab\tand\nnewline"]
+    blob = P.encode_pdf(texts)
+    assert blob.startswith(b"%PDF-1.4") and blob.rstrip().endswith(b"%%EOF")
+    assert P.decode_pdf_texts(blob) == texts
+
+
+def test_pdf_stream_ending_in_carriage_return():
+    """A FlateDecode stream whose last byte is 0x0D must not lose it
+    (the /Length-based locator, not delimiter scanning)."""
+    # 'a684eceee7' deflates to a stream whose adler32 ends in 0x0D
+    found = "a684eceee7"
+    assert P._content_stream(found).endswith(b"\r")
+    assert P.decode_pdf_texts(P.encode_pdf([found])) == [found]
+
+
+def test_pdf_uncompressed_stream_fallback():
+    blob = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 33 >>\nstream\n"
+        b"BT (plain uncompressed) Tj ET ok!"
+        b"\nendstream\nendobj\n%%EOF"
+    )
+    assert P.decode_pdf_texts(blob) == ["plain uncompressed"]
+
+
+def test_pdf_spark_roundtrip(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": ["a", "b"],
+            "text": [" ".join(f"w{i}" for i in range(65)), "short text"],
+        })
+    )
+    out = P.pdf_extract_query(docs).toPandas().sort_values(["doc_id", "page"])
+    a = out[out.doc_id == "a"]
+    assert list(a.page) == [0, 1, 2]
+    assert a.iloc[0].page_text == " ".join(f"w{i}" for i in range(30))
+    assert a.iloc[2].page_text == " ".join(f"w{i}" for i in range(60, 65))
+    b = out[out.doc_id == "b"]
+    assert list(b.page_text) == ["short text"]
+
+
+def test_html_strip_boilerplate_and_entities(spark):
+    html = (
+        "<html><head><title>junk</title><script>if(1<2){a&&b}</script></head>"
+        "<body><nav><p>menu junk</p></nav><header><p>head junk</p></header>"
+        "<main><p>real &amp; true &lt;content&gt;</p><p>second   block</p></main>"
+        "<aside><p>ad junk</p></aside><footer><p>foot junk</p></footer></body></html>"
+    )
+    df = spark.createDataFrame(pd.DataFrame({"html": [html]}))
+    got = df.select(H.html_main_text(F.col("html")).alias("t")).collect()[0].t
+    assert got == "real & true <content> second block"
+
+
+def test_html_roundtrip_query(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": ["x"],
+            "text": ["  spaced   words & <angle> stuff  " + "pad " * 40],
+        })
+    )
+    out = H.html_extract_query(docs).collect()[0]
+    import re
+
+    assert out.main_text == re.sub(r"\s+", " ", docs.collect()[0].text.strip())
+
+
+def test_html_spark_matches_duckdb_regex_flavor(spark):
+    """The same strip program runs in both engines (RE2-safe patterns)."""
+    import duckdb
+
+    html = (
+        '<html><head><style>a{}</style></head><body><nav><a href="#">x</a></nav>'
+        "<main><p>alpha&nbsp;beta</p></main><footer>f</footer></body></html>"
+    )
+    df = spark.createDataFrame(pd.DataFrame({"html": [html]}))
+    got_spark = df.select(H.html_main_text(F.col("html")).alias("t")).collect()[0].t
+    got_duck = duckdb.sql(
+        f"SELECT {H.html_main_text_sql('html')} AS t FROM (SELECT '{html}' AS html)"
+    ).fetchone()[0]
+    assert got_spark == got_duck == "alpha beta"
