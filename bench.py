@@ -31,6 +31,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # the subquadratic LSH path (dedup_minhash_bands) is the benchmarked one.
 HEADLINE = [
     "ocr_extract_spans",
+    "ocr_extract_spans_rotated",
+    "artefact_detect",
+    "html_main_content",
+    "pdf_extract_text",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q5_nation_volume",
@@ -46,10 +50,21 @@ HEADLINE = [
 ]
 
 
+# Per-query repeats; the reported time is the MINIMUM (this box has
+# bursty noisy neighbors — ±40% between identical runs — and the first
+# touch of a corpus pays one-off python-worker/JIT warmup; min
+# approximates the uncontended steady state). Disclosed in the output.
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+
+
 def _run_query(spark, name, fn):
-    t0 = time.time()
-    n = fn(spark, SF_DIR).count()
-    return time.time() - t0, n
+    best = float("inf")
+    n = 0
+    for _ in range(REPEATS):
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        best = min(best, time.time() - t0)
+    return best, n
 
 
 def _count_pages(spark) -> int:
@@ -104,6 +119,8 @@ def headline() -> None:
             "metric": "headline_total_sec",
             "value": total,
             "unit": "sec",
+            "repeats": REPEATS,
+            "policy": "min",
             "queries": timings,
             "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
             "cpus": CPUS,

@@ -222,14 +222,15 @@ def rotate_image_nearest(img: np.ndarray, angle_deg: float, expand: bool = True,
         out_h = int(np.ceil(abs(w * sin) + abs(h * cos)))
     else:
         out_w, out_h = w, h
-    # output pixel centers relative to output center
-    xs = np.arange(out_w) + 0.5 - out_w / 2
-    ys = np.arange(out_h) + 0.5 - out_h / 2
-    gx, gy = np.meshgrid(xs, ys)
+    # output pixel centers relative to output center (float32: pages are
+    # < 2^12 px, so the 2^-23 relative error is far below a pixel); the
+    # outer-sum form avoids materializing meshgrid intermediates
+    xs = (np.arange(out_w, dtype=np.float32) + np.float32(0.5 - out_w / 2))
+    ys = (np.arange(out_h, dtype=np.float32) + np.float32(0.5 - out_h / 2))
     # rotate back: visual CCW rotation of content = apply the inverse
     # (CW) rotation to output coords; y-down flips the usual sign.
-    sx = gx * cos - gy * sin + w / 2
-    sy = gx * sin + gy * cos + h / 2
+    sx = np.float32(cos) * xs[None, :] - np.float32(sin) * ys[:, None] + np.float32(w / 2)
+    sy = np.float32(sin) * xs[None, :] + np.float32(cos) * ys[:, None] + np.float32(h / 2)
     xi = np.floor(sx).astype(np.int64)
     yi = np.floor(sy).astype(np.int64)
     inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)

@@ -95,26 +95,30 @@ def component_runs(bitmap: np.ndarray) -> list[list[tuple[int, int, int]]]:
 
 def convex_hull(points: np.ndarray) -> np.ndarray:
     """Monotone-chain convex hull; returns hull vertices in CCW order
-    (standard math orientation — visually clockwise with y down)."""
-    pts = np.unique(points.astype(np.float64), axis=0)  # sorts lexicographically
-    if pts.shape[0] <= 2:
-        return pts
+    (standard math orientation — visually clockwise with y down).
 
-    def half(seq: np.ndarray) -> list[np.ndarray]:
-        out: list[np.ndarray] = []
-        for p in seq:
+    Pure-Python tuples inside: the per-component point sets are tiny
+    (2 per blob row, ~20-60 points), where per-element numpy calls cost
+    ~10x more than float tuple arithmetic (this runs once per connected
+    component per page — the rotated path's hottest kernel)."""
+    pts = sorted(set(map(tuple, np.asarray(points, dtype=np.float64).tolist())))
+    if len(pts) <= 2:
+        return np.asarray(pts, dtype=np.float64)
+
+    def half(seq: list[tuple[float, float]]) -> list[tuple[float, float]]:
+        out: list[tuple[float, float]] = []
+        for px, py in seq:
             while len(out) >= 2:
-                ax, ay = out[-1] - out[-2]
-                bx, by = p - out[-2]
-                if ax * by - ay * bx > 0:
+                (ox, oy), (qx, qy) = out[-2], out[-1]
+                if (qx - ox) * (py - oy) - (qy - oy) * (px - ox) > 0:
                     break
                 out.pop()
-            out.append(p)
+            out.append((px, py))
         return out
 
     lower = half(pts)
     upper = half(pts[::-1])
-    return np.asarray(lower[:-1] + upper[:-1])
+    return np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
 
 
 def min_area_rect(points: np.ndarray) -> tuple[float, float, float, float, float]:
@@ -199,28 +203,25 @@ def unclip_rotated(
     return order_points(box_points(cx, cy, w + 2 * d, h + 2 * d, angle_rad))
 
 
+def _gather_runs(arr: np.ndarray, runs: list[tuple[int, int, int]]) -> np.ndarray:
+    """One flat array of a component's pixel values (single gather)."""
+    return np.concatenate([arr[y, xs:xe] for y, xs, xe in runs])
+
+
 def _runs_score_px(px_map: np.ndarray, runs: list[tuple[int, int, int]]) -> float:
     """Rotated D4 on the stub-folded pixel map: mean of nonzero
     probabilities over the component's own pixels (see module doc)."""
-    total = 0.0
-    count = 0
-    for y, xs, xe in runs:
-        probs = (255.0 - px_map[y, xs:xe].astype(np.float64)) / 255.0
-        nz = probs > 0
-        total += float(probs[nz].sum())
-        count += int(nz.sum())
-    return total / count if count else 0.0
+    probs = (255.0 - _gather_runs(px_map, runs).astype(np.float64)) / 255.0
+    nz = probs > 0
+    count = int(nz.sum())
+    return float(probs[nz].sum()) / count if count else 0.0
 
 
 def _runs_score_prob(pred: np.ndarray, runs: list[tuple[int, int, int]]) -> float:
-    total = 0.0
-    count = 0
-    for y, xs, xe in runs:
-        probs = pred[y, xs:xe].astype(np.float64)
-        nz = probs > 0
-        total += float(probs[nz].sum())
-        count += int(nz.sum())
-    return total / count if count else 0.0
+    probs = _gather_runs(pred, runs).astype(np.float64)
+    nz = probs > 0
+    count = int(nz.sum())
+    return float(probs[nz].sum()) / count if count else 0.0
 
 
 def _polys_from_components(

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -112,9 +113,13 @@ def media_from_documents(
                     doc_id, page = media_ref[2:].rsplit("-", 1)
                     img = imaging.add_artefacts(img, artefacts_for(doc_id, int(page)))
                 if rotate_words:
-                    # media_ref is "m-<doc>-<page>"
+                    # media_ref is "m-<doc>-<page>"; rendered pages are
+                    # grayscale (3 equal channels), so rotate channel 0
+                    # only and broadcast — 3x less gather traffic, and
+                    # encode_image stores the grayscale frame anyway
                     doc_id, page = media_ref[2:].rsplit("-", 1)
-                    img = imaging.rotate_image_nearest(img, angle_for(doc_id, int(page)))
+                    rot0 = imaging.rotate_image_nearest(img[:, :, 0], angle_for(doc_id, int(page)))
+                    img = np.broadcast_to(rot0[:, :, None], rot0.shape + (3,))
                 rows.append({
                     "media_ref": media_ref,
                     "png": imaging.encode_image(img),
