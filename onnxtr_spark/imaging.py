@@ -239,6 +239,41 @@ def rotate_image_nearest(img: np.ndarray, angle_deg: float, expand: bool = True,
     return out
 
 
+def synthesize_page(
+    words: list[tuple[str, float, float]],
+    height: int,
+    width: int,
+    vocab: str = DEFAULT_VOCAB,
+) -> np.ndarray:
+    """S9 synthesis sink (reference Page.synthesize,
+    io/elements.py:289-298 + utils/reconstitution.py:113-175): draw each
+    predicted word back onto a blank page at its box origin.
+
+    ``words``: (text, xmin_rel, ymin_rel) triples. The reference scales
+    a TTF to the box; our deterministic renderer has one glyph size, so
+    words are drawn at glyph scale anchored at the box's top-left
+    (clipped at page edges) — a synthesized page re-OCRs to the same
+    span sequence (the fixpoint test).
+    """
+    page = np.full((height, width, 3), WHITE, dtype=np.uint8)
+    for text, xmin, ymin in words:
+        x = max(0, int(round(xmin * width)))
+        y = max(0, int(round(ymin * height)))
+        cx = x
+        for ci, ch in enumerate(text):
+            idx = vocab.find(ch)
+            if idx < 0:
+                continue  # unknown char: skip (reference draws font glyphs)
+            if ci > 0:
+                page[y : y + CELL_H, cx : min(cx + GAP_W, width)] = GAP_VALUE
+                cx += GAP_W
+            page[y : y + CELL_H, cx : min(cx + CELL_W, width)] = CHAR_BASE + idx
+            cx += CELL_W
+            if cx >= width:
+                break
+    return page
+
+
 def page_to_prob(img: np.ndarray) -> np.ndarray:
     """Darkness probability map of a rendered page: (255 - gray) / 255.
 

@@ -114,6 +114,32 @@ def resolve_lines_rotated(boxes: np.ndarray, paragraph_break: float = PARAGRAPH_
     return lines
 
 
+def rectify_crops(crops: list[np.ndarray], orientations: list[int]) -> list[np.ndarray]:
+    """G3 crop rectification (models/_utils.py:154-171): rotate each
+    crop by the INVERSE of its predicted orientation class (class k =
+    stored at k*90° ccw -> np.rot90 by 4-k)."""
+    orientations = [4 - pred if pred != 0 else 0 for pred in orientations]
+    return (
+        [crop if o == 0 else np.rot90(crop, o) for o, crop in zip(orientations, crops)]
+        if len(orientations) > 0
+        else []
+    )
+
+
+def rectify_loc_preds(page_loc_preds: np.ndarray, orientations: list[int]) -> np.ndarray | None:
+    """G3 polygon re-orientation (models/_utils.py:173-190): roll each
+    quadrangle's points by the predicted orientation so TL,TR,BR,BL is
+    the READABLE order."""
+    return (
+        np.stack(
+            [np.roll(p, o, axis=0) for o, p in zip(orientations, page_loc_preds)],
+            axis=0,
+        )
+        if len(orientations) > 0
+        else None
+    )
+
+
 def word_order_rotated(polys: np.ndarray, paragraph_break: float = PARAGRAPH_BREAK) -> tuple[np.ndarray, np.ndarray]:
     """Flatten ``resolve_lines_rotated`` into per-word (rank, line_id)
     arrays aligned with the input (N,4,2) poly order — the rotated

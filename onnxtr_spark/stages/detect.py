@@ -67,6 +67,10 @@ class DetectConfig:
     # fused stage (stages/fused.py); the standalone detect stage is
     # straight-only (its output schema carries straight boxes).
     assume_straight_pages: bool = True
+    # G3 crop-orientation rectification inside the rotated path
+    # (reference disable_crop_orientation flag, models/zoo.py:19-27 —
+    # the classifier is ON by default when assume_straight_pages=False).
+    disable_crop_orientation: bool = False
     # Model registry / EngineConfig analog (reference models/engine.py:
     # 33-90 + factory/hub.py): which session the stage resolves. The
     # default stub consumes raw uint8 pages (the folded fast path); a

@@ -30,7 +30,12 @@ from onnxtr_spark.kernels import detect_post, rotated_post, split_merge
 from onnxtr_spark.kernels.builder import word_order, word_order_blocks
 from onnxtr_spark.kernels.ctc import ctc_best_path
 from onnxtr_spark.kernels.geometry import extract_crops, resize_preserve, resize_unpadded
-from onnxtr_spark.kernels.rotated import extract_rcrops_nearest, word_order_rotated
+from onnxtr_spark.kernels.rotated import (
+    extract_rcrops_nearest,
+    rectify_crops,
+    rectify_loc_preds,
+    word_order_rotated,
+)
 from onnxtr_spark.stages.detect import DetectConfig
 from onnxtr_spark.stages.recognize import RECOGNIZE_SCHEMA, RecognizeConfig
 
@@ -125,6 +130,16 @@ def detect_recognize_pages(
                 boxes = boxes[keep] if keep else boxes[:0]
                 if polys is not None:
                     polys = polys[keep] if keep else polys[:0]
+                    if crops and not det_cfg.disable_crop_orientation:
+                        # G3 crop rectification (reference enables the
+                        # crop-orientation classifier by default when
+                        # assume_straight_pages=False, models/zoo.py:19-27
+                        # + predictor.py:126-129): classify each rotated
+                        # crop, rot90 it readable, re-roll its polygon.
+                        orient = get_orientation_engine()
+                        orientations = [orient.run_one(c) for c in crops]
+                        crops = rectify_crops(crops, orientations)
+                        polys = rectify_loc_preds(polys, orientations)
                 splits, crop_map, _ = split_merge.split_crops(
                     crops, reco_cfg.critical_ar, reco_cfg.target_ar, reco_cfg.overlap_ratio
                 )
