@@ -35,6 +35,7 @@ HEADLINE = [
     "artefact_detect",
     "html_main_content",
     "pdf_extract_text",
+    "eval_ocr_metric",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q5_nation_volume",

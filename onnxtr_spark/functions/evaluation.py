@@ -180,24 +180,29 @@ _PAGE_STATS_SCHEMA = (
     "raw long, caseless long, unidecode long, unicase long"
 )
 
+_FOLD_TABLE = str.maketrans(_ACCENTS, _FOLDED)
 
-def _page_confusion(pdf: pd.DataFrame, iou_thresh: float, with_text: bool) -> pd.DataFrame:
-    gt = pdf[pdf["side"] == "gt"]
-    pr = pdf[pdf["side"] == "pred"]
-    gts = gt[["xmin", "ymin", "xmax", "ymax"]].to_numpy(dtype=np.float64)
-    prs = pr[["xmin", "ymin", "xmax", "ymax"]].to_numpy(dtype=np.float64)
+
+def page_confusion(
+    gts: np.ndarray,
+    prs: np.ndarray,
+    gt_words,
+    pr_words,
+    iou_thresh: float,
+) -> tuple[int, int, int, int, int, int, int, int]:
+    """One page's confusion counters: (matches, num_gts, num_preds,
+    tot_iou_micro, raw, caseless, unidecode, unicase). Text counters
+    stay 0 when word arrays are None."""
     iou = box_iou_matrix(gts, prs)
     # docTR LocalizationConfusion: tot_iou = per-pred best IoU, summed
-    tot_micro = sum(_iou_micro(x) for x in (iou.max(axis=0) if iou.size else np.zeros(0)))
+    tot_micro = sum(_iou_micro(x) for x in (iou.max(axis=0) if iou.size else ()))
     matches = 0
     n_raw = n_caseless = n_unidecode = n_unicase = 0
     if iou.size:
         ri, ci = linear_sum_assignment_min(-iou)
         kept = iou[ri, ci] >= iou_thresh
         matches = int(kept.sum())
-        if with_text:
-            gt_words = gt["text"].to_numpy()
-            pr_words = pr["text"].to_numpy()
+        if gt_words is not None:
             for g_i, p_i in zip(ri[kept], ci[kept]):
                 g, p = str(gt_words[g_i]), str(pr_words[p_i])
                 fg, fp = g.translate(_FOLD_TABLE), p.translate(_FOLD_TABLE)
@@ -205,19 +210,45 @@ def _page_confusion(pdf: pd.DataFrame, iou_thresh: float, with_text: bool) -> pd
                 n_caseless += g.lower() == p.lower()
                 n_unidecode += fg == fp
                 n_unicase += fg.lower() == fp.lower()
-    return pd.DataFrame([{
-        "matches": matches,
-        "num_gts": len(gts),
-        "num_preds": len(prs),
-        "tot_iou_micro": int(tot_micro),
-        "raw": n_raw,
-        "caseless": n_caseless,
-        "unidecode": n_unidecode,
-        "unicase": n_unicase,
-    }])
+    return matches, len(gts), len(prs), int(tot_micro), n_raw, n_caseless, n_unidecode, n_unicase
 
 
-_FOLD_TABLE = str.maketrans(_ACCENTS, _FOLDED)
+def _confusion_partials(boxes: DataFrame, iou_thresh: float, with_text: bool) -> DataFrame:
+    """Per-ARROW-BATCH partial counter rows (the map-side combine): one
+    JVM groupBy collects each page's boxes into an array, then a single
+    mapInPandas sums page counters across its whole batch — no
+    per-group applyInPandas overhead, and the global aggregation sees
+    one tiny row per batch instead of one per page (at 10^12 docs the
+    shuffle after this stage is counters only)."""
+    fields = ["side", "xmin", "ymin", "xmax", "ymax"] + (["text"] if with_text else [])
+    grouped = boxes.groupBy("doc_id", "page").agg(F.collect_list(F.struct(*fields)).alias("items"))
+    # Explicit numPartitions: the grouped rows are tiny (a few KB/page),
+    # so AQE (correctly, by bytes) would coalesce this shuffle into ~1
+    # partition — but the matching stage is CPU-bound per PAGE, not per
+    # byte, and byte-based coalescing serializes it (the same trap
+    # documented at stages/pipeline.media_pages). Explicit counts are
+    # exempt from AQE coalescing.
+    grouped = grouped.repartition(boxes.sparkSession.sparkContext.defaultParallelism)
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            acc = np.zeros(8, dtype=np.int64)
+            for items in pdf["items"]:
+                gt = [it for it in items if it["side"] == "gt"]
+                pr = [it for it in items if it["side"] == "pred"]
+                gts = np.array([[it["xmin"], it["ymin"], it["xmax"], it["ymax"]] for it in gt], dtype=np.float64).reshape(-1, 4)
+                prs = np.array([[it["xmin"], it["ymin"], it["xmax"], it["ymax"]] for it in pr], dtype=np.float64).reshape(-1, 4)
+                gw = [it["text"] for it in gt] if with_text else None
+                pw = [it["text"] for it in pr] if with_text else None
+                acc += np.array(page_confusion(gts, prs, gw, pw, iou_thresh), dtype=np.int64)
+            yield pd.DataFrame(
+                [acc.tolist()],
+                columns=["matches", "num_gts", "num_preds", "tot_iou_micro", "raw", "caseless", "unidecode", "unicase"],
+            )
+
+    return grouped.mapInPandas(run, _PAGE_STATS_SCHEMA)
 
 
 def localization_confusion(boxes: DataFrame, iou_thresh: float = IOU_THRESH) -> DataFrame:
@@ -225,9 +256,7 @@ def localization_confusion(boxes: DataFrame, iou_thresh: float = IOU_THRESH) -> 
     (doc_id, page, side in {'gt','pred'}, xmin..ymax): Hungarian-matched
     IoU >= thresh counts per page, aggregated globally to one row
     (matches, num_gts, num_preds, recall, precision, mean_iou)."""
-    per_page = boxes.groupBy("doc_id", "page").applyInPandas(
-        lambda pdf: _page_confusion(pdf, iou_thresh, with_text=False), _PAGE_STATS_SCHEMA
-    )
+    per_page = _confusion_partials(boxes, iou_thresh, with_text=False)
     agg = per_page.agg(
         F.sum("matches").alias("m"),
         F.sum("num_gts").alias("g"),
@@ -248,9 +277,7 @@ def ocr_metric(boxes: DataFrame, iou_thresh: float = IOU_THRESH) -> DataFrame:
     """docTR-style OCRMetric: Hungarian IoU matching, then the four
     string-match flavors on matched pairs. Input adds a ``text`` column;
     output one row with loc counts + per-flavor recall/precision."""
-    per_page = boxes.groupBy("doc_id", "page").applyInPandas(
-        lambda pdf: _page_confusion(pdf, iou_thresh, with_text=True), _PAGE_STATS_SCHEMA
-    )
+    per_page = _confusion_partials(boxes, iou_thresh, with_text=True)
     agg = per_page.agg(
         F.sum("matches").alias("m"),
         F.sum("num_gts").alias("g"),

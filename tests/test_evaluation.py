@@ -43,25 +43,23 @@ def test_box_iou_matrix_values():
 
 
 def test_page_confusion_rejects_below_threshold():
-    import pandas as pd
-
-    rows = [
-        # gt / pred pair with IoU 1.0 -> match
-        dict(side="gt", xmin=0.0, ymin=0.0, xmax=0.1, ymax=0.1, text="a"),
-        dict(side="pred", xmin=0.0, ymin=0.0, xmax=0.1, ymax=0.1, text="a"),
-        # gt / pred pair with IoU ~0.33 -> counted in tot_iou, not matched
-        dict(side="gt", xmin=0.5, ymin=0.5, xmax=0.6, ymax=0.6, text="b"),
-        dict(side="pred", xmin=0.55, ymin=0.5, xmax=0.65, ymax=0.6, text="b"),
-        # unmatched gt (dropped pred)
-        dict(side="gt", xmin=0.8, ymin=0.8, xmax=0.9, ymax=0.9, text="c"),
-    ]
-    pdf = pd.DataFrame(rows)
-    out = ev._page_confusion(pdf, 0.5, with_text=True).iloc[0]
-    assert out.matches == 1
-    assert out.num_gts == 3 and out.num_preds == 2
-    assert out.raw == 1 and out.unicase == 1
+    gts = np.array([
+        [0.0, 0.0, 0.1, 0.1],    # IoU 1.0 with pred 0 -> match
+        [0.5, 0.5, 0.6, 0.6],    # IoU ~0.33 with pred 1 -> tot_iou only
+        [0.8, 0.8, 0.9, 0.9],    # unmatched gt (dropped pred)
+    ])
+    prs = np.array([[0.0, 0.0, 0.1, 0.1], [0.55, 0.5, 0.65, 0.6]])
+    matches, n_g, n_p, tot_micro, raw, caseless, unidecode, unicase = ev.page_confusion(
+        gts, prs, ["a", "b", "c"], ["a", "b"], 0.5
+    )
+    assert matches == 1
+    assert n_g == 3 and n_p == 2
+    assert raw == 1 and unicase == 1
     # tot_iou = 1.0 + 1/3 in micro units
-    assert out.tot_iou_micro == 1_000_000 + int(np.floor(1 / 3 * 1e6 + 0.5))
+    assert tot_micro == 1_000_000 + int(np.floor(1 / 3 * 1e6 + 0.5))
+    # loc-only variant: text counters stay zero
+    out = ev.page_confusion(gts, prs, None, None, 0.5)
+    assert out[:4] == (1, 3, 2, tot_micro) and out[4:] == (0, 0, 0, 0)
 
 
 def test_text_match_flavors(spark):
