@@ -179,6 +179,22 @@ def _pdf_sql() -> str:
     return PDF_EXTRACT_SQL
 
 
+def _multisource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 multi-source facade: one mixed-kind corpus (html / pdf /
+    image by doc_id %% 3) routed through the per-kind decode branches —
+    boilerplate strip, content-stream parse, and the full OCR pipeline
+    — into one (doc_id, kind, page, text) relation."""
+    from onnxtr_spark.sources.reader import mixed_corpus_from_documents, read_documents
+
+    return read_documents(mixed_corpus_from_documents(_documents(spark, sf_dir)))
+
+
+def _multisource_sql() -> str:
+    from onnxtr_spark.sources.reader import MULTISOURCE_READ_SQL
+
+    return MULTISOURCE_READ_SQL
+
+
 def _artefact_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I6 + F6: artefact detection over pages carrying deterministic
     artefact blocks — YOLO-contract stub session, conf filter >= 0.5,
@@ -259,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "artefact_detect": _artefact_detect,
         "html_main_content": _html_main_content,
         "pdf_extract_text": _pdf_extract_text,
+        "multisource_read": _multisource_read,
         # evaluation metrics (reference scripts/evaluate.py:20,92-95)
         "eval_text_match": _eval_text_match,
         "eval_localization": _eval_localization,
@@ -312,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
         "artefact_detect": ARTEFACT_DETECT_SQL,
         "html_main_content": _html_sql(),
         "pdf_extract_text": _pdf_sql(),
+        "multisource_read": _multisource_sql(),
         "eval_text_match": evaluation.text_match_sql(evaluation.TEXT_MATCH_PAIRS_CTE),
         "eval_localization": evaluation.localization_confusion_sql(),
         "eval_ocr_metric": evaluation.ocr_metric_sql(),

@@ -1,0 +1,166 @@
+"""S4 multi-source facade: the DocumentFile analog
+(reference io/reader.py:21-79 — from_pdf / from_images / from_url
+choosing a decode path per input kind).
+
+Spark-first shape: ONE mixed-kind table (doc_id, kind, page, payload)
+fans out into three declarative branches — kind is a
+partition-predicate filter, never a per-row Python dispatch — and the
+branches union back into a single (doc_id, kind, page, text) relation:
+
+- ``html``  → JVM-side boilerplate strip (sources/html.py), page 0;
+- ``pdf``   → content-stream text parse (sources/pdf.py), one output
+  row per PDF page (a doc is one payload);
+- ``image`` → the full OCR pipeline (fused detect+recognize) with
+  reading-order text assembly per page (a doc may span several page
+  images, keyed by the input ``page`` column).
+
+At scale each branch prunes to its own partitions when the table is
+partitioned by ``kind`` (partition pruning is visible in the scan), so
+a corpus that is 90% HTML never pays image decode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from onnxtr_spark.corpus import WORDS_PER_LINE, WORDS_PER_PAGE
+from onnxtr_spark.sources.html import html_main_text, synthesize_html
+from onnxtr_spark.sources.pdf import pdf_pages_text
+from onnxtr_spark.stages.fused import detect_recognize_pages
+
+READ_COLS = ["doc_id", "kind", "page", "text"]
+
+
+def read_documents(df: DataFrame) -> DataFrame:
+    """(doc_id, kind, page, payload binary) → (doc_id, kind, page, text).
+
+    ``payload``: utf-8 HTML bytes, PDF bytes, or an encoded page image
+    (imaging codec / PNG stand-in) according to ``kind``.
+    """
+    html = (
+        df.where(F.col("kind") == "html")
+        .select(
+            "doc_id",
+            F.lit("html").alias("kind"),
+            F.lit(0).alias("page"),
+            html_main_text(F.col("payload").cast("string")).alias("text"),
+        )
+    )
+    pdf = pdf_pages_text(
+        df.where(F.col("kind") == "pdf").select("doc_id", F.col("payload").alias("pdf"))
+    ).select("doc_id", F.lit("pdf").alias("kind"), "page", F.col("page_text").alias("text"))
+
+    image_pages = df.where(F.col("kind") == "image").select(
+        "doc_id",
+        F.col("page").alias("offset"),
+        F.concat("doc_id", F.lit("-"), F.col("page").cast("string")).alias("media_ref"),
+        F.col("payload").alias("png"),
+        F.lit(0).alias("height"),  # dims live in the image header; the
+        F.lit(0).alias("width"),   # fused stage decodes them itself
+    )
+    words = detect_recognize_pages(image_pages)
+    image = (
+        words.groupBy("doc_id", "offset")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list(F.struct("rank", "text"))), lambda s: s["text"]),
+                " ",
+            ).alias("text")
+        )
+        .select("doc_id", F.lit("image").alias("kind"), F.col("offset").alias("page"), "text")
+    )
+    return html.unionByName(pdf).unionByName(image).select(*READ_COLS)
+
+
+def mixed_corpus_from_documents(documents: DataFrame) -> DataFrame:
+    """Deterministic mixed-kind corpus: doc i is html / pdf / image by
+    ``doc_id % 3`` — html as one boilerplate page, pdf as one file with
+    WORDS_PER_PAGE-word pages, image as one rendered page image per
+    chunk. Output: (doc_id, kind, page, payload binary)."""
+    base = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (F.col("doc_id").cast("long") % 3).alias("k3"),
+        F.split(F.trim("text"), r"\s+").alias("words"),
+    )
+    html = (
+        synthesize_html(documents)
+        .join(base.where(F.col("k3") == 0).select("doc_id"), "doc_id")
+        .select(
+            "doc_id", F.lit("html").alias("kind"), F.lit(0).alias("page"),
+            F.col("html").cast("binary").alias("payload"),
+        )
+    )
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+
+    def build_pdf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from onnxtr_spark.sources.pdf import encode_pdf
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, words in zip(pdf["doc_id"], pdf["words"]):
+                words = [w for w in list(words) if w]
+                chunks = [
+                    " ".join(words[i : i + WORDS_PER_PAGE]) for i in range(0, len(words), WORDS_PER_PAGE)
+                ] or [""]
+                rows.append({"doc_id": doc_id, "kind": "pdf", "page": 0, "payload": encode_pdf(chunks)})
+            yield pd.DataFrame(rows, columns=["doc_id", "kind", "page", "payload"])
+
+    pdfs = (
+        base.where(F.col("k3") == 1)
+        .repartition(parallelism)
+        .mapInPandas(build_pdf, "doc_id string, kind string, page int, payload binary")
+    )
+
+    def build_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from onnxtr_spark import imaging
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, words in zip(pdf["doc_id"], pdf["words"]):
+                words = [w for w in list(words) if w]
+                n_pages = max(1, -(-len(words) // WORDS_PER_PAGE))
+                for p in range(n_pages):
+                    chunk = words[p * WORDS_PER_PAGE : (p + 1) * WORDS_PER_PAGE]
+                    lines = [chunk[i : i + WORDS_PER_LINE] for i in range(0, len(chunk), WORDS_PER_LINE)] or [[]]
+                    img = imaging.render_page(lines)
+                    rows.append({
+                        "doc_id": doc_id, "kind": "image", "page": p,
+                        "payload": imaging.encode_image(img),
+                    })
+            yield pd.DataFrame(rows, columns=["doc_id", "kind", "page", "payload"])
+
+    images = (
+        base.where(F.col("k3") == 2)
+        .repartition(parallelism)
+        .mapInPandas(build_images, "doc_id string, kind string, page int, payload binary")
+    )
+    return html.unionByName(pdfs).unionByName(images)
+
+
+MULTISOURCE_READ_SQL = f"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS sid, doc_id % 3 AS k3,
+         string_split_regex(trim(text), '\\s+') AS words,
+         regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm
+  FROM documents
+), paged AS (
+  SELECT sid, k3, words,
+         unnest(generate_series(0, CAST(greatest(1, ceil(len(words) / {WORDS_PER_PAGE}.0)) AS INT) - 1)) AS p
+  FROM w WHERE k3 != 0
+)
+SELECT sid AS doc_id, 'html' AS kind, 0 AS page, norm AS text FROM w WHERE k3 = 0
+UNION ALL
+SELECT sid, CASE k3 WHEN 1 THEN 'pdf' ELSE 'image' END, CAST(p AS INT),
+       array_to_string(words[p * {WORDS_PER_PAGE} + 1 : (p + 1) * {WORDS_PER_PAGE}], ' ')
+FROM paged
+"""
