@@ -60,3 +60,76 @@ def test_ocr_pipeline_shuffle_budget(spark):
     assert p.count("Exchange") <= 8, p
     # the two Python stages: page render + fused detect/recognize
     assert p.count("MapInPandas") == 2, p
+
+
+def test_rotated_pipeline_same_shape(spark):
+    """assume_straight_pages=False must not change the plan shape —
+    the rotated geometry lives inside the same fused Python stage."""
+    from onnxtr_spark.stages.pipeline import extract_from_testdata_rotated
+
+    p = plan(extract_from_testdata_rotated(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange") <= 8, p
+    assert p.count("MapInPandas") == 2, p
+
+
+def test_html_strip_is_pure_jvm_map(spark):
+    """The boilerplate strip is regexp column algebra: zero Python
+    nodes, zero shuffles — a scan + project that codegens whole-stage."""
+    from onnxtr_spark.sources.html import html_extract_query
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(html_extract_query(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p and "MapInPandas" not in p
+    assert "Exchange" not in p  # narrow end to end
+    assert "*(1)" in p  # the scan+split project codegens whole-stage
+
+
+def test_pdf_roundtrip_two_python_stages(spark):
+    from onnxtr_spark.sources.pdf import pdf_extract_query
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(pdf_extract_query(docs))
+    assert p.count("MapInPandas") == 2  # synthesize + parse
+    assert p.count("Exchange") <= 1  # only the parallelism repartition
+
+
+def test_eval_partials_repartition_before_python(spark):
+    """The matching stage must not be byte-coalesced into one partition:
+    the explicit repartition sits between the groupBy and MapInPandas."""
+    from onnxtr_spark.functions import evaluation as ev
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    boxes = ev.eval_boxes_from_documents(docs)
+    p = plan(ev.localization_confusion(boxes.drop("text")))
+    assert "MapInPandas" in p
+    assert re.search(r"Exchange RoundRobinPartitioning", p), p
+    # one page-grouping shuffle + one explicit repartition + final single-row agg
+    assert p.count("Exchange") <= 4, p
+
+
+def test_artefact_stage_single_python_pass(spark):
+    from onnxtr_spark.stages.artefacts import detect_artefacts
+    from onnxtr_spark.stages.ingest import docs_from_documents, load_documents, media_from_documents
+    from onnxtr_spark.stages.pipeline import media_pages
+
+    documents = load_documents(spark, SF_DIR)
+    pages = media_pages(docs_from_documents(documents), media_from_documents(documents, artefacts=True))
+    p = plan(detect_artefacts(pages))
+    assert p.count("MapInPandas") == 2  # render + detect (pages decoded once)
+    assert "CartesianProduct" not in p
+
+
+def test_token_jaccard_prefix_bounded(spark):
+    """The SSJoin prefix index must be bounded: each doc contributes at
+    most floor((1-t)|X|)+1 tokens to the join side (no stopword d^2)."""
+    from pyspark.sql import functions as F
+
+    from onnxtr_spark.functions.dedup import prefix_tokens
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pref = prefix_tokens(docs, 0.9).groupBy("doc_id").agg(
+        F.count("*").alias("indexed"), F.first("n").alias("n")
+    )
+    bad = pref.where(F.col("indexed") > F.floor(0.1 * F.col("n")) + 1).count()
+    assert bad == 0
