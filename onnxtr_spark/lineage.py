@@ -28,6 +28,7 @@ from __future__ import annotations
 import time
 import uuid
 
+from pyspark import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,6 +38,31 @@ LINEAGE_SCHEMA = (
     "run_id string, group int, n_docs long, n_pages long, n_words long, n_spans long, "
     "wall_ms double, completed_at_unix double"
 )
+
+PARTITION_METRICS_SCHEMA = (
+    "run_id string, group int, partition_id int, pages long, boxes long, words long, "
+    "decode_ms double, wall_ms double"
+)
+
+
+class _ListAccum(AccumulatorParam):
+    """AccumulatorParam collecting lists of tuples (executor -> driver
+    side channel for per-partition metric rows)."""
+
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        return a
+
+
+def metrics_accumulator(spark: SparkSession):
+    """Fresh per-partition-metrics accumulator for the fused stage
+    (stages/fused.detect_recognize_pages ``metrics_acc``): each task
+    adds one (partition_id, pages, boxes, words, decode_ms, wall_ms)
+    row — the north-star lineage metrics."""
+    return spark.sparkContext.accumulator([], _ListAccum())
 
 
 def _with_group(docs: DataFrame, n_groups: int) -> DataFrame:
@@ -58,10 +84,14 @@ def run_checkpointed(
     out_path: str,
     n_groups: int = 8,
     fail_after: int | None = None,
+    partition_metrics: bool = True,
 ) -> list[int]:
     """Extract all doc groups, skipping completed ones. Returns the list
     of groups processed this run. ``fail_after`` aborts after N groups
-    (test hook simulating a mid-job crash)."""
+    (test hook simulating a mid-job crash). ``partition_metrics``
+    appends per-partition rows (pages decoded, boxes detected, words
+    recognized, decode latency, wall time) to
+    ``out/partition_metrics/`` after each group commits."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     run_id = uuid.uuid4().hex[:12]
     done = completed_groups(spark, out_path)
@@ -77,8 +107,9 @@ def run_checkpointed(
         n_spans = 0
         n_pages = 0
         n_words = 0
+        acc = metrics_accumulator(spark) if partition_metrics else None
         if n_docs:
-            flat = extract_spans(gdocs, media).withColumn("group", F.lit(g))
+            flat = extract_spans(gdocs, media, metrics_acc=acc).withColumn("group", F.lit(g))
             flat.write.mode("overwrite").partitionBy("group").parquet(f"{out_path}/spans")
             written = spark.read.parquet(f"{out_path}/spans").where(F.col("group") == g)
             counts = written.agg(
@@ -92,6 +123,11 @@ def run_checkpointed(
                 gdocs.select(F.explode("spans").alias("s"))
                 .where(F.col("s.kind") == "media")
                 .count()
+            )
+        if partition_metrics and acc is not None and acc.value:
+            rows = [(run_id, g, *tup) for tup in acc.value]
+            spark.createDataFrame(rows, schema=PARTITION_METRICS_SCHEMA).write.mode("append").parquet(
+                f"{out_path}/partition_metrics"
             )
         lineage_row = spark.createDataFrame(
             [(run_id, g, n_docs, n_pages, n_words, n_spans, (time.time() - t0) * 1000.0, time.time())],

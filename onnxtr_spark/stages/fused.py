@@ -49,8 +49,18 @@ def detect_recognize_pages(
     pages: DataFrame,
     det_cfg: DetectConfig = DetectConfig(),
     reco_cfg: RecognizeConfig = RecognizeConfig(),
+    metrics_acc=None,
 ) -> DataFrame:
-    """Detect + recognize + per-page builder rank in one Arrow pass."""
+    """Detect + recognize + per-page builder rank in one Arrow pass.
+
+    ``metrics_acc``: optional list accumulator (lineage.metrics_accumulator)
+    collecting one per-PARTITION row (partition_id, pages, boxes, words,
+    decode_ms, wall_ms) — the north-star lineage metrics (pages decoded,
+    boxes detected, words recognized, decode latency). Accumulator
+    semantics: task retries may double-count (Spark guarantees
+    exactly-once only for actions) — metrics, not bookkeeping; resume
+    correctness never depends on them.
+    """
 
     if det_cfg.engine.input_contract != "uint8_bhwc":
         raise ValueError(
@@ -59,9 +69,14 @@ def detect_recognize_pages(
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from time import perf_counter
+
         det = get_detection_engine(det_cfg.engine)
         reco = get_recognition_engine(reco_cfg.vocab, reco_cfg.engine)
         n_classes_vocab = reco_cfg.vocab
+        t_part = perf_counter()
+        m_pages = m_boxes = m_words = 0
+        m_decode_s = 0.0
 
         for pdf in batches:
             if pdf.empty:
@@ -77,7 +92,10 @@ def detect_recognize_pages(
                 # memory traffic through resize/crop/model (this kernel
                 # chain is DRAM-bound at high core counts). The
                 # standalone stages keep the 3-channel contract.
+                t_dec = perf_counter()
                 img = imaging.decode_image(png)[:, :, :1]
+                m_decode_s += perf_counter() - t_dec
+                m_pages += 1
                 if det_cfg.straighten_pages:
                     # I5 orientation classify + G4-style rectification:
                     # undo the stored rotation before detection so all
@@ -140,6 +158,7 @@ def detect_recognize_pages(
                         orientations = [orient.run_one(c) for c in crops]
                         crops = rectify_crops(crops, orientations)
                         polys = rectify_loc_preds(polys, orientations)
+                m_boxes += int(boxes.shape[0])
                 splits, crop_map, _ = split_merge.split_crops(
                     crops, reco_cfg.critical_ar, reco_cfg.target_ar, reco_cfg.overlap_ratio
                 )
@@ -194,6 +213,18 @@ def detect_recognize_pages(
                         float(box[0]), float(box[1]), float(box[2]), float(box[3]),
                         float(box[4]), text, float(conf),
                     ))
+            m_words += len(out_rows)
             yield pd.DataFrame(out_rows, columns=OUT_COLS)
+
+        if metrics_acc is not None:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            metrics_acc.add([(
+                int(ctx.partitionId()) if ctx else -1,
+                m_pages, m_boxes, m_words,
+                round(m_decode_s * 1000.0, 3),
+                round((perf_counter() - t_part) * 1000.0, 3),
+            )])
 
     return pages.mapInPandas(run, schema=RECOGNIZE_SCHEMA)

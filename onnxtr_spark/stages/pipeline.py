@@ -71,18 +71,19 @@ def extract_spans(
     det_cfg: DetectConfig = DetectConfig(),
     reco_cfg: RecognizeConfig = RecognizeConfig(),
     fused: bool = True,
+    metrics_acc=None,
 ) -> DataFrame:
     """Full OCR extraction: flat span rows (doc_id, offset, kind, text, media_ref).
 
     ``fused=True`` (default) runs detect+recognize in one mapInPandas so
     page bytes cross the JVM↔Python boundary once (see stages/fused.py);
     ``fused=False`` chains the standalone stages (same results — asserted
-    in tests)."""
+    in tests). ``metrics_acc``: see fused.detect_recognize_pages."""
     pages = media_pages(docs, media)
     if fused:
         from onnxtr_spark.stages.fused import detect_recognize_pages
 
-        words = detect_recognize_pages(pages, det_cfg, reco_cfg)
+        words = detect_recognize_pages(pages, det_cfg, reco_cfg, metrics_acc=metrics_acc)
     else:
         words = recognize_pages(detect_pages(pages, det_cfg), reco_cfg)
     return assemble_spans(docs, words)

@@ -71,3 +71,21 @@ def test_group_reprocess_idempotent(spark, corpus, tmp_path):
     got = read_spans(spark, out)
     assert got.count() == got.dropDuplicates(["doc_id", "offset"]).count()
     assert got.count() == len(golden_flat())
+
+
+def test_partition_metrics_rows(spark, corpus, tmp_path):
+    """North-star lineage metrics: per-partition rows carrying pages
+    decoded, boxes detected, words recognized, and decode latency."""
+    docs, media = corpus
+    out = str(tmp_path / "outm")
+    run_checkpointed(spark, docs, media, out, n_groups=2)
+    pm = spark.read.parquet(f"{out}/partition_metrics").toPandas()
+    lineage = spark.read.parquet(f"{out}/lineage").toPandas()
+    # every processed group reported metrics
+    assert set(pm.group) == set(lineage[lineage.n_docs > 0].group)
+    # totals agree with the lineage counters
+    assert pm.pages.sum() == lineage.n_pages.sum()
+    assert pm.words.sum() == lineage.n_words.sum()
+    assert pm.boxes.sum() >= pm.words.sum() > 0
+    assert (pm.decode_ms >= 0).all() and (pm.wall_ms > 0).all()
+    assert (pm.partition_id >= 0).all()
