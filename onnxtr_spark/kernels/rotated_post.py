@@ -196,11 +196,40 @@ def unclip_rotated(
     reference's pyclipper round-join offset + minAreaRect composition,
     postprocessor/base.py:54-81 — analytic for rectangles), then order
     points TL,TR,BR,BL. Returns (4, 2) absolute corner coords.
+
+    Plain-float corner math + ``order_points`` semantics inlined on the
+    4 tuples (this runs once per component per page — same hot-path
+    rationale as convex_hull; semantics pinned equal to
+    order_points(box_points(...)) by test).
     """
+    import math
+
     area = (w + 1.0) * (h + 1.0)
     length = 2.0 * (w + h) + 2.0
     d = area * unclip_ratio / length
-    return order_points(box_points(cx, cy, w + 2 * d, h + 2 * d, angle_rad))
+    hw, hh = w / 2 + d, h / 2 + d
+    ux, uy = math.cos(angle_rad), math.sin(angle_rad)
+    vx, vy = -uy, ux
+    pts = [
+        (cx - ux * hw - vx * hh, cy - uy * hw - vy * hh),
+        (cx + ux * hw - vx * hh, cy + uy * hw - vy * hh),
+        (cx + ux * hw + vx * hh, cy + uy * hw + vy * hh),
+        (cx - ux * hw + vx * hh, cy - uy * hw + vy * hh),
+    ]
+    # order_points, inlined: CCW-by-centroid-angle sort, start at min
+    # coordinate sum, clockwise fix (shoelace)
+    mx = sum(p[0] for p in pts) / 4
+    my = sum(p[1] for p in pts) / 4
+    pts.sort(key=lambda p: math.atan2(p[1] - my, p[0] - mx))
+    start = min(range(4), key=lambda i: pts[i][0] + pts[i][1])
+    pts = pts[start:] + pts[:start]
+    shoelace = sum(
+        pts[i][0] * pts[(i + 1) % 4][1] - pts[i][1] * pts[(i + 1) % 4][0] for i in range(4)
+    )
+    if shoelace < 0:
+        rev = pts[::-1]
+        pts = rev[-1:] + rev[:-1]
+    return np.asarray(pts, dtype=np.float64)
 
 
 def _gather_runs(arr: np.ndarray, runs: list[tuple[int, int, int]]) -> np.ndarray:
