@@ -255,3 +255,83 @@ WITH toks AS (
 )
 SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM doc_bits
 """
+
+
+def near_dup_groups(documents: DataFrame, threshold: float = 0.9, max_iters: int = 20) -> DataFrame:
+    """Canonical near-dup GROUP assignment: (doc_id, group_id) for every
+    document, where group_id is the minimum doc_id of its connected
+    component in the verified near-dup graph (token Jaccard >= t pairs
+    from the prefix-filtered SSJoin above).
+
+    This is the step that actually deduplicates a corpus — pairs alone
+    don't say which copies to keep. Connected components run as
+    iterative hash-min label propagation with POINTER JUMPING
+    (label(v) <- min(label(v), labels of neighbors, label(label(v)))):
+    the jump halves label-chain depth each round, so convergence is
+    O(log diameter) rounds, not O(diameter) — the property that makes
+    this viable on web-scale duplicate chains. Each round is two
+    equi-joins + one groupBy; the driver-side loop checks a single
+    convergence count per round (control-plane scalar, like IVF
+    centroid training) and localCheckpoints the label table so the
+    plan/lineage does not grow with iterations.
+    """
+    pairs = token_jaccard_pairs(documents, threshold).select("doc_a", "doc_b")
+    nodes = documents.select(F.col("doc_id").cast("long").alias("node")).distinct()
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "node", "doc_b": "peer"})
+
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.peer == labels.node)
+            .groupBy(edges.node.alias("n"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        jumped = labels.alias("l").join(
+            labels.select(F.col("node").alias("jn"), F.col("label").alias("jlabel")),
+            F.col("l.label") == F.col("jn"),
+        ).select(F.col("l.node").alias("node"), F.col("jlabel").alias("plabel"))
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("n"), "left")
+            .join(jumped.withColumnsRenamed({"node": "jnode"}), labels.node == F.col("jnode"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nmin"), F.col("label")),
+                    F.coalesce(F.col("plabel"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), F.col("a.node") == F.col("b.node"))
+            .where(F.col("a.label") != F.col("b.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+def near_dup_groups_sql(threshold: float = 0.9) -> str:
+    """DuckDB oracle: transitive closure via recursive CTE, then the
+    min reachable node per doc (fine at oracle scale; the Spark side is
+    the log-round algorithm that survives web scale)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  {token_jaccard_pairs_sql(threshold)}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, other) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other
+)
+SELECT node AS doc_id, min(other) AS group_id FROM reach GROUP BY node
+"""

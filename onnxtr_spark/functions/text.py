@@ -23,8 +23,18 @@ def tokens():
 _TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
 
 
+# BPE-ish pretokenizer (the GPT-2-family regex, RE2-safe subset: no
+# lookaheads): contraction suffixes, letter runs, digit runs, punct runs
+# — each optionally preceded by one space. Token COUNT approximates the
+# subword budget a tokenizer would see far better than whitespace count.
+BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+BPE_RE_SQL = BPE_RE.replace("'", "''")  # escaped for the SQL literal
+
+
 def token_stats(documents: DataFrame) -> DataFrame:
-    """Per-doc token counts: (doc_id, n_tokens, n_distinct, n_chars, avg_token_len)."""
+    """Per-doc token counts: (doc_id, n_tokens, n_distinct, n_chars,
+    avg_token_len, n_bpe_tokens) — whitespace tokens plus the BPE-ish
+    regex pretokenization count."""
     return documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(tokens()).cast("long").alias("n_tokens"),
@@ -33,6 +43,7 @@ def token_stats(documents: DataFrame) -> DataFrame:
         round_half_up(
             F.aggregate(tokens(), F.lit(0.0), lambda acc, t: acc + F.length(t)) / F.size(tokens()), 4
         ).alias("avg_token_len"),
+        F.size(F.regexp_extract_all(F.trim("text"), F.lit(BPE_RE), F.lit(0))).cast("long").alias("n_bpe_tokens"),
     )
 
 
@@ -41,7 +52,8 @@ SELECT doc_id,
        len({_TOKENS_SQL}) AS n_tokens,
        len(list_distinct({_TOKENS_SQL})) AS n_distinct,
        length(trim(text)) AS n_chars,
-       {round_half_up_sql(f'list_sum([length(t)::DOUBLE for t in {_TOKENS_SQL}]) / len({_TOKENS_SQL})', 4)} AS avg_token_len
+       {round_half_up_sql(f'list_sum([length(t)::DOUBLE for t in {_TOKENS_SQL}]) / len({_TOKENS_SQL})', 4)} AS avg_token_len,
+       len(regexp_extract_all(trim(text), '{BPE_RE_SQL}')) AS n_bpe_tokens
 FROM documents
 """
 

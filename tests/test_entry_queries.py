@@ -57,3 +57,23 @@ def test_every_query_listed_or_justified():
     assert set(oracles) <= set(qs)
     # every non-oracled query must be an image-typed op (documented)
     assert set(qs) - set(oracles) == {"media_page_stats"}
+
+
+def test_near_dup_groups_chain(spark):
+    """Connected components over near-dup pairs: a Jaccard CHAIN
+    (doc i ~ doc i+1 at J=19/21, but i !~ i+2) must collapse into one
+    group via log-round label propagation with pointer jumping."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from onnxtr_spark.functions.dedup import near_dup_groups
+
+    rows = []
+    for i in range(10):  # sliding 20-token windows: J(i,i+1)=19/21>=0.9
+        rows.append({"doc_id": i, "text": " ".join(f"t{w}" for w in range(i, i + 20))})
+    for i in range(3):  # isolated singletons
+        rows.append({"doc_id": 100 + i, "text": f"alone{i} solitary{i} unique{i}"})
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    out = {r.doc_id: r.group_id for r in near_dup_groups(docs, 0.9).collect()}
+    assert all(out[i] == 0 for i in range(10))
+    assert all(out[100 + i] == 100 + i for i in range(3))
