@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": lambda s, d: similarity.lsh_buckets(_embeddings(s, d)),
         "ann_lsh_near_pairs": lambda s, d: similarity.lsh_near_pairs(_embeddings(s, d)),
         "embedding_centroids": lambda s, d: similarity.label_centroids(_embeddings(s, d)),
+        "kmeans_centroids": lambda s, d: similarity.kmeans_centroids(_embeddings(s, d)),
     }
 
 
@@ -367,4 +368,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_buckets": similarity.lsh_buckets_sql(),
         "ann_lsh_near_pairs": similarity.lsh_near_pairs_sql(),
         "embedding_centroids": similarity.LABEL_CENTROIDS_SQL,
+        "kmeans_centroids": similarity.kmeans_centroids_sql(),
     }

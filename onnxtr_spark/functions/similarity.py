@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from onnxtr_spark.functions.hashing import round_half_up, round_half_up_sql
@@ -347,4 +347,125 @@ LABEL_CENTROIDS_SQL = """
 SELECT label, CAST(u.i - 1 AS BIGINT) AS dim, (floor(avg(embedding[u.i]::DOUBLE) * 10000 + 0.5) / 10000.0 + 0.0) AS centroid
 FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
 GROUP BY label, dim
+"""
+
+
+def _sq_dist(vec: Column, cent: Column) -> Column:
+    """Sequential squared-L2 over the zipped arrays (same fold order as
+    DuckDB's list_sum, so distances are bit-identical cross-engine)."""
+    return F.aggregate(
+        F.zip_with(vec, cent, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_ROUND = 9  # centroid rounding per iteration boundary (cross-engine)
+
+
+def kmeans_centroids(embeddings: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> DataFrame:
+    """Lloyd k-means for the IVF coarse quantizer: (cell, dim, centroid).
+
+    Deterministic contract (oracled):
+    - init: centroid c = the embedding with vec_id = c;
+    - assignment: argmin squared L2, ties to the smaller cell id;
+    - update: per-dimension mean, rounded half-up to KMEANS_ROUND at
+      every iteration boundary (so both engines feed identical doubles
+      into the next round);
+    - empty cells keep their previous centroid.
+
+    Spark shape: centroids are a k×dim control-plane scalar set —
+    collected to the driver each round and re-broadcast as literals
+    (exactly how ivf_topk ships its quantizer), so each Lloyd round is
+    ONE narrow map + ONE groupBy over the vectors; the vector table is
+    never shuffled by the loop.
+    """
+    emb = embeddings.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    cents = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < k).collect()
+    }
+    dim = len(next(iter(cents.values())))
+    for _ in range(iters):
+        cent_lit = F.array(*[
+            F.struct(
+                F.lit(c).alias("cell"),
+                F.array(*[F.lit(v) for v in cents[c]]).alias("centroid"),
+            )
+            for c in sorted(cents)
+        ])
+        with_cell = emb.select(
+            "vec_id",
+            "embedding",
+            F.posexplode(cent_lit).alias("_", "c"),
+        ).select(
+            "vec_id",
+            "embedding",
+            F.col("c.cell").alias("cell"),
+            _sq_dist(F.col("embedding"), F.col("c.centroid")).alias("d"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cell")
+        assigned = with_cell.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        means = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(round_half_up(F.avg(F.col("v").cast("double")), KMEANS_ROUND).alias("m"))
+            .collect()
+        )
+        new = {}
+        for r in means:
+            new.setdefault(int(r["cell"]), [0.0] * dim)[int(r["dim"])] = float(r["m"])
+        for c in cents:  # empty cells keep their previous centroid
+            if c not in new:
+                new[c] = cents[c]
+        cents = new
+    rows = [(c, d, cents[c][d]) for c in sorted(cents) for d in range(dim)]
+    return embeddings.sparkSession.createDataFrame(rows, "cell int, dim int, centroid double")
+
+
+def kmeans_centroids_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """DuckDB oracle: the same Lloyd rounds unrolled as CTE layers."""
+    r = KMEANS_ROUND
+    m = 10**r
+    ctes = [
+        f"""c0 AS (
+  SELECT CAST(vec_id AS INT) AS cell,
+         [x::DOUBLE for x in embedding] AS centroid
+  FROM embeddings WHERE vec_id < {k}
+)"""
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(f"""a{it} AS (
+  SELECT vec_id, embedding, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           list_sum(list_transform(list_zip(e.embedding, c.centroid),
+                    p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2]))) AS d
+    FROM embeddings e CROSS JOIN {prev} c
+  )
+)""")
+        ctes.append(f"""m{it} AS (
+  SELECT cell, u.i - 1 AS dim,
+         (floor(avg(embedding[u.i]::DOUBLE) * {m} + 0.5) / {m}.0 + 0.0) AS v
+  FROM a{it}, UNNEST(generate_series(1, len(embedding))) AS u(i)
+  WHERE rn = 1
+  GROUP BY cell, dim
+)""")
+        ctes.append(f"""c{it} AS (
+  SELECT p.cell,
+         CASE WHEN count(n.v) = 0 THEN p.centroid
+              ELSE list(n.v ORDER BY n.dim) END AS centroid
+  FROM {prev} p LEFT JOIN m{it} n ON n.cell = p.cell
+  GROUP BY p.cell, p.centroid
+)""")
+        prev = f"c{it}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT CAST(c.cell AS INT) AS cell, CAST(u.i - 1 AS INT) AS dim, c.centroid[u.i] AS centroid
+FROM {prev} c, UNNEST(generate_series(1, len(c.centroid))) AS u(i)
 """

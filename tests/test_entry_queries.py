@@ -77,3 +77,23 @@ def test_near_dup_groups_chain(spark):
     out = {r.doc_id: r.group_id for r in near_dup_groups(docs, 0.9).collect()}
     assert all(out[i] == 0 for i in range(10))
     assert all(out[100 + i] == 100 + i for i in range(3))
+
+
+def test_kmeans_converges_on_separated_clusters(spark):
+    """Lloyd rounds recover two well-separated cluster means (init
+    vectors 0..k-1 straddle both clusters)."""
+    import pandas as pd
+    from onnxtr_spark.functions.similarity import kmeans_centroids
+
+    rows = []
+    for i in range(20):
+        base = 0.0 if i % 2 == 0 else 10.0
+        rows.append({"vec_id": i, "embedding": [base + 0.1 * (i % 5), base - 0.05 * (i % 3)]})
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+    out = kmeans_centroids(emb, k=2, iters=3).collect()
+    cents = {}
+    for r in out:
+        cents.setdefault(r.cell, {})[r.dim] = r.centroid
+    c0, c1 = cents[0], cents[1]
+    lows = sorted([c0[0], c1[0]])
+    assert lows[0] < 1.0 and lows[1] > 9.0  # one centroid per cluster

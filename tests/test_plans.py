@@ -133,3 +133,30 @@ def test_token_jaccard_prefix_bounded(spark):
     )
     bad = pref.where(F.col("indexed") > F.floor(0.1 * F.col("n")) + 1).count()
     assert bad == 0
+
+
+def test_skew_salt_scatters_giant_doc(spark):
+    """North-rule skew: one 1000-page document must not pin one task —
+    the media join's hash repartition scatters its pages across
+    partitions (parallel grain = page, never doc)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from onnxtr_spark.stages.ingest import docs_from_documents, media_from_documents
+    from onnxtr_spark.stages.pipeline import media_pages
+
+    giant = pd.DataFrame({"doc_id": [1], "text": [" ".join(f"w{i}" for i in range(30 * 40))]})
+    docs_df = spark.createDataFrame(giant)
+    pages = media_pages(docs_from_documents(docs_df), media_from_documents(docs_df))
+    dist = (
+        pages.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    n_parts = len(dist)
+    biggest = max(r["count"] for r in dist)
+    # 40 pages over local[4] defaultParallelism=4: all partitions busy,
+    # and no partition hoards more than half the pages
+    assert n_parts >= spark.sparkContext.defaultParallelism
+    assert biggest <= 40 / 2
