@@ -1,0 +1,100 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+Two Structured-Streaming surfaces the batch pipeline can't express:
+
+- ``assemble_docs_stream``: span rows for a document arrive spread
+  across micro-batches (pages of a huge doc land at different times in
+  a real ingest); per-doc state accumulates them and the doc is emitted
+  EXACTLY when its last span arrives — a session-like custom operator
+  over arbitrary keyed state, not a time window.
+- ``windowed_event_counts``: watermarked tumbling-window counts over an
+  event stream — the built-in late-data path (no custom state): events
+  later than the watermark delay are dropped, windows finalize once the
+  watermark passes their end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+SPAN_INPUT_DDL = (
+    "doc_id string, offset int, kind string, text string, media_ref string, n_total int"
+)
+SPAN_OUTPUT_DDL = "doc_id string, offset int, kind string, text string, media_ref string"
+_STATE_DDL = "offsets array<int>, kinds array<string>, texts array<string>, media_refs array<string>"
+
+
+def _assemble_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    offsets: list[int] = []
+    kinds: list[str] = []
+    texts: list[str] = []
+    media_refs: list[str] = []
+    if state.exists:
+        o, k, t, m = state.get
+        offsets, kinds, texts, media_refs = list(o), list(k), list(t), list(m)
+    n_total = None
+    for pdf in pdfs:
+        if len(pdf):
+            n_total = int(pdf["n_total"].iloc[0])
+        offsets.extend(int(x) for x in pdf["offset"])
+        kinds.extend(str(x) for x in pdf["kind"])
+        texts.extend(str(x) for x in pdf["text"])
+        media_refs.extend(str(x) for x in pdf["media_ref"])
+    if n_total is not None and len(offsets) >= n_total:
+        # complete: emit the doc's spans in offset order, clear state
+        order = sorted(range(len(offsets)), key=lambda i: offsets[i])
+        state.remove()
+        yield pd.DataFrame({
+            "doc_id": [key[0]] * len(order),
+            "offset": [offsets[i] for i in order],
+            "kind": [kinds[i] for i in order],
+            "text": [texts[i] for i in order],
+            "media_ref": [media_refs[i] for i in order],
+        })
+    else:
+        state.update((offsets, kinds, texts, media_refs))
+        yield pd.DataFrame(columns=["doc_id", "offset", "kind", "text", "media_ref"])
+
+
+def assemble_docs_stream(span_stream: DataFrame) -> DataFrame:
+    """Keyed-state doc assembly over a stream of span rows carrying
+    ``n_total`` (the doc's expected span count): emits each document's
+    complete, offset-ordered span set in the micro-batch where its last
+    span arrives. State is four parallel arrays per doc (bounded by doc
+    size); completed docs clear their state immediately."""
+    return span_stream.groupBy("doc_id").applyInPandasWithState(
+        _assemble_fn,
+        outputStructType=SPAN_OUTPUT_DDL,
+        stateStructType=_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def windowed_event_counts(
+    events_stream: DataFrame, window: str = "10 minutes", watermark: str = "5 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type: late events
+    (older than ``watermark`` behind the max seen ts) are dropped, and
+    a window's row finalizes (appears in append output) once the
+    watermark passes its end."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

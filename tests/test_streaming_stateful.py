@@ -1,0 +1,108 @@
+"""Stateful streaming operators: keyed-state doc assembly
+(applyInPandasWithState) and watermarked windowed aggregation."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from onnxtr_spark.streaming.stateful import (
+    SPAN_INPUT_DDL,
+    assemble_docs_stream,
+    windowed_event_counts,
+)
+
+
+def _write_batch(spark, path, rows, schema, name_prefix):
+    import glob
+    import os
+    import time
+
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    for c, t in [(f.split(" ")[0], " ".join(f.split(" ")[1:])) for f in schema.split(", ")]:
+        df = df.withColumn(c, F.col(c).cast(t))
+    df.coalesce(1).write.mode("append").parquet(path)
+    # the file source orders batches by modification time: make each
+    # write strictly newer so maxFilesPerTrigger=1 replays them in order
+    now = time.time()
+    _write_batch.seq = getattr(_write_batch, "seq", 0) + 1
+    for f in glob.glob(f"{path}/*.parquet"):
+        if os.path.getmtime(f) > now - 5:
+            os.utime(f, (now + _write_batch.seq * 10, now + _write_batch.seq * 10))
+
+
+def test_assemble_docs_across_microbatches(spark, tmp_path):
+    """Doc A's spans split across two micro-batches: nothing emits after
+    batch 1; the full ordered doc emits in batch 2. Doc B completes in
+    batch 1. Doc C never completes -> never emitted (held in state)."""
+    src = str(tmp_path / "spans_src")
+    out_table = "assembled_docs"
+
+    def span(doc, off, text, n_total, media=""):
+        return {"doc_id": doc, "offset": off, "kind": "text", "text": text,
+                "media_ref": media, "n_total": n_total}
+
+    # file 1: half of A, all of B, part of C
+    _write_batch(spark, src, [
+        span("A", 1, "a-mid", 3), span("A", 0, "a-head", 3),
+        span("B", 0, "b-only", 1),
+        span("C", 0, "c-head", 2),
+    ], SPAN_INPUT_DDL, "b1")
+    # file 2: the rest of A
+    _write_batch(spark, src, [span("A", 2, "a-tail", 3)], SPAN_INPUT_DDL, "b2")
+
+    stream = (
+        spark.readStream.schema(SPAN_INPUT_DDL).format("parquet")
+        .option("path", src).option("maxFilesPerTrigger", "1").load()
+    )
+    q = (
+        assemble_docs_stream(stream)
+        .writeStream.format("memory").queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT * FROM {out_table}").toPandas()
+    a = got[got.doc_id == "A"].sort_values("offset")
+    assert list(a.text) == ["a-head", "a-mid", "a-tail"]
+    assert list(got[got.doc_id == "B"].text) == ["b-only"]
+    assert (got.doc_id != "C").all()  # incomplete doc held in state
+
+
+def test_windowed_counts_drop_late_events(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(minute, etype, value=1.0):
+        return {"ts": t0 + dt.timedelta(minutes=minute), "event_type": etype, "value": value}
+
+    schema = "ts timestamp, event_type string, value double"
+    # batch 1: window [0,10) gets 2 clicks; max ts 31 -> watermark 26
+    _write_batch(spark, src, [ev(1, "click"), ev(2, "click"), ev(31, "view")], schema, "b1")
+    # batch 2: a LATE click at minute 3 (< watermark 26) must be dropped;
+    # minute 45 advances the watermark past [30,40)
+    _write_batch(spark, src, [ev(3, "click"), ev(45, "view")], schema, "b2")
+    # batch 3: only advances the clock — append-mode windows finalize in
+    # the batch AFTER the watermark passes their end
+    _write_batch(spark, src, [ev(60, "view")], schema, "b3")
+
+    stream = spark.readStream.schema(schema).format("parquet").option("path", src).option(
+        "maxFilesPerTrigger", "1"
+    ).load()
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory").queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM win_counts").toPandas()
+    w0 = got[(got.window_start == t0) & (got.event_type == "click")]
+    assert len(w0) == 1 and int(w0.n.iloc[0]) == 2  # late click NOT counted
+    w30 = got[got.window_start == t0 + dt.timedelta(minutes=30)]
+    assert len(w30) == 1 and w30.event_type.iloc[0] == "view"
