@@ -25,11 +25,16 @@ def _write_batch(spark, path, rows, schema, name_prefix):
     df.coalesce(1).write.mode("append").parquet(path)
     # the file source orders batches by modification time: make each
     # write strictly newer so maxFilesPerTrigger=1 replays them in order
+    # (touch ONLY files this call created — re-touching earlier ones
+    # would recreate the tie)
     now = time.time()
     _write_batch.seq = getattr(_write_batch, "seq", 0) + 1
+    seen = getattr(_write_batch, "seen", set())
     for f in glob.glob(f"{path}/*.parquet"):
-        if os.path.getmtime(f) > now - 5:
+        if f not in seen:
             os.utime(f, (now + _write_batch.seq * 10, now + _write_batch.seq * 10))
+            seen.add(f)
+    _write_batch.seen = seen
 
 
 def test_assemble_docs_across_microbatches(spark, tmp_path):
@@ -82,12 +87,15 @@ def test_windowed_counts_drop_late_events(spark, tmp_path):
     schema = "ts timestamp, event_type string, value double"
     # batch 1: window [0,10) gets 2 clicks; max ts 31 -> watermark 26
     _write_batch(spark, src, [ev(1, "click"), ev(2, "click"), ev(31, "view")], schema, "b1")
-    # batch 2: a LATE click at minute 3 (< watermark 26) must be dropped;
-    # minute 45 advances the watermark past [30,40)
-    _write_batch(spark, src, [ev(3, "click"), ev(45, "view")], schema, "b2")
-    # batch 3: only advances the clock — append-mode windows finalize in
-    # the batch AFTER the watermark passes their end
-    _write_batch(spark, src, [ev(60, "view")], schema, "b3")
+    # batch 2: clock only — at its end the watermark (26) has passed
+    # [0,10): that window finalizes (emits n=2) and its state is evicted
+    _write_batch(spark, src, [ev(50, "view")], schema, "b2")
+    # batch 3: a TOO-LATE click at minute 3. Spark enforces the drop via
+    # state eviction (pre-aggregation filtering is best-effort): the
+    # window is gone, so the row must NOT resurrect it
+    _write_batch(spark, src, [ev(3, "click"), ev(65, "view")], schema, "b3")
+    # batch 4: flush remaining windows
+    _write_batch(spark, src, [ev(90, "view")], schema, "b4")
 
     stream = spark.readStream.schema(schema).format("parquet").option("path", src).option(
         "maxFilesPerTrigger", "1"
@@ -102,7 +110,10 @@ def test_windowed_counts_drop_late_events(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = spark.sql("SELECT * FROM win_counts").toPandas()
-    w0 = got[(got.window_start == t0) & (got.event_type == "click")]
-    assert len(w0) == 1 and int(w0.n.iloc[0]) == 2  # late click NOT counted
+    clicks = got[got.event_type == "click"]
+    # exactly one finalized click window, count 2 — the too-late click
+    # neither joined it nor resurrected it
+    assert len(clicks) == 1
+    assert clicks.window_start.iloc[0] == t0 and int(clicks.n.iloc[0]) == 2
     w30 = got[got.window_start == t0 + dt.timedelta(minutes=30)]
     assert len(w30) == 1 and w30.event_type.iloc[0] == "view"
