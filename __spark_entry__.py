@@ -181,12 +181,30 @@ def _pdf_sql() -> str:
 
 def _multisource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 multi-source facade: one mixed-kind corpus (html / pdf /
-    image by doc_id %% 3) routed through the per-kind decode branches —
-    boilerplate strip, content-stream parse, and the full OCR pipeline
-    — into one (doc_id, kind, page, text) relation."""
+    image / pdf_scanned by doc_id %% 4) routed through the per-kind
+    decode branches — boilerplate strip, content-stream parse, the full
+    OCR pipeline, and rasterize→OCR for scanned PDFs — into one
+    (doc_id, kind, page, text) relation."""
     from onnxtr_spark.sources.reader import mixed_corpus_from_documents, read_documents
 
     return read_documents(mixed_corpus_from_documents(_documents(spark, sf_dir)))
+
+
+def _pdf_scanned_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1's rasterize half: real PDFs → injectable rasterizer (the
+    pypdfium2 seam, reference io/pdf.py:16-43 at scale=2) → the full
+    fused OCR pipeline → per-page reading-order text. The oracle is the
+    SAME per-page word-chunk SQL as the born-digital parse — a green
+    row proves the scanned branch is span-equal to the text branch."""
+    from onnxtr_spark.sources.pdf import synthesize_pdfs
+    from onnxtr_spark.sources.rasterize import rasterize_pdf_pages
+    from onnxtr_spark.sources.reader import assemble_page_text
+    from onnxtr_spark.stages.fused import detect_recognize_pages
+
+    pages = rasterize_pdf_pages(synthesize_pdfs(_documents(spark, sf_dir)))
+    return assemble_page_text(detect_recognize_pages(pages), "pdf_scanned").select(
+        "doc_id", F.col("page").cast("int").alias("page"), F.col("text").alias("page_text")
+    )
 
 
 def _multisource_sql() -> str:
@@ -275,6 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "artefact_detect": _artefact_detect,
         "html_main_content": _html_main_content,
         "pdf_extract_text": _pdf_extract_text,
+        "pdf_scanned_ocr": _pdf_scanned_ocr,
         "multisource_read": _multisource_read,
         # evaluation metrics (reference scripts/evaluate.py:20,92-95)
         "eval_text_match": _eval_text_match,
@@ -331,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
         "artefact_detect": ARTEFACT_DETECT_SQL,
         "html_main_content": _html_sql(),
         "pdf_extract_text": _pdf_sql(),
+        "pdf_scanned_ocr": _pdf_sql(),
         "multisource_read": _multisource_sql(),
         "eval_text_match": evaluation.text_match_sql(evaluation.TEXT_MATCH_PAIRS_CTE),
         "eval_localization": evaluation.localization_confusion_sql(),

@@ -3,13 +3,16 @@
 choosing a decode path per input kind).
 
 Spark-first shape: ONE mixed-kind table (doc_id, kind, page, payload)
-fans out into three declarative branches — kind is a
+fans out into four declarative branches — kind is a
 partition-predicate filter, never a per-row Python dispatch — and the
 branches union back into a single (doc_id, kind, page, text) relation:
 
 - ``html``  → JVM-side boilerplate strip (sources/html.py), page 0;
 - ``pdf``   → content-stream text parse (sources/pdf.py), one output
-  row per PDF page (a doc is one payload);
+  row per PDF page (a doc is one payload) — the born-digital path;
+- ``pdf_scanned`` → rasterize (sources/rasterize.py, the injectable
+  pypdfium2 seam, reference io/pdf.py:16-43 + io/reader.py:25-45) then
+  the full OCR pipeline — the scanned-document path;
 - ``image`` → the full OCR pipeline (fused detect+recognize) with
   reading-order text assembly per page (a doc may span several page
   images, keyed by the input ``page`` column).
@@ -27,16 +30,33 @@ from pyspark.sql import functions as F
 from onnxtr_spark.corpus import WORDS_PER_LINE, WORDS_PER_PAGE
 from onnxtr_spark.sources.html import html_main_text, synthesize_html
 from onnxtr_spark.sources.pdf import pdf_pages_text
+from onnxtr_spark.sources.rasterize import rasterize_pdf_pages
 from onnxtr_spark.stages.fused import detect_recognize_pages
 
 READ_COLS = ["doc_id", "kind", "page", "text"]
 
 
+def assemble_page_text(words: DataFrame, kind: str) -> DataFrame:
+    """Reading-order text per page from fused-OCR word rows:
+    (doc_id, kind, page, text)."""
+    return (
+        words.groupBy("doc_id", "offset")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list(F.struct("rank", "text"))), lambda s: s["text"]),
+                " ",
+            ).alias("text")
+        )
+        .select("doc_id", F.lit(kind).alias("kind"), F.col("offset").alias("page"), "text")
+    )
+
+
 def read_documents(df: DataFrame) -> DataFrame:
     """(doc_id, kind, page, payload binary) → (doc_id, kind, page, text).
 
-    ``payload``: utf-8 HTML bytes, PDF bytes, or an encoded page image
-    (imaging codec / PNG stand-in) according to ``kind``.
+    ``payload``: utf-8 HTML bytes, PDF bytes (born-digital or scanned),
+    or an encoded page image (imaging codec / PNG stand-in) according
+    to ``kind``.
     """
     html = (
         df.where(F.col("kind") == "html")
@@ -51,6 +71,11 @@ def read_documents(df: DataFrame) -> DataFrame:
         df.where(F.col("kind") == "pdf").select("doc_id", F.col("payload").alias("pdf"))
     ).select("doc_id", F.lit("pdf").alias("kind"), "page", F.col("page_text").alias("text"))
 
+    scanned_pages = rasterize_pdf_pages(
+        df.where(F.col("kind") == "pdf_scanned").select("doc_id", F.col("payload").alias("pdf"))
+    )
+    scanned = assemble_page_text(detect_recognize_pages(scanned_pages), "pdf_scanned")
+
     image_pages = df.where(F.col("kind") == "image").select(
         "doc_id",
         F.col("page").alias("offset"),
@@ -59,33 +84,25 @@ def read_documents(df: DataFrame) -> DataFrame:
         F.lit(0).alias("height"),  # dims live in the image header; the
         F.lit(0).alias("width"),   # fused stage decodes them itself
     )
-    words = detect_recognize_pages(image_pages)
-    image = (
-        words.groupBy("doc_id", "offset")
-        .agg(
-            F.array_join(
-                F.transform(F.sort_array(F.collect_list(F.struct("rank", "text"))), lambda s: s["text"]),
-                " ",
-            ).alias("text")
-        )
-        .select("doc_id", F.lit("image").alias("kind"), F.col("offset").alias("page"), "text")
-    )
-    return html.unionByName(pdf).unionByName(image).select(*READ_COLS)
+    image = assemble_page_text(detect_recognize_pages(image_pages), "image")
+    return html.unionByName(pdf).unionByName(scanned).unionByName(image).select(*READ_COLS)
 
 
 def mixed_corpus_from_documents(documents: DataFrame) -> DataFrame:
-    """Deterministic mixed-kind corpus: doc i is html / pdf / image by
-    ``doc_id % 3`` — html as one boilerplate page, pdf as one file with
-    WORDS_PER_PAGE-word pages, image as one rendered page image per
-    chunk. Output: (doc_id, kind, page, payload binary)."""
+    """Deterministic mixed-kind corpus: doc i is html / pdf / image /
+    pdf_scanned by ``doc_id % 4`` — html as one boilerplate page, pdf
+    (born-digital AND scanned payloads are the same bytes — the KIND
+    routes the decode path) as one file with WORDS_PER_PAGE-word pages,
+    image as one rendered page image per chunk. Output:
+    (doc_id, kind, page, payload binary)."""
     base = documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        (F.col("doc_id").cast("long") % 3).alias("k3"),
+        (F.col("doc_id").cast("long") % 4).alias("k4"),
         F.split(F.trim("text"), r"\s+").alias("words"),
     )
     html = (
         synthesize_html(documents)
-        .join(base.where(F.col("k3") == 0).select("doc_id"), "doc_id")
+        .join(base.where(F.col("k4") == 0).select("doc_id"), "doc_id")
         .select(
             "doc_id", F.lit("html").alias("kind"), F.lit(0).alias("page"),
             F.col("html").cast("binary").alias("payload"),
@@ -105,16 +122,17 @@ def mixed_corpus_from_documents(documents: DataFrame) -> DataFrame:
             if pdf.empty:
                 continue
             rows = []
-            for doc_id, words in zip(pdf["doc_id"], pdf["words"]):
+            for doc_id, kind, words in zip(pdf["doc_id"], pdf["kind"], pdf["words"]):
                 words = [w for w in list(words) if w]
                 chunks = [
                     " ".join(words[i : i + WORDS_PER_PAGE]) for i in range(0, len(words), WORDS_PER_PAGE)
                 ] or [""]
-                rows.append({"doc_id": doc_id, "kind": "pdf", "page": 0, "payload": encode_pdf(chunks)})
+                rows.append({"doc_id": doc_id, "kind": kind, "page": 0, "payload": encode_pdf(chunks)})
             yield pd.DataFrame(rows, columns=["doc_id", "kind", "page", "payload"])
 
     pdfs = (
-        base.where(F.col("k3") == 1)
+        base.where(F.col("k4").isin(1, 3))
+        .withColumn("kind", F.when(F.col("k4") == 1, "pdf").otherwise("pdf_scanned"))
         .repartition(parallelism)
         .mapInPandas(build_pdf, "doc_id string, kind string, page int, payload binary")
     )
@@ -140,7 +158,7 @@ def mixed_corpus_from_documents(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "kind", "page", "payload"])
 
     images = (
-        base.where(F.col("k3") == 2)
+        base.where(F.col("k4") == 2)
         .repartition(parallelism)
         .mapInPandas(build_images, "doc_id string, kind string, page int, payload binary")
     )
@@ -149,18 +167,18 @@ def mixed_corpus_from_documents(documents: DataFrame) -> DataFrame:
 
 MULTISOURCE_READ_SQL = f"""
 WITH w AS (
-  SELECT CAST(doc_id AS VARCHAR) AS sid, doc_id % 3 AS k3,
+  SELECT CAST(doc_id AS VARCHAR) AS sid, doc_id % 4 AS k4,
          string_split_regex(trim(text), '\\s+') AS words,
          regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm
   FROM documents
 ), paged AS (
-  SELECT sid, k3, words,
+  SELECT sid, k4, words,
          unnest(generate_series(0, CAST(greatest(1, ceil(len(words) / {WORDS_PER_PAGE}.0)) AS INT) - 1)) AS p
-  FROM w WHERE k3 != 0
+  FROM w WHERE k4 != 0
 )
-SELECT sid AS doc_id, 'html' AS kind, 0 AS page, norm AS text FROM w WHERE k3 = 0
+SELECT sid AS doc_id, 'html' AS kind, 0 AS page, norm AS text FROM w WHERE k4 = 0
 UNION ALL
-SELECT sid, CASE k3 WHEN 1 THEN 'pdf' ELSE 'image' END, CAST(p AS INT),
+SELECT sid, CASE k4 WHEN 1 THEN 'pdf' WHEN 2 THEN 'image' ELSE 'pdf_scanned' END, CAST(p AS INT),
        array_to_string(words[p * {WORDS_PER_PAGE} + 1 : (p + 1) * {WORDS_PER_PAGE}], ' ')
 FROM paged
 """

@@ -88,3 +88,69 @@ def test_html_spark_matches_duckdb_regex_flavor(spark):
         f"SELECT {H.html_main_text_sql('html')} AS t FROM (SELECT '{html}' AS html)"
     ).fetchone()[0]
     assert got_spark == got_duck == "alpha beta"
+
+
+# --- S1 rasterize seam (sources/rasterize.py) -------------------------------
+
+def test_rasterizer_stub_renders_pdf_pages_at_scale2():
+    """The stub rasterizer re-renders the PDF's own text at scale=2
+    (reference io/pdf.py:16 default), one RGB page per PDF page."""
+    import numpy as np
+
+    from onnxtr_spark import imaging
+    from onnxtr_spark.corpus import WORDS_PER_LINE
+    from onnxtr_spark.sources.pdf import encode_pdf
+    from onnxtr_spark.sources.rasterize import RasterizerConfig, get_rasterizer
+
+    blob = encode_pdf(["alpha beta gamma", "delta"])
+    ras = get_rasterizer(RasterizerConfig())
+    pages = ras.rasterize(blob)
+    assert len(pages) == 2
+    words = "alpha beta gamma".split()
+    lines = [words[i : i + WORDS_PER_LINE] for i in range(0, len(words), WORDS_PER_LINE)]
+    base = imaging.render_page(lines)
+    expect = np.kron(base, np.ones((2, 2, 1), dtype=np.uint8))
+    assert pages[0].shape == expect.shape and (pages[0] == expect).all()
+    assert pages[0].dtype == np.uint8 and pages[0].shape[2] == 3  # rgb_mode contract
+
+
+def test_rasterizer_registry_injection_and_unregistered_error():
+    """The seam mirrors the model registry: a custom factory resolves
+    by name; an unregistered name raises (where pypdfium2 would plug in)."""
+    import pytest
+
+    from onnxtr_spark.sources import rasterize as rz
+
+    class Fake:
+        def __init__(self, cfg):
+            self.scale = cfg.scale
+
+        def rasterize(self, blob):
+            return []
+
+    rz.register_rasterizer("fake_pdfium", Fake)
+    try:
+        got = rz.get_rasterizer(rz.RasterizerConfig(name="fake_pdfium", scale=3.0))
+        assert isinstance(got, Fake) and got.scale == 3.0
+        with pytest.raises(NotImplementedError):
+            rz.get_rasterizer(rz.RasterizerConfig(name="missing_rasterizer"))
+    finally:
+        rz.RASTERIZER_REGISTRY.pop("fake_pdfium", None)
+
+
+def test_scanned_pdf_branch_ocr_roundtrip(spark):
+    """kind=pdf_scanned routes pdf -> rasterize -> OCR and recovers the
+    exact page text (span equality through the scanned branch)."""
+    import pandas as pd
+
+    from onnxtr_spark.sources.pdf import encode_pdf
+    from onnxtr_spark.sources.reader import read_documents
+
+    blob = encode_pdf(["scanned page one words", "and the second page"])
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["s1"], "kind": ["pdf_scanned"], "page": [0], "payload": [blob]})
+    )
+    out = {(r.doc_id, r.page): (r.kind, r.text) for r in read_documents(df).collect()}
+    assert out[("s1", 0)] == ("pdf_scanned", "scanned page one words")
+    assert out[("s1", 1)] == ("pdf_scanned", "and the second page")
+    assert len(out) == 2
