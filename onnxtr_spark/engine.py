@@ -144,6 +144,29 @@ class OrientationEngine:
     def run_one(self, img: np.ndarray) -> int:
         return imaging.detect_orientation(img)
 
+    def run(self, crops: list[np.ndarray]) -> np.ndarray:
+        """Batched classify — ONE engine invocation per Arrow chunk
+        (a real MobileNet resizes every crop to its fixed input and
+        runs one forward pass; reference predictor/base.py:49-57 loops
+        ONNX batches the same way). The stub pads crops to common dims
+        and vectorizes the only signal it reads — presence of the
+        ORIENT_MARK pixel value — then runs the exact corner check on
+        the rare flagged items (padding is WHITE, so it can never
+        introduce a mark). Result is item-wise identical to run_one."""
+        if not crops:
+            return np.zeros(0, dtype=np.int64)
+        b = len(crops)
+        hmax = max(c.shape[0] for c in crops)
+        wmax = max(c.shape[1] for c in crops)
+        batch = np.full((b, hmax, wmax), 255, dtype=np.uint8)
+        for i, c in enumerate(crops):
+            batch[i, : c.shape[0], : c.shape[1]] = c[:, :, 0]
+        flagged = (batch == imaging.ORIENT_MARK).reshape(b, -1).any(axis=1)
+        out = np.zeros(b, dtype=np.int64)
+        for i in np.nonzero(flagged)[0]:
+            out[i] = imaging.detect_orientation(crops[i])
+        return out
+
 
 class RecognitionEngine:
     """Stub recognition model: crop batch → per-timestep logits."""

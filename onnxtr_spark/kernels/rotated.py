@@ -165,6 +165,8 @@ def extract_rcrops_nearest(img: np.ndarray, polys: np.ndarray) -> list[np.ndarra
     each output pixel samples the source at
     TL + u*(TR-TL)/w + v*(BL-TL)/h (nearest).
     """
+    import math
+
     if polys.shape[0] == 0:
         return []
     h, w = img.shape[:2]
@@ -172,14 +174,19 @@ def extract_rcrops_nearest(img: np.ndarray, polys: np.ndarray) -> list[np.ndarra
     abs_polys[:, :, 0] *= w
     abs_polys[:, :, 1] *= h
     crops = []
-    for quad in abs_polys:
-        tl, tr, br, bl = quad
-        out_w = max(1, int(round(np.linalg.norm(tr - tl))))
-        out_h = max(1, int(round(np.linalg.norm(bl - tl))))
-        us = (np.arange(out_w) + 0.5) / out_w
-        vs = (np.arange(out_h) + 0.5) / out_h
-        sx = tl[0] + np.outer(vs, np.zeros_like(us)) + np.outer(np.ones_like(vs), us) * (tr[0] - tl[0]) + np.outer(vs, np.ones_like(us)) * (bl[0] - tl[0])
-        sy = tl[1] + np.outer(np.ones_like(vs), us) * (tr[1] - tl[1]) + np.outer(vs, np.ones_like(us)) * (bl[1] - tl[1])
+    for quad in abs_polys.tolist():  # plain floats: 4 corners per quad
+        (tlx, tly), (trx, tr_y), _, (blx, bly) = quad
+        dx_u, dy_u = trx - tlx, tr_y - tly
+        dx_v, dy_v = blx - tlx, bly - tly
+        # sqrt(dx²+dy²) matches the previous np.linalg.norm bit-for-bit
+        out_w = max(1, int(round(math.sqrt(dx_u * dx_u + dy_u * dy_u))))
+        out_h = max(1, int(round(math.sqrt(dx_v * dx_v + dy_v * dy_v))))
+        us = (np.arange(out_w, dtype=np.float64) + 0.5) / out_w
+        vs = ((np.arange(out_h, dtype=np.float64) + 0.5) / out_h)[:, None]
+        # broadcast form of tl + u·(TR-TL) + v·(BL-TL): the same fp adds
+        # in the same order as the previous outer-product form
+        sx = tlx + us * dx_u + vs * dx_v
+        sy = tly + us * dy_u + vs * dy_v
         # floor of pixel-center coordinates: exact slice equivalence for
         # axis-aligned quads (round() would banker's-round .5 centers)
         xi = np.clip(np.floor(sx).astype(np.int64), 0, w - 1)

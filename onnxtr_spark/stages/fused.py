@@ -83,6 +83,22 @@ def detect_recognize_pages(
                 continue
             page_meta: list[dict] = []
             flat_splits: list[np.ndarray] = []
+            pending: list[tuple[dict, list[np.ndarray]]] = []  # G3 crops awaiting the batched classify
+
+            def _finalize(meta: dict, crops: list[np.ndarray]) -> None:
+                # split (W1) + height-normalized, unpadded resize: the
+                # batch step pads to the batch max width (dynamic T axis
+                # — fixed 128-wide pad made ~70% of the logits tensor
+                # padding columns)
+                splits, crop_map, _ = split_merge.split_crops(
+                    crops, reco_cfg.critical_ar, reco_cfg.target_ar, reco_cfg.overlap_ratio
+                )
+                meta["crop_map"] = crop_map
+                meta["start"] = len(flat_splits)
+                meta["n_splits"] = len(splits)
+                flat_splits.extend(
+                    resize_unpadded(s, reco_cfg.crop_h, reco_cfg.crop_w) for s in splits
+                )
 
             for doc_id, offset, media_ref, png, height, width in zip(
                 pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["png"], pdf["height"], pdf["width"]
@@ -148,34 +164,35 @@ def detect_recognize_pages(
                 boxes = boxes[keep] if keep else boxes[:0]
                 if polys is not None:
                     polys = polys[keep] if keep else polys[:0]
-                    if crops and not det_cfg.disable_crop_orientation:
-                        # G3 crop rectification (reference enables the
-                        # crop-orientation classifier by default when
-                        # assume_straight_pages=False, models/zoo.py:19-27
-                        # + predictor.py:126-129): classify each rotated
-                        # crop, rot90 it readable, re-roll its polygon.
-                        orient = get_orientation_engine()
-                        orientations = [orient.run_one(c) for c in crops]
-                        crops = rectify_crops(crops, orientations)
-                        polys = rectify_loc_preds(polys, orientations)
                 m_boxes += int(boxes.shape[0])
-                splits, crop_map, _ = split_merge.split_crops(
-                    crops, reco_cfg.critical_ar, reco_cfg.target_ar, reco_cfg.overlap_ratio
-                )
-                page_meta.append({
+                meta = {
                     "key": (doc_id, int(offset), media_ref),
                     "boxes": boxes,
                     "polys": polys,
-                    "crop_map": crop_map,
-                    "start": len(flat_splits),
-                    "n_splits": len(splits),
-                })
-                # height-normalized, unpadded: the batch step pads to the
-                # batch max width (dynamic T axis — fixed 128-wide pad
-                # made ~70% of the logits tensor padding columns)
-                flat_splits.extend(
-                    resize_unpadded(s, reco_cfg.crop_h, reco_cfg.crop_w) for s in splits
-                )
+                }
+                page_meta.append(meta)
+                if polys is not None and crops and not det_cfg.disable_crop_orientation:
+                    pending.append((meta, crops))  # classify across the chunk below
+                else:
+                    _finalize(meta, crops)
+
+            if pending:
+                # G3 crop rectification (reference enables the crop-
+                # orientation classifier by default when
+                # assume_straight_pages=False, models/zoo.py:19-27 +
+                # predictor.py:126-129): classify every rotated crop in
+                # the chunk with ONE batched engine call (r2 verdict
+                # finding #2 — a per-crop run_one loop was the main
+                # rotated-vs-straight cost gap), then rot90 each crop
+                # readable and re-roll its polygon.
+                orient = get_orientation_engine()
+                ks = orient.run([c for _, crops in pending for c in crops])
+                pos = 0
+                for meta, crops in pending:
+                    orientations = [int(k) for k in ks[pos : pos + len(crops)]]
+                    pos += len(crops)
+                    meta["polys"] = rectify_loc_preds(meta["polys"], orientations)
+                    _finalize(meta, rectify_crops(crops, orientations))
 
             # --- recognize (I4 + C1), batched across pages
             preds: list[tuple[str, float]] = []
