@@ -51,7 +51,12 @@ class EngineConfig:
     session — kernels/preprocess.py)."""
 
     arch: str = "stub_fast"
-    model_path: str | None = None  # real .onnx artifact (ship via --files/addFile)
+    # Real .onnx artifact: a local path (ship via --files/addFile +
+    # SparkFiles.get), or an http(s)://, file:// URL resolved through
+    # the per-host cache (utils/data.py, reference engine.py:102-112)
+    # before the factory sees it.
+    model_path: str | None = None
+    model_sha256: str | None = None  # expected sha256 (prefix) of the artifact
     # Module imported (on the EXECUTOR, before session resolution) to
     # register custom archs — driver-side register_model calls don't
     # reach Spark Python workers; shipping a registering module via
@@ -92,6 +97,17 @@ def _resolve(kind: str, cfg: EngineConfig, **kwargs) -> object:
                 "container, so a real model_path needs a registered factory that wraps "
                 "an InferenceSession (register_model)."
             )
+        if cfg.model_path and "://" in cfg.model_path:
+            # URL artifact: fetch through the per-host cache with
+            # checksum verification (reference models/engine.py:102-112
+            # resolves url -> download_from_url -> InferenceSession);
+            # the factory only ever sees a verified local path.
+            from dataclasses import replace
+
+            from onnxtr_spark.utils.data import download_from_url
+
+            local = download_from_url(cfg.model_path, hash_prefix=cfg.model_sha256)
+            cfg = replace(cfg, model_path=str(local))
         _SESSIONS[key] = MODEL_REGISTRY[cfg.arch](cfg, **kwargs)
     return _SESSIONS[key]
 
