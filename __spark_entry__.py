@@ -81,6 +81,19 @@ def _ocr_spans_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ocr_spans_straightened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 arbitrary-angle straighten path: pages skewed ±1-5° in-plane,
+    undone on the STRAIGHT pipeline by estimate_orientation → rotate →
+    re-detect (NOT the rotated-box path). Same span oracle — a green
+    row proves the whole straighten chain end-to-end."""
+    from onnxtr_spark.stages.pipeline import extract_from_testdata_straightened
+
+    out = extract_from_testdata_straightened(spark, sf_dir)
+    return out.select(
+        "doc_id", F.col("offset").cast("long").alias("offset"), "kind", "text", "media_ref"
+    )
+
+
 def _ocr_rendered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_text(extract_from_testdata(spark, sf_dir))
 
@@ -287,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # OCR extraction pipeline (SURVEY §2.1-2.8)
         "ocr_extract_spans": _ocr_spans,
         "ocr_extract_spans_rotated": _ocr_spans_rotated,
+        "ocr_extract_spans_straightened": _ocr_spans_straightened,
         "ocr_render_text": _ocr_rendered,
         "ocr_detect_boxes": _ocr_detect_boxes,
         "media_page_stats": _media_page_stats,
@@ -344,6 +358,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ocr_extract_spans": OCR_SPANS_SQL,
         "ocr_extract_spans_rotated": OCR_SPANS_SQL,
+        "ocr_extract_spans_straightened": OCR_SPANS_SQL,
         "ocr_render_text": OCR_RENDERED_SQL,
         "ocr_detect_boxes": OCR_DETECT_BOXES_SQL,
         # media_page_stats: image-typed, rows-only check (pytest covers it)

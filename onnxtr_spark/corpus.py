@@ -134,6 +134,18 @@ def angle_for(doc_id: str, page: int) -> float:
     return float(mag if (k // 5) % 2 == 0 else -mag)
 
 
+def small_angle_for(doc_id: str, page: int) -> int:
+    """Deterministic SMALL integer skew (±1..5°) for the G4 straighten
+    corpus: below the rotated sort's min_angle=5.0 territory — this is
+    page-level skew the STRAIGHT pipeline must undo via
+    estimate_orientation → rotate → re-detect, not per-word geometry.
+    Integer degrees so the estimator's round(median) recovers exactly.
+    """
+    k = sum(ord(c) for c in doc_id) * 7 + page * 3
+    mag = 1 + (k % 5)
+    return mag if (k // 5) % 2 == 0 else -mag
+
+
 # Rotated-corpus glyph geometry: wider cells so even a 2-char word blob
 # has aspect >= 1.6 — the page-angle estimate is a median of per-word
 # min-area-rect angles (rotated.estimate_page_angle), and near-square

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from onnxtr_spark import imaging
 from onnxtr_spark.engine import get_detection_engine, get_orientation_engine, get_recognition_engine
 from onnxtr_spark.kernels import detect_post, rotated_post, split_merge
+from onnxtr_spark.kernels.straighten import estimate_orientation
 from onnxtr_spark.kernels.builder import word_order, word_order_blocks
 from onnxtr_spark.kernels.ctc import ctc_best_path
 from onnxtr_spark.kernels.geometry import extract_crops, resize_preserve, resize_unpadded
@@ -113,12 +114,24 @@ def detect_recognize_pages(
                 m_decode_s += perf_counter() - t_dec
                 m_pages += 1
                 if det_cfg.straighten_pages:
-                    # I5 orientation classify + G4-style rectification:
-                    # undo the stored rotation before detection so all
-                    # downstream geometry sees a straight page.
+                    # I5 orientation classify + G4 rectification
+                    # (reference predictor.py:100-106 + base.py:102-124):
+                    # undo the stored 90°-multiple rotation, then the
+                    # arbitrary-angle pass — first detection pass gives
+                    # the seg bitmap, estimate_orientation measures the
+                    # residual skew from line-like contours, the page is
+                    # rotated straight, and detection runs again on the
+                    # straightened page (the code below IS that second
+                    # pass). General orientation is (0, 1.0) here because
+                    # the classifier just rectified the 90° component.
                     k = get_orientation_engine().run_one(img)
                     if k:
                         img = np.ascontiguousarray(np.rot90(img, -k))
+                    pix_thresh = float(np.floor(255.0 - 255.0 * det_cfg.bin_thresh))
+                    seg = (img[:, :, 0] <= pix_thresh).astype(np.uint8)
+                    angle = estimate_orientation(seg, (0, 1.0))
+                    if angle:
+                        img = imaging.rotate_image_nearest(np.ascontiguousarray(img), angle)
                 # --- detect (D1-D6): the stub model is affine in pixel
                 # value, so it folds through the postprocess and runs on
                 # the uint8 map (postprocess_pixel_map docstring); `det`

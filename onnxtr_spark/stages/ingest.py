@@ -60,7 +60,8 @@ def docs_from_documents(documents: DataFrame) -> DataFrame:
 
 
 def media_from_documents(
-    documents: DataFrame, rotate_words: bool = False, artefacts: bool = False
+    documents: DataFrame, rotate_words: bool = False, artefacts: bool = False,
+    skew_pages: bool = False,
 ) -> DataFrame:
     """documents(doc_id, text, ...) → media(media_ref, png, height, width).
 
@@ -72,6 +73,11 @@ def media_from_documents(
     (6-10°, deterministic per page), exercising the
     ``assume_straight_pages=False`` pipeline. The OCR oracle is
     unchanged — word text and reading order are rotation-invariant.
+
+    ``skew_pages=True`` renders the SMALL-skew corpus for the G4
+    straighten path: ``corpus.small_angle_for`` degrees (±1-5°,
+    integers), to be undone by ``straighten_pages`` on the STRAIGHT
+    pipeline (not the rotated-box path). Same rotation-invariant oracle.
 
     ``artefacts=True`` draws ``corpus.artefacts_for`` blocks in the top
     page margin (pixel values above the text-detection cutoff, so the
@@ -96,9 +102,9 @@ def media_from_documents(
     )
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from onnxtr_spark.corpus import R_CELL_W, R_GAP_W, angle_for, artefacts_for
+        from onnxtr_spark.corpus import R_CELL_W, R_GAP_W, angle_for, artefacts_for, small_angle_for
 
-        render_kwargs = {"cell_w": R_CELL_W, "gap_w": R_GAP_W} if rotate_words else {}
+        render_kwargs = {"cell_w": R_CELL_W, "gap_w": R_GAP_W} if (rotate_words or skew_pages) else {}
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -112,13 +118,17 @@ def media_from_documents(
                 if artefacts:
                     doc_id, page = media_ref[2:].rsplit("-", 1)
                     img = imaging.add_artefacts(img, artefacts_for(doc_id, int(page)))
-                if rotate_words:
+                if rotate_words or skew_pages:
                     # media_ref is "m-<doc>-<page>"; rendered pages are
                     # grayscale (3 equal channels), so rotate channel 0
                     # only and broadcast — 3x less gather traffic, and
                     # encode_image stores the grayscale frame anyway
                     doc_id, page = media_ref[2:].rsplit("-", 1)
-                    rot0 = imaging.rotate_image_nearest(img[:, :, 0], angle_for(doc_id, int(page)))
+                    deg = (
+                        angle_for(doc_id, int(page)) if rotate_words
+                        else small_angle_for(doc_id, int(page))
+                    )
+                    rot0 = imaging.rotate_image_nearest(img[:, :, 0], deg)
                     img = np.broadcast_to(rot0[:, :, None], rot0.shape + (3,))
                 rows.append({
                     "media_ref": media_ref,

@@ -103,6 +103,19 @@ def extract_from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_spans(docs, media)
 
 
+def extract_from_testdata_straightened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 arbitrary-angle pipeline end-to-end: pages carry a small
+    integer skew (±1-5°, corpus.small_angle_for) that the STRAIGHT
+    pipeline undoes via estimate_orientation → rotate → re-detect
+    (straighten_pages=True; reference models/_utils.py:33-151 +
+    predictor/base.py:102-124). Output spans must equal the straight
+    pipeline's — the oracle is identical."""
+    documents = load_documents(spark, sf_dir)
+    docs = docs_from_documents(documents)
+    media = media_from_documents(documents, skew_pages=True)
+    return extract_spans(docs, media, det_cfg=DetectConfig(straighten_pages=True))
+
+
 def extract_from_testdata_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rotated-word pipeline end-to-end (assume_straight_pages=False):
     pages are skewed 6-10° in-plane at ingest; detection emits (N,4,2)
