@@ -153,6 +153,48 @@ def linear_sum_assignment_min(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]
     return np.asarray(rows, dtype=np.int64), np.asarray(cols, dtype=np.int64)
 
 
+def _assign_max_iou(iou: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Optimal max-total-IoU assignment via sparsity decomposition:
+    connected components of the positive-IoU bipartite graph are solved
+    independently — page matrices are near-block-diagonal (a box only
+    overlaps its local neighborhood), so most components are 1×1 and
+    match directly; larger ones run the O(n³) Hungarian on their
+    submatrix. Zero-IoU pairs never need matching: every downstream
+    counter consumes only matches with iou ≥ thresh > 0, and a
+    zero-weight pair contributes nothing to the optimal total. Cuts the
+    per-page cost from O((G+P)³) to O(nnz) + Σ component³."""
+    n_g, n_p = iou.shape
+    gi, pi = np.nonzero(iou > 0)
+    parent = list(range(n_g + n_p))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for g, p in zip(gi.tolist(), pi.tolist()):
+        ra, rb = find(g), find(n_g + p)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, tuple[list[int], list[int]]] = {}
+    for g in sorted(set(gi.tolist())):
+        comps.setdefault(find(g), ([], []))[0].append(g)
+    for p in sorted(set(pi.tolist())):
+        comps.setdefault(find(n_g + p), ([], []))[1].append(p)
+    rows: list[int] = []
+    cols: list[int] = []
+    for r_idx, c_idx in comps.values():
+        if len(r_idx) == 1 and len(c_idx) == 1:
+            rows.append(r_idx[0])
+            cols.append(c_idx[0])
+        elif r_idx and c_idx:
+            ri, ci = linear_sum_assignment_min(-iou[np.ix_(r_idx, c_idx)])
+            rows.extend(r_idx[i] for i in ri)
+            cols.extend(c_idx[j] for j in ci)
+    return np.asarray(rows, dtype=np.int64), np.asarray(cols, dtype=np.int64)
+
+
 def box_iou_matrix(gts: np.ndarray, preds: np.ndarray) -> np.ndarray:
     """(G, P) IoU matrix for straight relative boxes [x0, y0, x1, y1]."""
     if gts.shape[0] == 0 or preds.shape[0] == 0:
@@ -199,8 +241,8 @@ def page_confusion(
     matches = 0
     n_raw = n_caseless = n_unidecode = n_unicase = 0
     if iou.size:
-        ri, ci = linear_sum_assignment_min(-iou)
-        kept = iou[ri, ci] >= iou_thresh
+        ri, ci = _assign_max_iou(iou)
+        kept = iou[ri, ci] >= iou_thresh if ri.size else np.zeros(0, dtype=bool)
         matches = int(kept.sum())
         if gt_words is not None:
             for g_i, p_i in zip(ri[kept], ci[kept]):
@@ -214,39 +256,52 @@ def page_confusion(
 
 
 def _confusion_partials(boxes: DataFrame, iou_thresh: float, with_text: bool) -> DataFrame:
-    """Per-ARROW-BATCH partial counter rows (the map-side combine): one
-    JVM groupBy collects each page's boxes into an array, then a single
-    mapInPandas sums page counters across its whole batch — no
-    per-group applyInPandas overhead, and the global aggregation sees
-    one tiny row per batch instead of one per page (at 10^12 docs the
-    shuffle after this stage is counters only)."""
-    fields = ["side", "xmin", "ymin", "xmax", "ymax"] + (["text"] if with_text else [])
-    grouped = boxes.groupBy("doc_id", "page").agg(F.collect_list(F.struct(*fields)).alias("items"))
-    # Explicit numPartitions: the grouped rows are tiny (a few KB/page),
-    # so AQE (correctly, by bytes) would coalesce this shuffle into ~1
-    # partition — but the matching stage is CPU-bound per PAGE, not per
-    # byte, and byte-based coalescing serializes it (the same trap
-    # documented at stages/pipeline.media_pages). Explicit counts are
-    # exempt from AQE coalescing.
-    grouped = grouped.repartition(boxes.sparkSession.sparkContext.defaultParallelism)
+    """Per-PARTITION partial counter rows (the map-side combine): one
+    explicit hash repartition on (doc_id, page), a JVM groupBy (reusing
+    that partitioning — no second exchange) packs each page into a
+    single compact row of flattened per-side coord arrays, and one
+    mapInPandas sums page counters across its whole partition. The
+    global aggregation sees one tiny counter row per partition — at
+    10^12 docs the post-stage shuffle is counters only."""
+    parallelism = boxes.sparkSession.sparkContext.defaultParallelism
+    is_gt = F.col("side") == "gt"
+    aggs = [
+        F.flatten(F.collect_list(F.when(is_gt, F.array("xmin", "ymin", "xmax", "ymax")))).alias("gt_flat"),
+        F.flatten(F.collect_list(F.when(~is_gt, F.array("xmin", "ymin", "xmax", "ymax")))).alias("pr_flat"),
+    ]
+    if with_text:
+        aggs += [
+            F.collect_list(F.when(is_gt, F.col("text"))).alias("gt_words"),
+            F.collect_list(F.when(~is_gt, F.col("text"))).alias("pr_words"),
+        ]
+    # ONE explicit shuffle: hash-repartition the tall rows by page key
+    # (AQE-exempt — matching is CPU-bound per PAGE, and byte-based
+    # coalescing would serialize the Python stage, the trap documented
+    # at stages/pipeline.media_pages); the groupBy reuses that
+    # partitioning, so no second exchange. collect_list drops the
+    # when()-nulls, giving per-side arrays in one pass; flattened coord
+    # arrays mean Arrow ships ONE compact row per page (the session's
+    # small maxRecordsPerBatch made tall-row transfer the bottleneck:
+    # measured 2.1s of a 5.7s wall for a no-op stage at sf0.1).
+    grouped = (
+        boxes.repartition(parallelism, "doc_id", "page")
+        .groupBy("doc_id", "page")
+        .agg(*aggs)
+    )
 
     def run(batches):
+        acc = np.zeros(8, dtype=np.int64)
         for pdf in batches:
-            if pdf.empty:
-                continue
-            acc = np.zeros(8, dtype=np.int64)
-            for items in pdf["items"]:
-                gt = [it for it in items if it["side"] == "gt"]
-                pr = [it for it in items if it["side"] == "pred"]
-                gts = np.array([[it["xmin"], it["ymin"], it["xmax"], it["ymax"]] for it in gt], dtype=np.float64).reshape(-1, 4)
-                prs = np.array([[it["xmin"], it["ymin"], it["xmax"], it["ymax"]] for it in pr], dtype=np.float64).reshape(-1, 4)
-                gw = [it["text"] for it in gt] if with_text else None
-                pw = [it["text"] for it in pr] if with_text else None
+            for row in pdf.itertuples(index=False):
+                gts = np.asarray(row.gt_flat, dtype=np.float64).reshape(-1, 4)
+                prs = np.asarray(row.pr_flat, dtype=np.float64).reshape(-1, 4)
+                gw = row.gt_words if with_text else None
+                pw = row.pr_words if with_text else None
                 acc += np.array(page_confusion(gts, prs, gw, pw, iou_thresh), dtype=np.int64)
-            yield pd.DataFrame(
-                [acc.tolist()],
-                columns=["matches", "num_gts", "num_preds", "tot_iou_micro", "raw", "caseless", "unidecode", "unicase"],
-            )
+        yield pd.DataFrame(
+            [acc.tolist()],
+            columns=["matches", "num_gts", "num_preds", "tot_iou_micro", "raw", "caseless", "unidecode", "unicase"],
+        )
 
     return grouped.mapInPandas(run, _PAGE_STATS_SCHEMA)
 

@@ -107,3 +107,29 @@ def test_localization_confusion_spark(spark):
     assert 0 < row.mean_iou < 1
     assert row.recall == pytest.approx(exp_matches / 100)
     assert row.precision == pytest.approx(exp_matches / (100 - n_drop + n_spur))
+
+
+def test_assign_max_iou_equals_full_hungarian():
+    """The sparsity-decomposed assignment achieves the same optimal
+    total IoU as the full-matrix Hungarian on dense random matrices
+    (components here are NOT 1x1 — overlapping clusters force real
+    sub-Hungarian calls), and identical pairs on block-diagonal ones."""
+    import numpy as np
+
+    from onnxtr_spark.functions.evaluation import _assign_max_iou, linear_sum_assignment_min
+
+    rng = np.random.default_rng(5)
+    for trial in range(20):
+        g, p = rng.integers(1, 12, 2)
+        iou = rng.uniform(0, 1, (g, p))
+        iou[iou < 0.45] = 0.0  # sparsify into multi-node components
+        ri, ci = _assign_max_iou(iou)
+        fr, fc = linear_sum_assignment_min(-iou)
+        assert len(set(zip(ri.tolist(), ci.tolist()))) == len(ri)  # valid matching
+        assert np.isclose(iou[ri, ci].sum(), iou[fr, fc].sum()), f"trial {trial}"
+    # block-diagonal (the real page shape): exact same pair set
+    iou = np.zeros((4, 4))
+    for i in range(4):
+        iou[i, i] = 0.8
+    ri, ci = _assign_max_iou(iou)
+    assert sorted(zip(ri.tolist(), ci.tolist())) == [(i, i) for i in range(4)]
