@@ -391,7 +391,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "text_token_stats": text.TOKEN_STATS_SQL,
         "text_quality_score": text.QUALITY_SCORE_SQL,
-        "text_lang_id": text.LANG_ID_SQL,
+        "text_lang_id": text.lang_id_sql(),
         "doc_fingerprint": text.FINGERPRINT_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_minhash_bands": dedup.minhash_bands_sql(),

@@ -96,10 +96,9 @@ FROM m
 """
 
 
-def lang_id(documents: DataFrame) -> DataFrame:
-    """Stopword-heuristic language ID (the reference's optional
-    language-detect pass, onnxtr/models/_utils.py:193-209, re-expressed
-    as a declarative n-gram/stopword heuristic)."""
+def lang_id_stopword(documents: DataFrame) -> DataFrame:
+    """The round-1 stopword heuristic, kept as the cheap baseline the
+    n-gram model is accuracy-tested against (it only knows English)."""
     toks = tokens()
     ratio = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))).cast("double") / F.size(toks)
     return documents.select(
@@ -108,13 +107,222 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
-LANG_ID_SQL = f"""
-SELECT doc_id,
-       CASE WHEN len(list_filter({_TOKENS_SQL}, t -> t IN {_STOP_SQL}))::DOUBLE
-                 / len({_TOKENS_SQL}) >= 0.05
-            THEN 'en' ELSE 'unknown' END AS pred_lang
-FROM documents
+# ---------------------------------------------------------------------------
+# N-gram language ID (Cavnar & Trenkle 1994, "N-Gram-Based Text
+# Categorization"): rank a document's most frequent character trigrams
+# and pick the language whose trained rank profile minimizes the
+# out-of-place distance. The reference's optional language-detect pass
+# (onnxtr/models/_utils.py:193-209 uses the langdetect package) is
+# re-derived as this classic profile model so the whole classifier is
+# declarative column algebra — exploe trigrams, one groupBy, one
+# window rank, one broadcast join against the (tiny) profile table.
+# All distances are INTEGER arithmetic (ranks + a fixed miss penalty),
+# so the DuckDB oracle is bit-exact by construction.
+# ---------------------------------------------------------------------------
+
+# Letters kept by normalization (lowercased); everything else → space.
+_LETTERS = "a-zàâäçéèêëîïíñóôöùûüúß"
+_NORM_RE = f"[^{_LETTERS}]+"
+PROFILE_SIZE = 200  # trigrams per language profile
+DOC_TOP = 300  # document profile depth (CT use ~300)
+MISS_PENALTY = PROFILE_SIZE  # out-of-place distance for an absent trigram
+# matched-coverage gate: best language must match >=10% of the doc's
+# top trigrams, else 'unknown' (CT has no reject; corpora do need one
+# for scripts outside the profile set)
+MIN_MATCH_NUM, MIN_MATCH_DEN = 1, 10
+
+# Training snippets (self-authored everyday prose, a few sentences per
+# language — profiles only need stable frequency ranks, not coverage).
+TRAIN_SNIPPETS: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog while the children "
+        "watch from the garden and the morning light falls through the "
+        "trees onto the quiet street where people walk to work and talk "
+        "about the weather the news and the small things of their days"
+    ),
+    "fr": (
+        "le petit garçon marche dans la rue avec sa mère et regarde les "
+        "oiseaux qui chantent dans les arbres du jardin pendant que les "
+        "gens parlent de la pluie et du beau temps devant la boulangerie "
+        "où l'on achète le pain chaud du matin avant d'aller travailler"
+    ),
+    "de": (
+        "der kleine junge geht mit seiner mutter durch die strasse und "
+        "schaut den vögeln zu die in den bäumen des gartens singen "
+        "während die leute vor der bäckerei über das wetter sprechen und "
+        "das warme brot des morgens kaufen bevor sie zur arbeit gehen"
+    ),
+    "es": (
+        "el niño pequeño camina por la calle con su madre y mira los "
+        "pájaros que cantan en los árboles del jardín mientras la gente "
+        "habla de la lluvia y del buen tiempo frente a la panadería donde "
+        "se compra el pan caliente de la mañana antes de ir al trabajo"
+    ),
+}
+
+
+def _norm_trigrams(text: str) -> list[str]:
+    """Driver-side mirror of the column normalization + trigram
+    extraction (used only to build profiles and in tests)."""
+    import re
+
+    norm = re.sub(_NORM_RE, " ", text.lower()).strip()
+    out: list[str] = []
+    for tok in norm.split(" "):
+        if not tok:
+            continue
+        padded = f" {tok} "
+        out.extend(padded[i : i + 3] for i in range(len(padded) - 2))
+    return out
+
+
+def build_profile(text: str, size: int = PROFILE_SIZE) -> dict[str, int]:
+    """trigram -> rank (1-based), most frequent first; ties break on the
+    trigram string so both engines derive identical tables."""
+    from collections import Counter
+
+    counts = Counter(_norm_trigrams(text))
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
+    return {t: r + 1 for r, (t, _) in enumerate(ranked)}
+
+
+def _profile_rows() -> list[tuple[str, str, int]]:
+    return [
+        (lang, tri, rank)
+        for lang in sorted(TRAIN_SNIPPETS)
+        for tri, rank in sorted(build_profile(TRAIN_SNIPPETS[lang]).items())
+    ]
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang) via Cavnar-Trenkle out-of-place distance.
+
+    Plan shape: trigram explode → ONE groupBy (doc_id, trigram) →
+    window rank per doc (co-partitioned on doc_id) → broadcast join
+    against the ~800-row profile table → per-(doc, lang) integer sum →
+    per-doc argmin window. At 10^12 docs everything is keyed by doc_id
+    after the first aggregation; the profile side is a broadcast.
+    """
+    from pyspark.sql import Window
+
+    spark = documents.sparkSession
+    profiles = F.broadcast(
+        spark.createDataFrame(_profile_rows(), "lang string, trigram string, prank int")
+    )
+    langs = F.broadcast(spark.createDataFrame([(lg,) for lg in sorted(TRAIN_SNIPPETS)], "lang string"))
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), _NORM_RE, " "))
+    tris = F.flatten(
+        F.transform(
+            F.filter(F.split(norm, " "), lambda t: t != ""),
+            lambda tok: F.transform(
+                F.sequence(F.lit(1), F.length(tok)),  # padded len+2 → len trigrams
+                lambda i: F.substring(F.concat(F.lit(" "), tok, F.lit(" ")), i, 3),
+            ),
+        )
+    )
+    docs = documents.select(F.col("doc_id").cast("long").alias("doc_id"), tris.alias("tris"))
+    counts = (
+        docs.select("doc_id", F.explode("tris").alias("trigram"))
+        .groupBy("doc_id", "trigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("trigram"))
+    top = (
+        counts.withColumn("drank", F.row_number().over(w))
+        .where(F.col("drank") <= DOC_TOP)
+        .withColumn("n_top", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    matched = (
+        top.join(profiles, "trigram")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.abs(F.col("drank") - F.col("prank"))).alias("hit_dist"),
+            F.count("*").alias("n_hit"),
+        )
+    )
+    per_doc = top.groupBy("doc_id").agg(F.first("n_top").alias("n_top"))
+    scored = (
+        per_doc.crossJoin(langs)
+        .join(matched, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id", "lang", "n_top",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce(F.col("hit_dist"), F.lit(0))
+                + (F.col("n_top") - F.coalesce(F.col("n_hit"), F.lit(0))) * MISS_PENALTY
+            ).alias("dist"),
+        )
+    )
+    wbest = Window.partitionBy("doc_id").orderBy(F.asc("dist"), F.asc("lang"))
+    best = scored.withColumn("r", F.row_number().over(wbest)).where(F.col("r") == 1)
+    pred = best.select(
+        "doc_id",
+        F.when(
+            F.col("n_hit") * MIN_MATCH_DEN >= F.col("n_top") * MIN_MATCH_NUM, F.col("lang")
+        ).otherwise(F.lit("unknown")).alias("pred_lang"),
+    )
+    # keep docs that produced no trigrams at all
+    return (
+        documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(pred, "doc_id", "left")
+        .select("doc_id", F.coalesce("pred_lang", F.lit("unknown")).alias("pred_lang"))
+    )
+
+
+def lang_id_sql() -> str:
+    rows = ",\n    ".join(f"('{lg}', '{t}', {r})" for lg, t, r in _profile_rows())
+    langs = ", ".join(f"('{lg}')" for lg in sorted(TRAIN_SNIPPETS))
+    return f"""
+WITH profiles(lang, trigram, prank) AS (
+  VALUES {rows}
+), langs(lang) AS (VALUES {langs}),
+norm AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(lower(text), '{_NORM_RE}', ' ', 'g')), ' '),
+                     t -> t != '') AS toks
+  FROM documents
+), tris AS (
+  SELECT doc_id, unnest(flatten([
+           [substring(' ' || tok || ' ', i, 3) for i in range(1, length(tok) + 1)]
+           for tok in toks])) AS trigram
+  FROM norm
+), counts AS (
+  SELECT doc_id, trigram, count(*) AS n FROM tris GROUP BY doc_id, trigram
+), top AS (
+  SELECT doc_id, trigram, drank, count(*) OVER (PARTITION BY doc_id) AS n_top
+  FROM (
+    SELECT doc_id, trigram,
+           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, trigram ASC) AS drank
+    FROM counts
+  ) WHERE drank <= {DOC_TOP}
+), matched AS (
+  SELECT t.doc_id, p.lang, sum(abs(t.drank - p.prank)) AS hit_dist, count(*) AS n_hit
+  FROM top t JOIN profiles p USING (trigram)
+  GROUP BY t.doc_id, p.lang
+), per_doc AS (
+  SELECT doc_id, max(n_top) AS n_top FROM top GROUP BY doc_id
+), scored AS (
+  SELECT d.doc_id, l.lang, d.n_top,
+         coalesce(m.n_hit, 0) AS n_hit,
+         coalesce(m.hit_dist, 0) + (d.n_top - coalesce(m.n_hit, 0)) * {MISS_PENALTY} AS dist
+  FROM per_doc d CROSS JOIN langs l
+  LEFT JOIN matched m ON m.doc_id = d.doc_id AND m.lang = l.lang
+), best AS (
+  SELECT doc_id,
+         CASE WHEN n_hit * {MIN_MATCH_DEN} >= n_top * {MIN_MATCH_NUM} THEN lang
+              ELSE 'unknown' END AS pred_lang
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS r
+    FROM scored
+  ) WHERE r = 1
+)
+SELECT d.doc_id, coalesce(b.pred_lang, 'unknown') AS pred_lang
+FROM documents d LEFT JOIN best b USING (doc_id)
 """
+
+
+LANG_ID_SQL = None  # resolved lazily via lang_id_sql() (profile literals)
 
 
 def shingles(documents: DataFrame, k: int = 3) -> DataFrame:

@@ -1,0 +1,68 @@
+"""N-gram language ID (Cavnar-Trenkle trigram profiles): accuracy on a
+held-out multilingual fixture, beating the round-1 stopword heuristic,
+plus profile/normalization determinism."""
+
+import pandas as pd
+import pytest
+
+from onnxtr_spark.functions import text as T
+
+# Held-out sentences — none appear in TRAIN_SNIPPETS.
+FIXTURE = [
+    ("en", "a bright student reads many books about science and history every single evening"),
+    ("en", "our team finished the long report before lunch and then reviewed all results together"),
+    ("fr", "je voudrais acheter une nouvelle voiture rouge parce que la mienne est très vieille"),
+    ("fr", "nous avons mangé du fromage et bu du vin rouge hier soir chez nos amis à paris"),
+    ("de", "ich möchte morgen früh mit dem zug nach berlin fahren und meine schwester besuchen"),
+    ("de", "das wetter ist heute sehr schön und wir gehen zusammen im park spazieren"),
+    ("es", "quiero aprender a cocinar platos nuevos para mi familia durante las vacaciones de verano"),
+    ("es", "los estudiantes leen muchos libros en la biblioteca antes de los exámenes finales"),
+]
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": range(len(FIXTURE)),
+            "text": [t for _, t in FIXTURE],
+        })
+    )
+
+
+def test_trigram_model_beats_stopword_heuristic(spark, fixture_df):
+    ngram = {r.doc_id: r.pred_lang for r in T.lang_id(fixture_df).collect()}
+    stop = {r.doc_id: r.pred_lang for r in T.lang_id_stopword(fixture_df).collect()}
+    truth = {i: lang for i, (lang, _) in enumerate(FIXTURE)}
+    ngram_acc = sum(ngram[i] == truth[i] for i in truth)
+    stop_acc = sum(stop[i] == truth[i] for i in truth)
+    assert ngram_acc == len(FIXTURE), f"misses: { {i: (ngram[i], truth[i]) for i in truth if ngram[i] != truth[i]} }"
+    # the stopword baseline only knows English: at best 2/8 here
+    assert stop_acc <= 2
+    assert ngram_acc > stop_acc
+
+
+def test_non_profile_script_is_unknown(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["今天 天气 很好 我们 去 公园", "1234 5678 --- !!!"]})
+    )
+    out = {r.doc_id: r.pred_lang for r in T.lang_id(df).collect()}
+    assert out[0] == "unknown"  # CJK: no profile trigrams match
+    assert out[1] == "unknown"  # no letters at all -> no trigrams
+
+
+def test_profiles_deterministic_and_ranked():
+    p1 = T.build_profile(T.TRAIN_SNIPPETS["fr"])
+    p2 = T.build_profile(T.TRAIN_SNIPPETS["fr"])
+    assert p1 == p2
+    assert sorted(p1.values()) == list(range(1, len(p1) + 1))
+    assert len(p1) <= T.PROFILE_SIZE
+    # padded-token trigrams: ' le' must rank high in french
+    assert " le" in p1
+
+
+def test_norm_trigrams_mirror():
+    tris = T._norm_trigrams("Héllo, Wörld!")
+    assert " hé" in tris and "ld " in tris
+    assert all(len(t) == 3 for t in tris)
+    assert T._norm_trigrams("123 !!!") == []
