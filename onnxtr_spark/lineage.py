@@ -21,6 +21,27 @@ A driver-side loop over groups (not ``collect()`` of data — only of the
 already-done group ids) is the deliberate checkpoint grain: group count
 is small and fixed (e.g. 256 at production scale), each group is a full
 distributed job.
+
+Delta from real Iceberg semantics (this sandbox has no Iceberg jars;
+SURVEY §1.3/§4 promise ``MERGE INTO`` when they are available):
+
+- **Atomic commit**: Iceberg commits a snapshot atomically; dynamic
+  partition overwrite swaps a directory's files non-atomically, so a
+  reader racing a writer can observe a partially-replaced group.
+  Covered here by the write-data-THEN-lineage ordering: consumers that
+  gate on the lineage table (the contract) never read a group whose
+  overwrite hasn't finished, and a crash mid-overwrite leaves the group
+  un-lineaged → fully re-processed on resume (idempotent replace,
+  proven by tests/test_lineage_resume.py incl. a simulated concurrent
+  partial write).
+- **Writer isolation**: Iceberg's optimistic concurrency rejects one of
+  two conflicting commits; the fs standin is last-writer-wins per file.
+  The deployment contract is therefore ONE active driver per
+  ``out_path`` (the usual scheduler lock); zombie-writer leftovers in a
+  group directory are healed by the next overwrite of that group, and
+  never surface through lineage-gated reads (test-pinned).
+- **Snapshot reads / time travel**: not reproduced; ``read_spans``
+  reads current files only.
 """
 
 from __future__ import annotations

@@ -89,3 +89,64 @@ def test_partition_metrics_rows(spark, corpus, tmp_path):
     assert pm.boxes.sum() >= pm.words.sum() > 0
     assert (pm.decode_ms >= 0).all() and (pm.wall_ms > 0).all()
     assert (pm.partition_id >= 0).all()
+
+
+def test_resume_heals_concurrent_partial_write(spark, corpus, tmp_path):
+    """A zombie writer died mid-overwrite of a group it never lineaged:
+    its partial/garbage part-files sit in that group's directory. The
+    resume run must re-process the group (absent from lineage) and the
+    dynamic overwrite must REPLACE the leftovers - final table equals a
+    clean run, no duplicates, no garbage rows (the documented delta
+    from Iceberg's atomic commit: lineage-gated idempotent replace)."""
+    docs, media = corpus
+    out = str(tmp_path / "out")
+    first = run_checkpointed(spark, docs, media, out, n_groups=4, fail_after=2)
+    remaining = sorted(set(range(4)) - set(first))
+    victim = remaining[0]
+
+    # simulate the zombie's partial write: garbage span rows (duplicated
+    # ids + a marker row) written INTO the unfinished group's directory
+    garbage = spark.createDataFrame(
+        [("zombie", 0, "text", "GARBAGE", ""), ("zombie", 1, "text", "GARBAGE", "")],
+        schema="doc_id string, offset int, kind string, text string, media_ref string",
+    )
+    garbage.write.mode("append").parquet(f"{out}/spans/group={victim}")
+    assert "GARBAGE" in set(
+        r.text for r in spark.read.parquet(f"{out}/spans").where(F.col("group") == victim).collect()
+    )
+
+    second = run_checkpointed(spark, docs, media, out, n_groups=4)
+    assert sorted(set(first) | set(second)) == [0, 1, 2, 3]
+
+    got = read_spans(spark, out).toPandas().sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    want = golden_flat().sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    assert "zombie" not in set(got["doc_id"])
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "offset", "kind", "text", "media_ref"]].astype(str),
+        want.astype(str),
+    )
+
+
+def test_lineage_gated_read_never_sees_uncommitted_group(spark, corpus, tmp_path):
+    """The reader contract that stands in for Iceberg snapshot
+    isolation: consumers join spans against the lineage table, so a
+    group whose data landed but whose lineage row didn't (crash window)
+    is invisible until its re-run commits."""
+    docs, media = corpus
+    out = str(tmp_path / "out")
+    run_checkpointed(spark, docs, media, out, n_groups=4, fail_after=2)
+    import shutil
+    # wipe lineage for one completed group -> its data is now uncommitted
+    lin = spark.read.parquet(f"{out}/lineage").toPandas()
+    keep = lin[lin["group"] != lin["group"].iloc[0]]
+    dropped = int(lin["group"].iloc[0])
+    shutil.rmtree(f"{out}/lineage")
+    if len(keep):
+        spark.createDataFrame(keep).write.mode("append").parquet(f"{out}/lineage")
+
+    committed = completed_groups(spark, out)
+    assert dropped not in committed
+    gated = spark.read.parquet(f"{out}/spans").where(F.col("group").isin(list(committed)))
+    raw = spark.read.parquet(f"{out}/spans")
+    assert gated.count() < raw.count()  # uncommitted group's rows filtered
