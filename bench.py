@@ -32,9 +32,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HEADLINE = [
     "ocr_extract_spans",
     "ocr_extract_spans_rotated",
+    "ocr_extract_spans_straightened",
     "artefact_detect",
     "html_main_content",
     "pdf_extract_text",
+    "pdf_scanned_ocr",
     "eval_ocr_metric",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
@@ -42,6 +44,7 @@ HEADLINE = [
     "lineitem_top_per_order",
     "events_sessionize",
     "text_quality_score",
+    "text_lang_id",
     "doc_fingerprint",
     "dedup_minhash_bands",
     "dedup_simhash",
