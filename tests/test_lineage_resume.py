@@ -135,12 +135,14 @@ def test_lineage_gated_read_never_sees_uncommitted_group(spark, corpus, tmp_path
     is invisible until its re-run commits."""
     docs, media = corpus
     out = str(tmp_path / "out")
-    run_checkpointed(spark, docs, media, out, n_groups=4, fail_after=2)
+    run_checkpointed(spark, docs, media, out, n_groups=2)
     import shutil
     # wipe lineage for one completed group -> its data is now uncommitted
     lin = spark.read.parquet(f"{out}/lineage").toPandas()
-    keep = lin[lin["group"] != lin["group"].iloc[0]]
-    dropped = int(lin["group"].iloc[0])
+    # drop a group that actually wrote spans (an empty group's absence
+    # wouldn't change the gated count)
+    dropped = int(lin[lin["n_spans"] > 0]["group"].iloc[0])
+    keep = lin[lin["group"] != dropped]
     shutil.rmtree(f"{out}/lineage")
     if len(keep):
         spark.createDataFrame(keep).write.mode("append").parquet(f"{out}/lineage")
