@@ -275,10 +275,14 @@ def lsh_near_pairs(
     withb = embeddings.select(
         "vec_id", F.posexplode(F.array(*band_codes)).alias("band", "c")
     ).select("vec_id", "band", F.col("c.bucket").alias("bucket"), F.col("c.xcode").alias("xcode"))
-    sizes = withb.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
-    refined = withb.join(sizes, ["band", "bucket"]).select(
+    # bucket population via a window count over the SAME keys the rows
+    # are about to self-join on — one shuffle, and the codes projection
+    # is not re-derived for a size table (a groupBy+join here would
+    # scan the embeddings twice more per plan branch)
+    bsz = F.count("*").over(Window.partitionBy("band", "bucket"))
+    refined = withb.select(
         "vec_id", "band", "bucket",
-        F.col("xcode").bitwiseAND(_split_mask(F.col("bsz"))).alias("sub"),
+        F.col("xcode").bitwiseAND(_split_mask(bsz)).alias("sub"),
     )
     cands = (
         refined.alias("a")

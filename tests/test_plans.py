@@ -94,18 +94,74 @@ def test_pdf_roundtrip_two_python_stages(spark):
     assert p.count("Exchange") <= 1  # only the parallelism repartition
 
 
-def test_eval_partials_repartition_before_python(spark):
+def test_eval_partials_single_explicit_shuffle(spark):
     """The matching stage must not be byte-coalesced into one partition:
-    the explicit repartition sits between the groupBy and MapInPandas."""
+    ONE explicit hash repartition on the page key feeds the groupBy
+    (which reuses the partitioning — no second exchange) and the
+    Python stage."""
     from onnxtr_spark.functions import evaluation as ev
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     boxes = ev.eval_boxes_from_documents(docs)
     p = plan(ev.localization_confusion(boxes.drop("text")))
     assert "MapInPandas" in p
-    assert re.search(r"Exchange RoundRobinPartitioning", p), p
-    # one page-grouping shuffle + one explicit repartition + final single-row agg
-    assert p.count("Exchange") <= 4, p
+    assert re.search(r"Exchange hashpartitioning\(doc_id[^\n]*page", p), p
+    # the explicit page-key repartition + the final single-row agg only
+    assert p.count("Exchange") <= 2, p
+
+
+def test_lang_id_broadcast_profiles_no_python(spark):
+    """Trigram lang-ID is declarative end to end: zero Python nodes,
+    the profile table joins as a broadcast, no cartesian products."""
+    from onnxtr_spark.functions import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(T.lang_id(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p and "MapInPandas" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_lsh_near_pairs_single_scan_codes(spark):
+    """All band codes come from ONE pass over the embeddings for the
+    code computation (posexplode over per-band structs, not a per-band
+    union), and candidate generation is an equi-join — no cartesian."""
+    from onnxtr_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = plan(sim.lsh_near_pairs(emb, bits=4))
+    assert "CartesianProduct" not in p
+    assert "Generate posexplode" in p
+    # the code projection appears once per self-join side plus the two
+    # verify re-attachments: 4 scans, not (2 + bands)·sides
+    assert p.count("Scan parquet") <= 4, p
+
+
+def test_straightened_pipeline_same_shape(spark):
+    """straighten_pages=True (G4 estimate+rotate+re-detect) lives inside
+    the same fused Python stage — identical plan shape to the straight
+    pipeline."""
+    from onnxtr_spark.stages.pipeline import extract_from_testdata_straightened
+
+    p = plan(extract_from_testdata_straightened(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange") <= 8, p
+    assert p.count("MapInPandas") == 2, p
+
+
+def test_scanned_pdf_three_python_stages(spark):
+    """pdf_scanned_ocr: synthesize + rasterize + fused OCR are the only
+    Python passes; PDF bytes cross to Python once per stage, pages once."""
+    from onnxtr_spark.sources.pdf import synthesize_pdfs
+    from onnxtr_spark.sources.rasterize import rasterize_pdf_pages
+    from onnxtr_spark.sources.reader import assemble_page_text
+    from onnxtr_spark.stages.fused import detect_recognize_pages
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pages = rasterize_pdf_pages(synthesize_pdfs(docs))
+    p = plan(assemble_page_text(detect_recognize_pages(pages), "pdf_scanned"))
+    assert p.count("MapInPandas") == 3, p
+    assert "CartesianProduct" not in p
 
 
 def test_artefact_stage_single_python_pass(spark):
