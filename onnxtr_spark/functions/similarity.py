@@ -46,13 +46,18 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFr
     Returns (query_id, neighbor_id, sim, rank); ties broken by neighbor_id.
     """
     queries = embeddings.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        _norm(F.col("embedding")).alias("qn"),  # query norms: once, not per pair
     )
-    pairs = embeddings.crossJoin(F.broadcast(queries)).where(F.col("vec_id") != F.col("query_id"))
+    cands = embeddings.select("vec_id", "embedding", _norm(F.col("embedding")).alias("en"))
+    pairs = cands.crossJoin(F.broadcast(queries)).where(F.col("vec_id") != F.col("query_id"))
     sims = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        round_half_up(_dot(F.col("q"), F.col("embedding")) / (_norm(F.col("q")) * _norm(F.col("embedding"))), ROUND).alias("sim"),
+        round_half_up(
+            _dot(F.col("q"), F.col("embedding")) / (F.col("qn") * F.col("en")), ROUND
+        ).alias("sim"),
     )
     return _topk(sims, k)
 
@@ -262,6 +267,12 @@ def lsh_near_pairs(
     n, dim = int(head["n"]), int(head["dim"])
     if bits is None:
         bits = _ann_bits(n)
+    # spread the code computation: the code projection is CPU-bound per
+    # row (bands·bits 64-dim dots), and a single-row-group parquet would
+    # otherwise compute it all in one task
+    embeddings = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    )
     band_codes = [
         F.struct(
             _rh_code(F.col("embedding"), [_hyperplane(b, i, dim) for i in range(bits)]).alias("bucket"),
@@ -294,8 +305,20 @@ def lsh_near_pairs(
         )
         .distinct()
     )
-    ea = embeddings.select(F.col("vec_id").cast("long").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = embeddings.select(F.col("vec_id").cast("long").alias("vec_b"), F.col("embedding").alias("eb"))
+    # per-VECTOR norms computed once and carried through the joins — the
+    # verify is per candidate pair (~N·bucket·bands/2 pairs), so norm
+    # recomputation per pair would triple its interpreted-HOF cost; the
+    # norm value is the identical double either way (same fold over the
+    # same array), so the rounded sim stays bit-equal to the oracle's
+    # per-pair formulation
+    ea = embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_a"), F.col("embedding").alias("ea"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    eb = embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_b"), F.col("embedding").alias("eb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
     return (
         cands.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -303,7 +326,7 @@ def lsh_near_pairs(
             "vec_a",
             "vec_b",
             round_half_up(
-                _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb"))), ROUND
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), ROUND
             ).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
@@ -403,14 +426,16 @@ def ivf_topk(
     )
     wcell = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("label"))
     probed = qcell.withColumn("cr", F.row_number().over(wcell)).where(F.col("cr") <= nprobe).select(
-        "query_id", "q", "label"
+        "query_id", "q", _norm(F.col("q")).alias("qn"), "label"
     )
-    cands = embeddings.join(F.broadcast(probed), "label").where(F.col("vec_id") != F.col("query_id"))
+    # candidate norms once per vector (same double as the per-pair form)
+    withn = embeddings.select("label", "vec_id", "embedding", _norm(F.col("embedding")).alias("en"))
+    cands = withn.join(F.broadcast(probed), "label").where(F.col("vec_id") != F.col("query_id"))
     sims = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         round_half_up(
-            _dot(F.col("q"), F.col("embedding")) / (_norm(F.col("q")) * _norm(F.col("embedding"))), ROUND
+            _dot(F.col("q"), F.col("embedding")) / (F.col("qn") * F.col("en")), ROUND
         ).alias("sim"),
     )
     # nprobe already bounds the candidate set to the probed cells; the
