@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": lambda s, d: text.quality_score(_documents(s, d)),
         "text_lang_id": lambda s, d: text.lang_id(_documents(s, d)),
         "doc_fingerprint": lambda s, d: text.fingerprint(_documents(s, d)),
+        "docs_stratified_sample": lambda s, d: text.stratified_sample(_documents(s, d)),
         # dedup
         "dedup_exact": lambda s, d: dedup.exact_dedup(_documents(s, d)),
         "dedup_minhash_bands": lambda s, d: dedup.minhash_bands(_documents(s, d)),
@@ -393,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": text.QUALITY_SCORE_SQL,
         "text_lang_id": text.lang_id_sql(),
         "doc_fingerprint": text.FINGERPRINT_SQL,
+        "docs_stratified_sample": text.stratified_sample_sql(),
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_minhash_bands": dedup.minhash_bands_sql(),
         "dedup_token_jaccard": dedup.token_jaccard_pairs_sql(),

@@ -372,3 +372,61 @@ SELECT doc_id, min({hash64_sql("shingle", 0)}) AS fingerprint
 FROM ({_shingles_sql()})
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling — the training-mix knob: each
+# (lang, source) stratum keeps a configured fraction of documents,
+# selected by a seeded hash gate so the sample is REPRODUCIBLE, stable
+# under reruns/backfills (membership depends only on doc_id), and
+# embarrassingly parallel (a narrow filter — no shuffle, no sort, no
+# per-partition state; at 10^12 docs it pushes straight onto the scan).
+# ---------------------------------------------------------------------------
+
+SAMPLE_SEED = 41
+SAMPLE_DEN = 1_000_000  # fraction resolution: 1e-6
+# default training mix: over-keep scarce languages, downsample English,
+# drop the synthetic 'web' source harder than curated ones
+DEFAULT_LANG_FRACS = {"en": 0.35, "fr": 0.8, "de": 0.8, "es": 0.8, "zh": 1.0}
+DEFAULT_FRAC = 0.5
+
+
+def stratified_sample(
+    documents: DataFrame,
+    lang_fracs: dict[str, float] | None = None,
+    default_frac: float = DEFAULT_FRAC,
+    seed: int = SAMPLE_SEED,
+) -> DataFrame:
+    """Keep each doc iff hash(doc_id) mod 1e6 < frac(lang)·1e6.
+
+    Returns (doc_id, lang, source) of the kept docs. The gate threshold
+    is an exact integer, so both engines agree bit-for-bit and the
+    realized fraction concentrates at the target (hash is uniform).
+    """
+    fracs = DEFAULT_LANG_FRACS if lang_fracs is None else lang_fracs
+    gate = F.pmod(hash64(F.col("doc_id").cast("string"), seed), F.lit(SAMPLE_DEN))
+    thresh = F.lit(int(default_frac * SAMPLE_DEN))
+    for lang, frac in sorted(fracs.items()):
+        thresh = F.when(F.col("lang") == lang, F.lit(int(frac * SAMPLE_DEN))).otherwise(thresh)
+    return documents.where(gate < thresh).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
+    )
+
+
+def stratified_sample_sql(
+    lang_fracs: dict[str, float] | None = None,
+    default_frac: float = DEFAULT_FRAC,
+    seed: int = SAMPLE_SEED,
+) -> str:
+    fracs = DEFAULT_LANG_FRACS if lang_fracs is None else lang_fracs
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {int(frac * SAMPLE_DEN)}"
+        for lang, frac in sorted(fracs.items(), reverse=True)
+    )
+    gate = hash64_sql("CAST(doc_id AS VARCHAR)", seed)
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE ({gate}) % {SAMPLE_DEN} >= 0
+  AND ({gate}) % {SAMPLE_DEN} < (CASE {whens} ELSE {int(default_frac * SAMPLE_DEN)} END)
+"""

@@ -66,3 +66,28 @@ def test_norm_trigrams_mirror():
     assert " hé" in tris and "ld " in tris
     assert all(len(t) == 3 for t in tris)
     assert T._norm_trigrams("123 !!!") == []
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """The hash gate realizes each stratum's configured fraction within
+    binomial noise, is deterministic across calls, and membership is a
+    pure function of doc_id (stable under backfills)."""
+    import pandas as pd
+
+    rows = []
+    for i in range(4000):
+        rows.append({"doc_id": i, "lang": ["en", "fr", "zh"][i % 3], "source": "s"})
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    fr = {"en": 0.2, "fr": 0.9, "zh": 0.0}
+    got = T.stratified_sample(docs, fr, default_frac=0.5).toPandas()
+    again = T.stratified_sample(docs, fr, default_frac=0.5).toPandas()
+    assert sorted(got["doc_id"]) == sorted(again["doc_id"])
+    by_lang = got.groupby("lang").size().to_dict()
+    n = 4000 / 3
+    assert abs(by_lang.get("en", 0) / n - 0.2) < 0.05
+    assert abs(by_lang.get("fr", 0) / n - 0.9) < 0.05
+    assert by_lang.get("zh", 0) == 0
+    # membership depends only on doc_id+lang: a subset input selects the
+    # same docs
+    sub = T.stratified_sample(docs.where("doc_id < 2000"), fr, default_frac=0.5).toPandas()
+    assert set(sub["doc_id"]) == {d for d in got["doc_id"] if d < 2000}
