@@ -98,3 +98,52 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+DEDUP_INPUT_DDL = "doc_id string, text string"
+DEDUP_OUTPUT_DDL = "doc_id string, fp string"
+_DEDUP_STATE_DDL = "seen boolean"
+
+
+def _dedup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    first: str | None = None
+    for pdf in pdfs:
+        for doc_id in pdf["doc_id"]:
+            d = str(doc_id)
+            if first is None or d < first:
+                first = d
+    if state.exists or first is None:
+        # fingerprint already emitted in an earlier micro-batch (state
+        # survives restarts via the stream checkpoint) -> suppress
+        yield pd.DataFrame(columns=["doc_id", "fp"])
+    else:
+        state.update((True,))
+        yield pd.DataFrame({"doc_id": [first], "fp": [key[0]]})
+
+
+def dedup_stream(docs_stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup: emit each content fingerprint's FIRST
+    document (smallest doc_id inside its first micro-batch), suppress
+    every later duplicate ACROSS micro-batches — the ingest-time twin
+    of functions/dedup.exact_dedup, as a custom stateful operator.
+
+    The fingerprint is the same whitespace-normalized md5 the batch
+    operator uses (JVM-side); per-fingerprint state is one boolean, so
+    at 10^12 docs the state store holds one bit-ish row per distinct
+    document — the smallest state any cross-batch dedup can carry.
+    State lives in the stream checkpoint: a restarted query keeps
+    suppressing duplicates of everything emitted before the crash.
+    """
+    with_fp = docs_stream.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.trim("text"), r"\s+", " ")).alias("fp"),
+    )
+    return with_fp.groupBy("fp").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_OUTPUT_DDL,
+        stateStructType=_DEDUP_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

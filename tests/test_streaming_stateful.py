@@ -117,3 +117,45 @@ def test_windowed_counts_drop_late_events(spark, tmp_path):
     assert clicks.window_start.iloc[0] == t0 and int(clicks.n.iloc[0]) == 2
     w30 = got[got.window_start == t0 + dt.timedelta(minutes=30)]
     assert len(w30) == 1 and w30.event_type.iloc[0] == "view"
+
+
+def test_dedup_stream_suppresses_cross_batch_duplicates(spark, tmp_path):
+    """Streaming exact dedup: the first document per content
+    fingerprint is emitted once; duplicates arriving in the SAME or in
+    LATER micro-batches are suppressed (per-fp keyed state)."""
+    from onnxtr_spark.streaming.stateful import DEDUP_INPUT_DDL, dedup_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    # batch 1: two uniques + an intra-batch duplicate of doc 1
+    _write_batch(spark, src, [
+        {"doc_id": "1", "text": "alpha  beta"},
+        {"doc_id": "2", "text": "gamma delta"},
+        {"doc_id": "9", "text": "alpha beta"},  # same normalized content as 1
+    ], DEDUP_INPUT_DDL, "b1")
+    # batch 2: duplicate of doc 2 + one new unique
+    _write_batch(spark, src, [
+        {"doc_id": "3", "text": " gamma   delta "},
+        {"doc_id": "4", "text": "epsilon"},
+    ], DEDUP_INPUT_DDL, "b2")
+    # batch 3: duplicates of everything
+    _write_batch(spark, src, [
+        {"doc_id": "5", "text": "alpha beta"},
+        {"doc_id": "6", "text": "epsilon"},
+    ], DEDUP_INPUT_DDL, "b3")
+
+    stream = spark.readStream.schema(DEDUP_INPUT_DDL).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {"1", "2", "4"}
+    # one row per distinct fingerprint, exactly once
+    assert spark.read.parquet(out).count() == 3
