@@ -34,6 +34,11 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--groups", type=int, default=8)
     ap.add_argument("--streaming-dir", default=None)
+    # G4/I5: classify page orientation, estimate residual skew, rotate
+    # straight, re-detect (reference straighten_pages, models/zoo.py:19)
+    ap.add_argument("--straighten-pages", action="store_true")
+    # rotated-word geometry (assume_straight_pages=False)
+    ap.add_argument("--rotated-boxes", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark("extract_job")
@@ -44,8 +49,18 @@ def main() -> None:
         )
         q.awaitTermination()
     else:
+        from onnxtr_spark.stages.detect import DetectConfig
+
+        det_cfg = None
+        if args.straighten_pages or args.rotated_boxes:
+            det_cfg = DetectConfig(
+                straighten_pages=args.straighten_pages,
+                assume_straight_pages=not args.rotated_boxes,
+            )
         docs = spark.read.parquet(args.docs)
-        done = run_checkpointed(spark, docs, media, args.out, n_groups=args.groups)
+        done = run_checkpointed(
+            spark, docs, media, args.out, n_groups=args.groups, det_cfg=det_cfg
+        )
         print(f"processed groups: {done}")
     spark.stop()
 

@@ -106,6 +106,7 @@ def run_checkpointed(
     n_groups: int = 8,
     fail_after: int | None = None,
     partition_metrics: bool = True,
+    det_cfg=None,
 ) -> list[int]:
     """Extract all doc groups, skipping completed ones. Returns the list
     of groups processed this run. ``fail_after`` aborts after N groups
@@ -130,7 +131,8 @@ def run_checkpointed(
         n_words = 0
         acc = metrics_accumulator(spark) if partition_metrics else None
         if n_docs:
-            flat = extract_spans(gdocs, media, metrics_acc=acc).withColumn("group", F.lit(g))
+            kw = {"det_cfg": det_cfg} if det_cfg is not None else {}
+            flat = extract_spans(gdocs, media, metrics_acc=acc, **kw).withColumn("group", F.lit(g))
             flat.write.mode("overwrite").partitionBy("group").parquet(f"{out_path}/spans")
             written = spark.read.parquet(f"{out_path}/spans").where(F.col("group") == g)
             counts = written.agg(
