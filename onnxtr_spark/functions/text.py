@@ -194,8 +194,12 @@ def _profile_rows() -> list[tuple[str, str, int]]:
     ]
 
 
-def lang_id(documents: DataFrame) -> DataFrame:
+def lang_id(documents: DataFrame, cast_id: bool = True) -> DataFrame:
     """(doc_id, pred_lang) via Cavnar-Trenkle out-of-place distance.
+
+    ``cast_id=False`` keeps the doc_id column's own type (non-numeric
+    ids, e.g. when called over recognized text inside the zoo
+    predictor); the oracle uses the default long cast.
 
     Plan shape: trigram explode → ONE groupBy (doc_id, trigram) →
     window rank per doc (co-partitioned on doc_id) → broadcast join
@@ -211,6 +215,7 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
     langs = F.broadcast(spark.createDataFrame([(lg,) for lg in sorted(TRAIN_SNIPPETS)], "lang string"))
 
+    idc = F.col("doc_id").cast("long") if cast_id else F.col("doc_id")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), _NORM_RE, " "))
     tris = F.flatten(
         F.transform(
@@ -221,7 +226,7 @@ def lang_id(documents: DataFrame) -> DataFrame:
             ),
         )
     )
-    docs = documents.select(F.col("doc_id").cast("long").alias("doc_id"), tris.alias("tris"))
+    docs = documents.select(idc.alias("doc_id"), tris.alias("tris"))
     counts = (
         docs.select("doc_id", F.explode("tris").alias("trigram"))
         .groupBy("doc_id", "trigram")
@@ -264,7 +269,7 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
     # keep docs that produced no trigrams at all
     return (
-        documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+        documents.select(idc.alias("doc_id"))
         .join(pred, "doc_id", "left")
         .select("doc_id", F.coalesce("pred_lang", F.lit("unknown")).alias("pred_lang"))
     )

@@ -1,0 +1,186 @@
+"""Top-level predictor factory — the reference ``ocr_predictor`` zoo
+entry (models/zoo.py:67-142) re-expressed for Spark.
+
+A reference user writes ``model = ocr_predictor('fast_base',
+'crnn_vgg16_bn', straighten_pages=True); model(pages)``. The Spark
+twin keeps the flag surface and arch-or-model polymorphism but returns
+a PIPELINE object whose ``__call__`` takes (docs, media) DataFrames and
+returns the flat span relation — predictors here are declarative plans,
+not stateful model holders (sessions resolve per executor worker
+through the model registry).
+
+Flag mapping (reference → this repo):
+
+- ``det_arch`` / ``reco_arch``: arch string, ``EngineConfig``, or a
+  ``hub.HubModel`` (the reference accepts a model object the same way).
+- ``assume_straight_pages`` → DetectConfig.assume_straight_pages
+  (rotated (N,4,2) path when False, G3 classifier on by default).
+- ``straighten_pages`` → DetectConfig.straighten_pages (I5 90°-multiple
+  rectify + G4 arbitrary-angle estimate→rotate→re-detect).
+- ``disable_crop_orientation`` → same flag.
+- ``det_bs`` / ``reco_bs`` → stage batch sizes.
+- ``export_as_straight_boxes``: accepted for parity; the flat span
+  schema always carries the B7 enclosing straight box columns, so True
+  and False coincide here (the reference's False keeps polygons in its
+  nested export — our nested export is span-typed).
+- ``preserve_aspect_ratio`` / ``symmetric_pad``: accepted; the fused
+  stage's unpadded isotropic map corresponds to the default
+  (True, True) contract — other combinations only exist on the
+  standalone detect stage (kernels/detect_post.remove_padding).
+- ``detect_language`` → per-DOC language attached from the recognized
+  text (Cavnar-Trenkle trigram model, functions/text.lang_id) — the
+  reference attaches langdetect output per page
+  (predictor.py:138-140).
+- ``detect_orientation`` → per-PAGE orientation class attached from the
+  I5 classifier (reference predictor.py:86-99 general_pages_orientations).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass, replace
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from onnxtr_spark.engine import EngineConfig
+from onnxtr_spark.stages.detect import DetectConfig
+from onnxtr_spark.stages.recognize import RecognizeConfig
+from onnxtr_spark.vocabs import DEFAULT_VOCAB
+
+__all__ = ["ocr_predictor", "OCRPredictorSpark", "page_orientations"]
+
+
+def _engine_of(arch, default_arch: str) -> EngineConfig:
+    """arch string | EngineConfig | HubModel → EngineConfig."""
+    if arch is None:
+        return EngineConfig(arch=default_arch)
+    if isinstance(arch, EngineConfig):
+        return arch
+    if isinstance(arch, str):
+        return EngineConfig(arch=arch)
+    engine = getattr(arch, "engine", None)  # hub.HubModel
+    if isinstance(engine, EngineConfig):
+        return engine
+    raise TypeError(f"unsupported arch spec: {type(arch).__name__}")
+
+
+ORIENT_DEGREES = (0, -90, 180, 90)  # class k -> page angle (reference
+# classification predictor label order, models/classification/zoo.py)
+
+
+def page_orientations(pages: DataFrame) -> DataFrame:
+    """Per-page I5 orientation classification as a standalone stage:
+    (media_ref, orientation_class, orientation_deg). One batched engine
+    call per Arrow chunk (engine.OrientationEngine.run)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from onnxtr_spark import imaging
+        from onnxtr_spark.engine import get_orientation_engine
+
+        orient = get_orientation_engine()
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            imgs = [imaging.decode_image(b) for b in pdf["png"]]
+            ks = orient.run(imgs)
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"],
+                "orientation_class": [int(k) for k in ks],
+                "orientation_deg": [ORIENT_DEGREES[int(k)] for k in ks],
+            })
+
+    return pages.mapInPandas(
+        run, "media_ref string, orientation_class int, orientation_deg int"
+    )
+
+
+@dataclass(frozen=True)
+class OCRPredictorSpark:
+    """The assembled pipeline: ``predictor(docs, media)`` → flat spans
+    (doc_id, offset, kind, text, media_ref [, pred_lang]
+    [, orientation_class, orientation_deg])."""
+
+    det_cfg: DetectConfig
+    reco_cfg: RecognizeConfig
+    detect_language: bool = False
+    detect_orientation: bool = False
+
+    def __call__(self, docs: DataFrame, media: DataFrame) -> DataFrame:
+        from onnxtr_spark.stages.pipeline import extract_spans, media_pages
+
+        out = extract_spans(docs, media, det_cfg=self.det_cfg, reco_cfg=self.reco_cfg)
+        if self.detect_language:
+            # per-doc language over the recognized text (offset>=1 word
+            # spans reassembled in reading order)
+            text = (
+                out.where(F.col("offset") >= 1)
+                .groupBy("doc_id")
+                .agg(
+                    F.array_join(
+                        F.transform(
+                            F.sort_array(F.collect_list(F.struct("offset", "text"))),
+                            lambda s: s["text"],
+                        ),
+                        " ",
+                    ).alias("text")
+                )
+            )
+            from onnxtr_spark.functions.text import lang_id
+
+            langs = lang_id(text, cast_id=False)
+            out = out.join(langs, "doc_id", "left")
+        if self.detect_orientation:
+            orients = page_orientations(media_pages(docs, media))
+            out = out.join(orients, "media_ref", "left")
+        return out
+
+
+def ocr_predictor(
+    det_arch=None,
+    reco_arch=None,
+    assume_straight_pages: bool = True,
+    preserve_aspect_ratio: bool = True,
+    symmetric_pad: bool = True,
+    export_as_straight_boxes: bool = False,
+    detect_orientation: bool = False,
+    straighten_pages: bool = False,
+    detect_language: bool = False,
+    disable_crop_orientation: bool = False,
+    det_bs: int = 2,
+    reco_bs: int = 256,
+    det_engine_cfg: EngineConfig | None = None,
+    reco_engine_cfg: EngineConfig | None = None,
+    vocab: str = DEFAULT_VOCAB,
+) -> OCRPredictorSpark:
+    """Build the end-to-end OCR pipeline from the reference's flag
+    surface (models/zoo.py:67-142). See module docstring for the exact
+    flag mapping; ``det_engine_cfg``/``reco_engine_cfg`` override the
+    arch-derived engine configs wholesale (reference passes them into
+    the predictors the same way)."""
+    if not (preserve_aspect_ratio and symmetric_pad):
+        raise NotImplementedError(
+            "the fused pipeline implements the (preserve_aspect_ratio=True, "
+            "symmetric_pad=True) contract; other combinations exist only on "
+            "the standalone detect stage (detect_post.remove_padding)"
+        )
+    _ = export_as_straight_boxes  # parity no-op: flat spans always carry B7 boxes
+    det_engine = det_engine_cfg or _engine_of(det_arch, "stub_fast")
+    reco_engine = reco_engine_cfg or _engine_of(reco_arch, "stub_crnn")
+    if isinstance(reco_arch, object) and hasattr(reco_arch, "param"):
+        vocab = reco_arch.param("vocab", vocab)  # hub models carry their vocab
+    det_cfg = DetectConfig(
+        assume_straight_pages=assume_straight_pages,
+        straighten_pages=straighten_pages,
+        disable_crop_orientation=disable_crop_orientation,
+        batch_size=det_bs,
+        engine=det_engine,
+    )
+    reco_cfg = RecognizeConfig(batch_size=reco_bs, vocab=vocab, engine=reco_engine)
+    return OCRPredictorSpark(
+        det_cfg=det_cfg,
+        reco_cfg=reco_cfg,
+        detect_language=detect_language,
+        detect_orientation=detect_orientation,
+    )

@@ -1,0 +1,83 @@
+"""Zoo predictor factory (reference models/zoo.py ocr_predictor flag
+surface) assembled as a Spark pipeline object."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from onnxtr_spark.corpus import FIXTURE_TEXTS, build_corpus_pdfs
+from onnxtr_spark.engine import EngineConfig
+from onnxtr_spark.zoo import ocr_predictor
+from tests.test_pipeline_e2e import DOCS_SCHEMA, MEDIA_SCHEMA, golden_flat
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs_pdf, media_pdf = build_corpus_pdfs(FIXTURE_TEXTS)
+    return (
+        spark.createDataFrame(docs_pdf, schema=DOCS_SCHEMA),
+        spark.createDataFrame(media_pdf, schema=MEDIA_SCHEMA),
+    )
+
+
+def test_flag_mapping():
+    p = ocr_predictor(
+        "stub_fast", "stub_crnn",
+        assume_straight_pages=False, straighten_pages=True,
+        disable_crop_orientation=True, det_bs=4, reco_bs=64,
+    )
+    assert p.det_cfg.assume_straight_pages is False
+    assert p.det_cfg.straighten_pages is True
+    assert p.det_cfg.disable_crop_orientation is True
+    assert p.det_cfg.batch_size == 4 and p.reco_cfg.batch_size == 64
+    assert p.det_cfg.engine.arch == "stub_fast" and p.reco_cfg.engine.arch == "stub_crnn"
+    # engine-config override wins wholesale (reference passes engine_cfg
+    # into the predictors the same way)
+    ec = EngineConfig(arch="stub_fast", intra_op_num_threads=2)
+    assert ocr_predictor(det_engine_cfg=ec).det_cfg.engine is ec
+    with pytest.raises(NotImplementedError):
+        ocr_predictor(preserve_aspect_ratio=False)
+    with pytest.raises(TypeError):
+        ocr_predictor(det_arch=123)
+
+
+def test_hub_model_arch_carries_vocab(tmp_path):
+    from onnxtr_spark.hub import from_hub, save_model_and_config
+
+    src = tmp_path / "m.onnx"
+    src.write_bytes(b"w")
+    save_model_and_config(src, tmp_path / "s" / "me" / "r", arch="stub_crnn",
+                          task="recognition", vocab="xyz")
+    hub_model = from_hub("me/r", base=str(tmp_path / "s"))
+    p = ocr_predictor(reco_arch=hub_model)
+    assert p.reco_cfg.vocab == "xyz"
+    assert p.reco_cfg.engine.arch == "stub_crnn"
+
+
+def test_default_predictor_matches_extract_spans(spark, corpus):
+    docs, media = corpus
+    out = ocr_predictor()(docs, media).toPandas()
+    want = golden_flat()
+    got = out.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    want = want.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (
+        got[["doc_id", "offset", "kind", "text", "media_ref"]].astype(str).values.tolist()
+        == want.astype(str).values.tolist()
+    )
+
+
+def test_detect_language_and_orientation_columns(spark, corpus):
+    docs, media = corpus
+    p = ocr_predictor(detect_language=True, detect_orientation=True)
+    out = p(docs, media)
+    assert {"pred_lang", "orientation_class", "orientation_deg"} <= set(out.columns)
+    rows = out.where(F.col("media_ref") != "").select(
+        "doc_id", "pred_lang", "orientation_class", "orientation_deg"
+    ).collect()
+    assert rows
+    # one language per doc, consistent across its spans
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, set()).add(r.pred_lang)
+        assert r.orientation_class == 0 and r.orientation_deg == 0  # straight corpus
+    assert all(len(v) == 1 for v in per_doc.values())
