@@ -24,3 +24,22 @@ Architecture (NOT a port — see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy top-level API (mirrors the reference's `from onnxtr.models
+    # import ocr_predictor, from_hub, EngineConfig` surface) without
+    # importing pyspark at package-import time.
+    if name == "ocr_predictor":
+        from onnxtr_spark.zoo import ocr_predictor
+
+        return ocr_predictor
+    if name == "from_hub":
+        from onnxtr_spark.hub import from_hub
+
+        return from_hub
+    if name == "EngineConfig":
+        from onnxtr_spark.engine import EngineConfig
+
+        return EngineConfig
+    raise AttributeError(f"module 'onnxtr_spark' has no attribute {name!r}")
