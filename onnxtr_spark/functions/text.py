@@ -216,6 +216,10 @@ def lang_id(documents: DataFrame, cast_id: bool = True) -> DataFrame:
     langs = F.broadcast(spark.createDataFrame([(lg,) for lg in sorted(TRAIN_SNIPPETS)], "lang string"))
 
     idc = F.col("doc_id").cast("long") if cast_id else F.col("doc_id")
+    # spread the trigram explode: normalization + extraction are
+    # CPU-bound per doc and the documents table is a single row group
+    # (same rationale as shingles())
+    documents = documents.repartition(documents.sparkSession.sparkContext.defaultParallelism)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), _NORM_RE, " "))
     tris = F.flatten(
         F.transform(
