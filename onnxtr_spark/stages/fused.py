@@ -131,7 +131,11 @@ def detect_recognize_pages(
                     seg = (img[:, :, 0] <= pix_thresh).astype(np.uint8)
                     angle = estimate_orientation(seg, (0, 1.0))
                     if angle:
-                        img = imaging.rotate_image_nearest(np.ascontiguousarray(img), angle)
+                        # rotate the single channel 2-D (the (H,W,1)
+                        # slice pays a per-pixel trailing-dim gather)
+                        img = imaging.rotate_image_nearest(
+                            np.ascontiguousarray(img[:, :, 0]), angle
+                        )[:, :, None]
                 # --- detect (D1-D6): the stub model is affine in pixel
                 # value, so it folds through the postprocess and runs on
                 # the uint8 map (postprocess_pixel_map docstring); `det`
