@@ -270,9 +270,13 @@ def _confusion_partials(boxes: DataFrame, iou_thresh: float, with_text: bool) ->
         F.flatten(F.collect_list(F.when(~is_gt, F.array("xmin", "ymin", "xmax", "ymax")))).alias("pr_flat"),
     ]
     if with_text:
+        # coalesce NULL text to "" INSIDE the when(): collect_list skips
+        # nulls, so a null-text row would drop from the word list while
+        # its coords survive in the flat arrays — shifting every later
+        # word↔box pairing on the page
         aggs += [
-            F.collect_list(F.when(is_gt, F.col("text"))).alias("gt_words"),
-            F.collect_list(F.when(~is_gt, F.col("text"))).alias("pr_words"),
+            F.collect_list(F.when(is_gt, F.coalesce(F.col("text"), F.lit("")))).alias("gt_words"),
+            F.collect_list(F.when(~is_gt, F.coalesce(F.col("text"), F.lit("")))).alias("pr_words"),
         ]
     # ONE explicit shuffle: hash-repartition the tall rows by page key
     # (AQE-exempt — matching is CPU-bound per PAGE, and byte-based

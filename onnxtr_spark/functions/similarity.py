@@ -264,7 +264,12 @@ def lsh_near_pairs(
     head = embeddings.agg(
         F.count("*").alias("n"), F.first(F.size("embedding")).alias("dim")
     ).first()
-    n, dim = int(head["n"]), int(head["dim"])
+    n = int(head["n"])
+    if n == 0:  # first(size) is NULL on an empty table
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_a bigint, vec_b bigint, sim double"
+        )
+    dim = int(head["dim"])
     if bits is None:
         bits = _ann_bits(n)
     # spread the code computation: the code projection is CPU-bound per
@@ -286,14 +291,24 @@ def lsh_near_pairs(
     withb = embeddings.select(
         "vec_id", F.posexplode(F.array(*band_codes)).alias("band", "c")
     ).select("vec_id", "band", F.col("c.bucket").alias("bucket"), F.col("c.xcode").alias("xcode"))
-    # bucket population via a window count over the SAME keys the rows
-    # are about to self-join on — one shuffle, and the codes projection
-    # is not re-derived for a size table (a groupBy+join here would
-    # scan the embeddings twice more per plan branch)
-    bsz = F.count("*").over(Window.partitionBy("band", "bucket"))
-    refined = withb.select(
+    # bucket population via a map-side PARTIAL-AGGREGATED groupBy count,
+    # NOT a window over (band, bucket): a window physically gathers each
+    # bucket's rows into one task before the oversize refinement can
+    # split them — on the exact input the refinement exists for (a
+    # duplicate-heavy bucket holding 10^9 identical vectors) that window
+    # task is the straggler/OOM. groupBy's partial aggregation ships one
+    # tiny count per (band, bucket) per map task; the sizes relation
+    # re-attaches by equi-join, which AQE turns into a broadcast when
+    # small and skew-splits otherwise — either way the code rows stay
+    # spread across tasks. localCheckpoint keeps the single-scan
+    # economy the window had: the CPU-bound code projection (bands·bits
+    # 64-dim dots per row) is materialized once and feeds the sizes agg,
+    # the refinement join, and both sides of the candidate self-join.
+    withb = withb.localCheckpoint(eager=False)
+    sizes = withb.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    refined = withb.join(sizes, ["band", "bucket"]).select(
         "vec_id", "band", "bucket",
-        F.col("xcode").bitwiseAND(_split_mask(bsz)).alias("sub"),
+        F.col("xcode").bitwiseAND(_split_mask(F.col("bsz"))).alias("sub"),
     )
     cands = (
         refined.alias("a")

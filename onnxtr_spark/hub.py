@@ -78,6 +78,16 @@ def _fetch(repo_id: str, base: str, filename: str, hash_prefix: str | None = Non
     local = Path(base) / repo_id / filename
     if not local.is_file():
         raise FileNotFoundError(f"hub file not found: {local}")
+    if hash_prefix:
+        # a caller-supplied checksum must be enforced on the local-dir
+        # branch too — otherwise a corrupted artifact in a local store
+        # passes silently while the same file over URL would be rejected
+        from onnxtr_spark.utils.data import check_integrity
+
+        if not check_integrity(local, hash_prefix):
+            raise ValueError(
+                f"hub file {local} failed sha256 check against prefix {hash_prefix!r}"
+            )
     return local
 
 

@@ -130,7 +130,12 @@ class OCRPredictorSpark:
             from onnxtr_spark.functions.text import lang_id
 
             langs = lang_id(text, cast_id=False)
-            out = out.join(langs, "doc_id", "left")
+            # docs with no recognized word spans are absent from `text`,
+            # so the left join leaves NULL — coalesce to the standalone
+            # lang_id contract's 'unknown'
+            out = out.join(langs, "doc_id", "left").withColumn(
+                "pred_lang", F.coalesce("pred_lang", F.lit("unknown"))
+            )
         if self.detect_orientation:
             orients = page_orientations(media_pages(docs, media))
             out = out.join(orients, "media_ref", "left")

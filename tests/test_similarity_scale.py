@@ -134,6 +134,33 @@ def test_expected_bucket_population_bounded(n, target):
     assert n / 2**bits <= 2 * sim.LSH_TARGET_BUCKET
 
 
+def test_bucket_sizes_partial_aggregated_no_window(spark):
+    """Round-3 verdict finding #2: bucket population must come from a
+    partial-aggregated groupBy count, never a window over the raw
+    (band, bucket) rows — a window gathers a skewed bucket (10^9
+    identical vectors) into ONE task before the oversize refinement can
+    split it. Assert the physical plan has NO Window operator and no
+    sort over the raw code rows; the only (band, bucket) aggregation is
+    a HashAggregate (map-side partial + final)."""
+    rng = np.random.default_rng(3)
+    emb = rng.integers(-5, 6, size=(64, 8)).astype(float)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(64), "embedding": [list(map(float, v)) for v in emb]})
+    )
+    plan = sim.lsh_near_pairs(df, bits=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_lsh_near_pairs_empty_table(spark):
+    """N=0: first(size(embedding)) is NULL — must return an empty
+    (vec_a, vec_b, sim) frame, not raise (round-3 advice)."""
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = sim.lsh_near_pairs(df)
+    assert out.columns == ["vec_a", "vec_b", "sim"]
+    assert out.count() == 0
+
+
 def test_lsh_near_pairs_recall_vs_bruteforce(spark):
     """Quality evidence for the hyperplane family: recall of true
     high-similarity pairs against a numpy brute-force ground truth.
