@@ -71,6 +71,69 @@ def _run_query(spark, name, fn):
     return best, n
 
 
+# Round-3 verdict item #1: the driver record showed ocr_extract_spans
+# 7.2s(r2) -> 11.3s(r3) while untouched pure-JVM queries regressed
+# harder in the same window — evidence said box noise, but the fused
+# stage DID change (+88 lines), so the regression was unproven-as-noise.
+# This A/B loads the round-2 fused stage VERBATIM from git history and
+# interleaves it with the current stage in ONE window on the same
+# materialized input — the only protocol that cancels window-level
+# drift. Reported: per-variant samples, mins, and the cur/r2 ratio.
+R2_FUSED_REV = os.environ.get("SPARK_GRAFT_AB_REV", "95468b1")
+AB_REPEATS = int(os.environ.get("SPARK_GRAFT_AB_REPEATS", "3"))
+
+
+def _load_fused_rev(rev: str):
+    """Import a historical stages/fused.py as a standalone module."""
+    import importlib.util
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    src = subprocess.run(
+        ["git", "show", f"{rev}:onnxtr_spark/stages/fused.py"],
+        capture_output=True, text=True, cwd=repo, check=True,
+    ).stdout
+    cache = os.path.join(repo, ".cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"fused_{rev}.py")
+    with open(path, "w") as f:
+        f.write(src)
+    spec = importlib.util.spec_from_file_location(f"fused_{rev}", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.detect_recognize_pages
+
+
+def _ab_fused(spark, docs, media_df) -> dict | None:
+    """Interleaved same-window A/B of the r2 vs current fused stage
+    (stage-only: media_pages -> detect_recognize_pages -> count)."""
+    from onnxtr_spark.stages.fused import detect_recognize_pages as cur_stage
+    from onnxtr_spark.stages.pipeline import media_pages
+
+    try:
+        r2_stage = _load_fused_rev(R2_FUSED_REV)
+    except Exception as e:  # no git history (e.g. shipped tarball): skip
+        return {"error": f"r2 stage unavailable: {e}"}
+    pages = media_pages(docs, media_df)
+    variants = {"r2": r2_stage, "cur": cur_stage}
+    for fn in variants.values():  # one unmeasured warm each (JIT, workers)
+        fn(pages).count()
+    samples: dict[str, list[float]] = {k: [] for k in variants}
+    for _ in range(AB_REPEATS):
+        for k, fn in variants.items():
+            t0 = time.time()
+            fn(pages).count()
+            samples[k].append(round(time.time() - t0, 3))
+    mins = {k: min(v) for k, v in samples.items()}
+    return {
+        "rev_r2": R2_FUSED_REV,
+        "samples_sec": samples,
+        "min_sec": {k: round(v, 3) for k, v in mins.items()},
+        "cur_over_r2": round(mins["cur"] / mins["r2"], 3),
+        "protocol": "interleaved same-window, stage-only, min-of-%d" % AB_REPEATS,
+    }
+
+
 def _count_pages(spark) -> int:
     from pyspark.sql import functions as F
 
@@ -117,6 +180,25 @@ def headline() -> None:
     extract_spans(docs, media_df).count()
     extract_sec = time.time() - t0
 
+    # float-contract path through the SAME fused plan (real-CNN drop-in
+    # shape: P1-P4 + forward + prob-map postprocess inside one Arrow
+    # crossing). With SPARK_GRAFT_MODEL_ITERS set, both rows carry the
+    # emulated CNN cost — the honest comparison regime.
+    from onnxtr_spark.engine import MODEL_ITERS, EngineConfig
+    from onnxtr_spark.stages.detect import DetectConfig
+    from onnxtr_spark.stages.recognize import RecognizeConfig
+
+    fcfg = dict(
+        det_cfg=DetectConfig(engine=EngineConfig(arch="stub_fast_float", input_contract="float_bchw")),
+        reco_cfg=RecognizeConfig(engine=EngineConfig(arch="stub_crnn_float", input_contract="float_bchw")),
+    )
+    extract_spans(docs, media_df, **fcfg).count()  # warm
+    t0 = time.time()
+    extract_spans(docs, media_df, **fcfg).count()
+    extract_float_sec = time.time() - t0
+
+    ab = _ab_fused(spark, docs, media_df) if os.environ.get("SPARK_GRAFT_AB", "1") != "0" else None
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps({
@@ -132,6 +214,10 @@ def headline() -> None:
             "pages_per_sec": round(pages / ocr_sec, 2) if ocr_sec else None,
             "extract_only_sec": round(extract_sec, 3),
             "pages_per_sec_extract_only": round(pages / extract_sec, 2),
+            "extract_float_contract_sec": round(extract_float_sec, 3),
+            "pages_per_sec_float_contract": round(pages / extract_float_sec, 2),
+            "model_iters": MODEL_ITERS,
+            "ab_fused_r2_vs_cur": ab,
         })
     )
     spark.stop()

@@ -264,6 +264,7 @@ class FloatDetectionEngine:
     def run(self, batch: np.ndarray) -> np.ndarray:
         if batch.dtype != np.float32:
             raise TypeError(f"float-contract model got {batch.dtype}")
+        DetectionEngine.simulate_model_cost(batch.shape[0])
         if self.cfg.input_contract == "float_bchw":
             batch = np.moveaxis(batch, 1, -1)
         mean = np.asarray(self.cfg.mean, dtype=np.float32)
@@ -272,9 +273,38 @@ class FloatDetectionEngine:
         return (np.float32(255.0) - px[..., 0]) / np.float32(255.0)
 
 
+class FloatRecognitionEngine:
+    """Recognition stub with a real CRNN's input contract: float32,
+    normalized, optionally channels-first. Denormalizes back to the
+    exact source pixels (the float32 roundtrip of each of the 256 uint8
+    values is exact to well under 0.5, so rint recovers them
+    bit-for-bit) and classifies like RecognitionEngine — the fused-float
+    contract test asserts identical spans."""
+
+    def __init__(self, cfg: EngineConfig, vocab: str = DEFAULT_VOCAB):
+        self.cfg = cfg
+        self.vocab = vocab
+
+    def run(self, batch: np.ndarray) -> np.ndarray:
+        if batch.dtype != np.float32:
+            raise TypeError(f"float-contract model got {batch.dtype}")
+        if self.cfg.input_contract == "float_bchw":
+            batch = np.moveaxis(batch, 1, -1)
+        mean = np.asarray(self.cfg.mean, dtype=np.float32)
+        std = np.asarray(self.cfg.std, dtype=np.float32)
+        px = np.clip(np.rint((batch * std + mean) * 255.0), 0, 255).astype(np.uint8)
+        n_classes = len(self.vocab) + 1
+        logits = np.zeros((px.shape[0], px.shape[2], n_classes), dtype=np.float32)
+        for i in range(px.shape[0]):
+            classes = imaging.columns_to_classes(px[i], self.vocab)
+            logits[i] = imaging.classes_to_logits(classes, n_classes)
+        return logits
+
+
 register_model("stub_fast", lambda cfg: DetectionEngine())
 register_model("stub_fast_float", FloatDetectionEngine)
 register_model("stub_crnn", lambda cfg, vocab=DEFAULT_VOCAB: RecognitionEngine(vocab))
+register_model("stub_crnn_float", lambda cfg, vocab=DEFAULT_VOCAB: FloatRecognitionEngine(cfg, vocab))
 register_model("stub_mobilenet_orient", lambda cfg: OrientationEngine())
 register_model("stub_yolo_artefact", lambda cfg: ArtefactEngine())
 

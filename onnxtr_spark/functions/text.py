@@ -121,7 +121,13 @@ def lang_id_stopword(documents: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Letters kept by normalization (lowercased); everything else → space.
-_LETTERS = "a-zàâäçéèêëîïíñóôöùûüúß"
+# Three ranges (basic Latin, Cyrillic а-яё, Greek ά-ώ = U+03AC..U+03CE,
+# which spans all lowercase Greek incl. accented vowels and final
+# sigma) plus the Latin-script extensions of the profile languages.
+# Identical UTF-8 class semantics in Java regex (Spark) and RE2
+# (DuckDB); the corpus itself is ASCII, so the oracle hash only
+# exercises what both engines agree on.
+_LETTERS = "a-zа-яёά-ώàâäãáåæçéèêëîïíìñóòôöøùûüúßąćęłńśźżğış"
 _NORM_RE = f"[^{_LETTERS}]+"
 PROFILE_SIZE = 200  # trigrams per language profile
 DOC_TOP = 300  # document profile depth (CT use ~300)
@@ -156,7 +162,82 @@ TRAIN_SNIPPETS: dict[str, str] = {
         "el niño pequeño camina por la calle con su madre y mira los "
         "pájaros que cantan en los árboles del jardín mientras la gente "
         "habla de la lluvia y del buen tiempo frente a la panadería donde "
-        "se compra el pan caliente de la mañana antes de ir al trabajo"
+        "se compra el pan caliente de la mañana antes de ir al trabajo "
+        "por la tarde la familia se sienta alrededor de la mesa de la "
+        "cocina y cuenta las historias del día mientras la cena se "
+        "cocina en el fuego y el gato duerme junto a la ventana"
+    ),
+    "it": (
+        "il bambino piccolo cammina per la strada con sua madre e guarda "
+        "gli uccelli che cantano sugli alberi del giardino mentre la gente "
+        "parla della pioggia e del bel tempo davanti al forno dove si "
+        "compra il pane caldo del mattino prima di andare al lavoro "
+        "la sera la famiglia si siede intorno al tavolo della cucina e "
+        "racconta le storie della giornata mentre la cena cuoce sul fuoco"
+    ),
+    "pt": (
+        "o menino pequeno caminha pela rua com a sua mãe e olha os "
+        "pássaros que cantam nas árvores do jardim enquanto as pessoas "
+        "falam da chuva e do bom tempo em frente à padaria onde se compra "
+        "o pão quente da manhã antes de ir para o trabalho à noite a "
+        "família senta se à volta da mesa da cozinha e conta as histórias "
+        "do dia enquanto o jantar coze no fogo e o gato dorme na janela"
+    ),
+    "nl": (
+        "de kleine jongen loopt met zijn moeder door de straat en kijkt "
+        "naar de vogels die zingen in de bomen van de tuin terwijl de "
+        "mensen voor de bakkerij over het weer praten en het warme brood "
+        "van de ochtend kopen voordat ze naar het werk gaan in de avond "
+        "zit het gezin rond de tafel van de keuken en vertelt de verhalen "
+        "van de dag terwijl het eten op het vuur staat en de kat slaapt"
+    ),
+    "sv": (
+        "den lilla pojken går med sin mor genom gatan och tittar på "
+        "fåglarna som sjunger i trädgårdens träd medan folk pratar om "
+        "vädret framför bageriet och köper morgonens varma bröd innan de "
+        "går till arbetet på kvällen sitter familjen runt köksbordet och "
+        "berättar dagens historier medan maten står på elden och katten "
+        "sover vid fönstret i det lilla huset nära den gamla skolan"
+    ),
+    "da": (
+        "den lille dreng går med sin mor gennem gaden og ser på fuglene "
+        "der synger i havens træer mens folk taler om vejret foran "
+        "bageriet og køber morgenens varme brød før de går på arbejde om "
+        "aftenen sidder familien rundt om køkkenbordet og fortæller "
+        "dagens historier mens maden står på ilden og katten sover ved "
+        "vinduet i det lille hus ved siden af den gamle skole i byen"
+    ),
+    "pl": (
+        "mały chłopiec idzie z matką przez ulicę i patrzy na ptaki które "
+        "śpiewają na drzewach ogrodu podczas gdy ludzie rozmawiają o "
+        "pogodzie przed piekarnią i kupują ciepły chleb poranka zanim "
+        "pójdą do pracy wieczorem rodzina siedzi wokół stołu w kuchni i "
+        "opowiada historie dnia podczas gdy kolacja gotuje się na ogniu "
+        "a kot śpi przy oknie w małym domu obok starej szkoły w mieście"
+    ),
+    "tr": (
+        "küçük çocuk annesiyle sokakta yürüyor ve bahçedeki ağaçlarda "
+        "şarkı söyleyen kuşlara bakıyor insanlar fırının önünde hava "
+        "hakkında konuşuyor ve işe gitmeden önce sabahın sıcak ekmeğini "
+        "alıyor akşam aile mutfak masasının etrafında oturuyor ve günün "
+        "hikayelerini anlatıyor yemek ateşte pişiyor ve kedi pencerenin "
+        "yanında uyuyor eski okulun yanındaki küçük evde herkes mutlu"
+    ),
+    "ru": (
+        "маленький мальчик идёт с матерью по улице и смотрит на птиц "
+        "которые поют на деревьях сада пока люди говорят о погоде перед "
+        "пекарней и покупают тёплый хлеб утра прежде чем идти на работу "
+        "вечером семья сидит вокруг кухонного стола и рассказывает "
+        "истории дня пока ужин готовится на огне и кот спит у окна в "
+        "маленьком доме рядом со старой школой в тихом городе"
+    ),
+    "el": (
+        "το μικρό αγόρι περπατά στον δρόμο με τη μητέρα του και κοιτάζει "
+        "τα πουλιά που τραγουδούν στα δέντρα του κήπου ενώ οι άνθρωποι "
+        "μιλούν για τον καιρό μπροστά στον φούρνο και αγοράζουν το ζεστό "
+        "ψωμί του πρωινού πριν πάνε στη δουλειά το βράδυ η οικογένεια "
+        "κάθεται γύρω από το τραπέζι της κουζίνας και λέει τις ιστορίες "
+        "της ημέρας ενώ το φαγητό ψήνεται στη φωτιά και η γάτα κοιμάται"
     ),
 }
 

@@ -328,6 +328,23 @@ def bitmap_to_polys(
     )
 
 
+def postprocess_prob_map_rotated(
+    prob_map: np.ndarray,
+    bin_thresh: float = BIN_THRESH,
+    box_thresh: float = BOX_THRESH,
+    unclip_ratio: float = UNCLIP_RATIO,
+    morph_open: bool = True,
+) -> np.ndarray:
+    """Full rotated D1-D6 chain for one page's (H, W) probability map —
+    the real-CNN path (a non-affine model can't be folded; see
+    detect_post.postprocess_prob_map). Geometry is bit-identical to the
+    folded path; scores differ only in float32-map ulps."""
+    bitmap = (prob_map >= bin_thresh).astype(np.uint8)
+    if morph_open:
+        bitmap = binary_open_3x3(bitmap)
+    return bitmap_to_polys(prob_map, bitmap, box_thresh, unclip_ratio)
+
+
 def postprocess_pixel_map_rotated(
     px_map: np.ndarray,
     bin_thresh: float = BIN_THRESH,

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 
 from onnxtr_spark import imaging
 from onnxtr_spark.engine import get_detection_engine, get_orientation_engine, get_recognition_engine
-from onnxtr_spark.kernels import detect_post, rotated_post, split_merge
+from onnxtr_spark.kernels import detect_post, preprocess, rotated_post, split_merge
 from onnxtr_spark.kernels.straighten import estimate_orientation
 from onnxtr_spark.kernels.builder import word_order, word_order_blocks
 from onnxtr_spark.kernels.ctc import ctc_best_path
@@ -63,11 +63,24 @@ def detect_recognize_pages(
     correctness never depends on them.
     """
 
-    if det_cfg.engine.input_contract != "uint8_bhwc":
-        raise ValueError(
-            "the fused stage folds the model through the uint8 pixel map; "
-            "float-contract engines run via the standalone detect/recognize stages"
-        )
+    # Float-contract engines (a real CNN) run INSIDE the fused stage too
+    # (round-3 verdict item #2): P1-P4 preprocess + forward + the
+    # prob-map D1-D6 chain replace the affine pixel-map fold, keeping
+    # the single-Arrow-crossing plan exactly when models get 100× more
+    # expensive. The fused path keeps its unpadded content-exact maps
+    # (per-page forward, dynamic spatial dims — FAST/DBNet are FCNs);
+    # the fixed-input padded batch contract lives on the standalone
+    # detect stage. Span output is identical either way (asserted in
+    # test_preprocess_registry.py).
+    _CONTRACTS = ("uint8_bhwc", "float_bchw", "float_bhwc")
+    for eng_cfg in (det_cfg.engine, reco_cfg.engine):
+        if eng_cfg.input_contract not in _CONTRACTS:
+            raise ValueError(
+                f"unknown engine input_contract {eng_cfg.input_contract!r} "
+                f"(expected one of {_CONTRACTS})"
+            )
+    float_det = det_cfg.engine.input_contract.startswith("float")
+    float_reco = reco_cfg.engine.input_contract.startswith("float")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from time import perf_counter
@@ -104,13 +117,17 @@ def detect_recognize_pages(
             for doc_id, offset, media_ref, png, height, width in zip(
                 pdf["doc_id"], pdf["offset"], pdf["media_ref"], pdf["png"], pdf["height"], pdf["width"]
             ):
-                # Single-channel fast path: both stub models read only
-                # channel 0, so slice a (H, W, 1) view once — 3× less
-                # memory traffic through resize/crop/model (this kernel
-                # chain is DRAM-bound at high core counts). The
-                # standalone stages keep the 3-channel contract.
+                # Single-channel fast path (uint8 stub engines only):
+                # both stub models read channel 0, so slice a (H, W, 1)
+                # view once — 3× less memory traffic through
+                # resize/crop/model (this kernel chain is DRAM-bound at
+                # high core counts). Float-contract engines (a real CNN)
+                # keep the full channel axis — P2 normalize is
+                # per-channel and the model consumes every plane.
                 t_dec = perf_counter()
-                img = imaging.decode_image(png)[:, :, :1]
+                img = imaging.decode_image(png)
+                if not (float_det or float_reco):
+                    img = img[:, :, :1]
                 m_decode_s += perf_counter() - t_dec
                 m_pages += 1
                 if det_cfg.straighten_pages:
@@ -131,11 +148,14 @@ def detect_recognize_pages(
                     seg = (img[:, :, 0] <= pix_thresh).astype(np.uint8)
                     angle = estimate_orientation(seg, (0, 1.0))
                     if angle:
-                        # rotate the single channel 2-D (the (H,W,1)
-                        # slice pays a per-pixel trailing-dim gather)
-                        img = imaging.rotate_image_nearest(
-                            np.ascontiguousarray(img[:, :, 0]), angle
-                        )[:, :, None]
+                        if img.shape[2] == 1:
+                            # rotate the single channel 2-D (the (H,W,1)
+                            # slice pays a per-pixel trailing-dim gather)
+                            img = imaging.rotate_image_nearest(
+                                np.ascontiguousarray(img[:, :, 0]), angle
+                            )[:, :, None]
+                        else:
+                            img = imaging.rotate_image_nearest(img, angle)
                 # --- detect (D1-D6): the stub model is affine in pixel
                 # value, so it folds through the postprocess and runs on
                 # the uint8 map (postprocess_pixel_map docstring); `det`
@@ -147,11 +167,31 @@ def detect_recognize_pages(
                 # and P8 padding removal is the identity (it stays real
                 # in the standalone stage); map passes skip the ~30% pad
                 # rows a square map carries.
-                det.simulate_model_cost(1)  # no-op unless SPARK_GRAFT_MODEL_MS set
                 resized = resize_unpadded(img, det_cfg.map_size, det_cfg.map_size)
+                if float_det:
+                    # real-CNN contract: P2-P4 on the unpadded map, one
+                    # forward per page (dynamic spatial dims — unpadded
+                    # maps are content-exact, so pages don't stack),
+                    # then the prob-map D1-D6 chain. Cost emulation runs
+                    # inside the engine's run().
+                    x = preprocess.normalize(
+                        preprocess.cast_scale(resized), det_cfg.engine.mean, det_cfg.engine.std
+                    )[None]
+                    if det_cfg.engine.input_contract == "float_bchw":
+                        x = np.moveaxis(x, -1, 1)
+                    prob = det.run(x)[0]
+                else:
+                    det.simulate_model_cost(1)  # no-op unless SPARK_GRAFT_MODEL_ITERS set
+                    prob = None
                 if det_cfg.assume_straight_pages:
-                    boxes = detect_post.postprocess_pixel_map(
-                        resized[:, :, 0], det_cfg.bin_thresh, det_cfg.box_thresh, det_cfg.unclip_ratio
+                    boxes = (
+                        detect_post.postprocess_prob_map(
+                            prob, det_cfg.bin_thresh, det_cfg.box_thresh, det_cfg.unclip_ratio
+                        )
+                        if float_det
+                        else detect_post.postprocess_pixel_map(
+                            resized[:, :, 0], det_cfg.bin_thresh, det_cfg.box_thresh, det_cfg.unclip_ratio
+                        )
                     )
                     for hook in det_cfg.hooks:  # loc_preds hooks (detect.py DetectConfig)
                         boxes = hook(boxes)
@@ -162,8 +202,14 @@ def detect_recognize_pages(
                     # Rotated-word path (assume_straight_pages=False,
                     # reference predictor.py:91-129): (N,5,2) polygons,
                     # G2 rotated crop extract, B7 enclosing-box export.
-                    polys5 = rotated_post.postprocess_pixel_map_rotated(
-                        resized[:, :, 0], det_cfg.bin_thresh, det_cfg.box_thresh, det_cfg.unclip_ratio
+                    polys5 = (
+                        rotated_post.postprocess_prob_map_rotated(
+                            prob, det_cfg.bin_thresh, det_cfg.box_thresh, det_cfg.unclip_ratio
+                        )
+                        if float_det
+                        else rotated_post.postprocess_pixel_map_rotated(
+                            resized[:, :, 0], det_cfg.bin_thresh, det_cfg.box_thresh, det_cfg.unclip_ratio
+                        )
                     )
                     for hook in det_cfg.hooks:
                         polys5 = hook(polys5)
@@ -221,7 +267,17 @@ def detect_recognize_pages(
                 )
                 for i, c in enumerate(chunk):
                     batch[i, : c.shape[0], : c.shape[1]] = c
-                preds.extend(ctc_best_path(reco.run(batch), n_classes_vocab))
+                if float_reco:
+                    # real-CRNN contract: P2-P4 on the padded crop batch
+                    x = preprocess.normalize(
+                        preprocess.cast_scale(batch), reco_cfg.engine.mean, reco_cfg.engine.std
+                    )
+                    if reco_cfg.engine.input_contract == "float_bchw":
+                        x = np.moveaxis(x, -1, 1)
+                    logits = reco.run(x)
+                else:
+                    logits = reco.run(batch)
+                preds.extend(ctc_best_path(logits, n_classes_vocab))
 
             out_rows: list[tuple] = []
             for meta in page_meta:

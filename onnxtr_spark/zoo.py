@@ -27,10 +27,11 @@ Flag mapping (reference → this repo):
   stage's unpadded isotropic map corresponds to the default
   (True, True) contract — other combinations only exist on the
   standalone detect stage (kernels/detect_post.remove_padding).
-- ``detect_language`` → per-DOC language attached from the recognized
-  text (Cavnar-Trenkle trigram model, functions/text.lang_id) — the
-  reference attaches langdetect output per page
-  (predictor.py:138-140).
+- ``detect_language`` → language attached from the recognized text
+  (Cavnar-Trenkle trigram model, functions/text.lang_id).
+  ``lang_granularity="doc"`` (default) gives one label per document;
+  ``"page"`` matches the reference, which attaches langdetect output
+  per page (predictor.py:138-140).
 - ``detect_orientation`` → per-PAGE orientation class attached from the
   I5 classifier (reference predictor.py:86-99 general_pages_orientations).
 """
@@ -106,17 +107,27 @@ class OCRPredictorSpark:
     reco_cfg: RecognizeConfig
     detect_language: bool = False
     detect_orientation: bool = False
+    # "doc" (default): one language per document over all recognized
+    # text. "page": the reference's granularity — langdetect runs on
+    # each page's text and the language column is per PAGE
+    # (predictor.py:138-140 attaches language to every page dict).
+    lang_granularity: str = "doc"
 
     def __call__(self, docs: DataFrame, media: DataFrame) -> DataFrame:
         from onnxtr_spark.stages.pipeline import extract_spans, media_pages
 
+        if self.lang_granularity not in ("doc", "page"):
+            raise ValueError(f"lang_granularity must be 'doc' or 'page', got {self.lang_granularity!r}")
         out = extract_spans(docs, media, det_cfg=self.det_cfg, reco_cfg=self.reco_cfg)
         if self.detect_language:
-            # per-doc language over the recognized text (offset>=1 word
-            # spans reassembled in reading order)
+            from onnxtr_spark.functions.text import lang_id
+
+            # recognized word spans (offset>=1) reassembled in reading
+            # order, grouped at the requested granularity
+            key = "doc_id" if self.lang_granularity == "doc" else "media_ref"
             text = (
                 out.where(F.col("offset") >= 1)
-                .groupBy("doc_id")
+                .groupBy(key)
                 .agg(
                     F.array_join(
                         F.transform(
@@ -127,15 +138,14 @@ class OCRPredictorSpark:
                     ).alias("text")
                 )
             )
-            from onnxtr_spark.functions.text import lang_id
-
-            langs = lang_id(text, cast_id=False)
-            # docs with no recognized word spans are absent from `text`,
-            # so the left join leaves NULL — coalesce to the standalone
-            # lang_id contract's 'unknown'
-            out = out.join(langs, "doc_id", "left").withColumn(
-                "pred_lang", F.coalesce("pred_lang", F.lit("unknown"))
-            )
+            langs = lang_id(text.withColumnRenamed(key, "doc_id"), cast_id=False)
+            # rows with no recognized text at this granularity (empty
+            # docs; the doc-header span when per-page) are absent from
+            # `text`, so the left join leaves NULL — coalesce to the
+            # standalone lang_id contract's 'unknown'
+            out = out.join(
+                langs.withColumnRenamed("doc_id", key), key, "left"
+            ).withColumn("pred_lang", F.coalesce("pred_lang", F.lit("unknown")))
         if self.detect_orientation:
             orients = page_orientations(media_pages(docs, media))
             out = out.join(orients, "media_ref", "left")
@@ -152,6 +162,7 @@ def ocr_predictor(
     detect_orientation: bool = False,
     straighten_pages: bool = False,
     detect_language: bool = False,
+    lang_granularity: str = "doc",
     disable_crop_orientation: bool = False,
     det_bs: int = 2,
     reco_bs: int = 256,
@@ -188,4 +199,5 @@ def ocr_predictor(
         reco_cfg=reco_cfg,
         detect_language=detect_language,
         detect_orientation=detect_orientation,
+        lang_granularity=lang_granularity,
     )

@@ -17,6 +17,20 @@ FIXTURE = [
     ("de", "das wetter ist heute sehr schön und wir gehen zusammen im park spazieren"),
     ("es", "quiero aprender a cocinar platos nuevos para mi familia durante las vacaciones de verano"),
     ("es", "los estudiantes leen muchos libros en la biblioteca antes de los exámenes finales"),
+    ("it", "vorrei comprare una macchina nuova perché la mia è molto vecchia e non funziona bene"),
+    ("it", "gli studenti leggono molti libri in biblioteca prima degli esami di fine anno"),
+    ("pt", "gostaria de comprar um carro novo porque o meu é muito velho e não funciona bem"),
+    ("pt", "os estudantes leem muitos livros na biblioteca antes dos exames finais do ano"),
+    ("nl", "ik wil graag een nieuwe auto kopen omdat de mijne erg oud is en niet goed werkt"),
+    ("nl", "de studenten lezen veel boeken in de bibliotheek voor de laatste examens van het jaar"),
+    ("sv", "jag skulle vilja köpa en ny bil eftersom min är mycket gammal och inte fungerar bra"),
+    ("da", "jeg vil gerne købe en ny bil fordi min er meget gammel og ikke virker godt længere"),
+    ("pl", "chciałbym kupić nowy samochód ponieważ mój jest bardzo stary i nie działa dobrze"),
+    ("tr", "yeni bir araba almak istiyorum çünkü benimki çok eski ve artık iyi çalışmıyor"),
+    ("ru", "я хотел бы купить новую машину потому что моя очень старая и плохо работает"),
+    ("ru", "студенты читают много книг в библиотеке перед последними экзаменами года"),
+    ("el", "θα ήθελα να αγοράσω ένα καινούργιο αυτοκίνητο γιατί το δικό μου είναι πολύ παλιό"),
+    ("el", "οι μαθητές διαβάζουν πολλά βιβλία στη βιβλιοθήκη πριν από τις τελικές εξετάσεις"),
 ]
 
 

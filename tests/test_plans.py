@@ -73,6 +73,30 @@ def test_rotated_pipeline_same_shape(spark):
     assert p.count("MapInPandas") == 2, p
 
 
+def test_float_contract_pipeline_same_shape(spark):
+    """A float-contract engine pair (real-CNN drop-in) must keep the
+    fused single-Arrow-crossing plan: same 2 MapInPandas, same shuffle
+    budget — the preprocess/forward/postprocess swap is entirely inside
+    the fused Python stage (round-3 verdict item #2)."""
+    from onnxtr_spark.engine import EngineConfig
+    from onnxtr_spark.stages.detect import DetectConfig
+    from onnxtr_spark.stages.ingest import docs_from_documents, load_documents, media_from_documents
+    from onnxtr_spark.stages.pipeline import extract_spans
+    from onnxtr_spark.stages.recognize import RecognizeConfig
+
+    documents = load_documents(spark, SF_DIR)
+    out = extract_spans(
+        docs_from_documents(documents),
+        media_from_documents(documents),
+        det_cfg=DetectConfig(engine=EngineConfig(arch="stub_fast_float", input_contract="float_bchw")),
+        reco_cfg=RecognizeConfig(engine=EngineConfig(arch="stub_crnn_float", input_contract="float_bchw")),
+    )
+    p = plan(out)
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange") <= 8, p
+    assert p.count("MapInPandas") == 2, p
+
+
 def test_html_strip_is_pure_jvm_map(spark):
     """The boilerplate strip is regexp column algebra: zero Python
     nodes, zero shuffles — a scan + project that codegens whole-stage."""
@@ -131,10 +155,14 @@ def test_lsh_near_pairs_single_scan_codes(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     p = plan(sim.lsh_near_pairs(emb, bits=4))
     assert "CartesianProduct" not in p
-    assert "Generate posexplode" in p
-    # the code projection appears once per self-join side plus the two
-    # verify re-attachments: 4 scans, not (2 + bands)·sides
-    assert p.count("Scan parquet") <= 4, p
+    # the CPU-bound code projection is localCheckpointed: it appears as
+    # ONE materialized RDD reused for sizes + refinement + both
+    # self-join sides — never re-derived per branch
+    assert "Scan ExistingRDD" in p, p
+    # parquet is scanned only for the two verify re-attachments
+    assert p.count("Scan parquet") <= 2, p
+    # bucket sizes are a partial-aggregated count, not a window gather
+    assert "Window" not in p, p
 
 
 def test_straightened_pipeline_same_shape(spark):

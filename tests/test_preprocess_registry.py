@@ -14,6 +14,7 @@ from onnxtr_spark.corpus import FIXTURE_TEXTS, build_corpus_pdfs
 from onnxtr_spark.kernels import preprocess as pp
 from onnxtr_spark.stages.detect import DetectConfig, detect_pages
 from onnxtr_spark.stages.fused import detect_recognize_pages
+from onnxtr_spark.stages.recognize import RecognizeConfig
 from onnxtr_spark.stages.pipeline import media_pages
 from tests.test_pipeline_e2e import DOCS_SCHEMA, MEDIA_SCHEMA
 
@@ -115,10 +116,52 @@ def test_registry_swaps_model_via_config_only(corpus):
         eng.get_detection_engine(eng.EngineConfig(arch="nope", model_path="/m.onnx"))
 
 
-def test_fused_rejects_float_contract(corpus):
+FLOAT_DET = DetectConfig(
+    engine=eng.EngineConfig(arch="stub_fast_float", input_contract="float_bchw")
+)
+FLOAT_RECO = RecognizeConfig(
+    engine=eng.EngineConfig(arch="stub_crnn_float", input_contract="float_bchw")
+)
+
+
+def _fused_rows(pages, det_cfg=DetectConfig(), reco_cfg=RecognizeConfig()):
+    pdf = detect_recognize_pages(pages, det_cfg, reco_cfg).toPandas()
+    return pdf.sort_values(["media_ref", "rank"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("straight", [True, False], ids=["straight", "rotated"])
+def test_fused_float_contract_matches_uint8(corpus, straight):
+    """Round-3 verdict item #2: a float-contract engine pair (real-CNN
+    input shape) runs INSIDE the fused stage — P1-P4 preprocess +
+    forward + prob-map D1-D6 — and reproduces the folded uint8 path's
+    spans exactly: same text, reading order, and box geometry
+    (bit-equal); scores within float32-map roundtrip noise."""
     docs, media = corpus
-    with pytest.raises(ValueError, match="fused stage"):
+    pages = media_pages(docs, media)
+    base = _fused_rows(
+        pages, DetectConfig(assume_straight_pages=straight), RecognizeConfig()
+    )
+    flt = _fused_rows(
+        pages,
+        DetectConfig(
+            assume_straight_pages=straight,
+            engine=eng.EngineConfig(arch="stub_fast_float", input_contract="float_bchw"),
+        ),
+        FLOAT_RECO,
+    )
+    assert len(base) > 0 and len(base) == len(flt)
+    for col in ["doc_id", "media_ref", "rank", "line_id", "block_id", "text"]:
+        assert list(base[col]) == list(flt[col]), col
+    for col in ["xmin", "ymin", "xmax", "ymax"]:
+        assert np.array_equal(base[col].to_numpy(), flt[col].to_numpy()), col
+    assert np.allclose(base["objectness"], flt["objectness"], atol=1e-5)
+    assert np.allclose(base["conf"], flt["conf"], atol=1e-5)
+
+
+def test_fused_rejects_unknown_contract(corpus):
+    docs, media = corpus
+    with pytest.raises(ValueError, match="input_contract"):
         detect_recognize_pages(
             media_pages(docs, media),
-            det_cfg=DetectConfig(engine=eng.EngineConfig(arch="stub_fast_float", input_contract="float_bchw")),
+            det_cfg=DetectConfig(engine=eng.EngineConfig(input_contract="int4_weird")),
         )

@@ -81,3 +81,40 @@ def test_detect_language_and_orientation_columns(spark, corpus):
         per_doc.setdefault(r.doc_id, set()).add(r.pred_lang)
         assert r.orientation_class == 0 and r.orientation_deg == 0  # straight corpus
     assert all(len(v) == 1 for v in per_doc.values())
+
+
+def test_detect_language_page_granularity(spark, corpus):
+    """lang_granularity='page' attaches one language per PAGE (the
+    reference's granularity, predictor.py:138-140): consistent within a
+    media_ref, and the doc-header span (offset 0, no page) falls back
+    to 'unknown'. Doc-level default is unchanged (test above)."""
+    docs, media = corpus
+    p = ocr_predictor(detect_language=True, lang_granularity="page")
+    out = p(docs, media).select("media_ref", "offset", "pred_lang").collect()
+    per_page = {}
+    for r in out:
+        if r.media_ref:
+            per_page.setdefault(r.media_ref, set()).add(r.pred_lang)
+        else:
+            assert r.offset == 0 and r.pred_lang == "unknown"
+    assert per_page
+    assert all(len(v) == 1 for v in per_page.values())
+    with pytest.raises(ValueError, match="lang_granularity"):
+        ocr_predictor(detect_language=True, lang_granularity="word")(docs, media)
+
+
+def test_detect_language_empty_doc_unknown(spark, corpus):
+    """A doc whose pipeline produced no word spans gets pred_lang
+    'unknown', matching the standalone lang_id contract (round-3
+    advice): blank pages recognize zero words but the header span
+    survives assembly."""
+    import pandas as pd
+
+    from onnxtr_spark.corpus import build_corpus_pdfs
+    from tests.test_pipeline_e2e import DOCS_SCHEMA, MEDIA_SCHEMA
+
+    docs_pdf, media_pdf = build_corpus_pdfs([("d0", "")])  # one empty doc
+    docs = spark.createDataFrame(docs_pdf, schema=DOCS_SCHEMA)
+    media = spark.createDataFrame(media_pdf, schema=MEDIA_SCHEMA)
+    out = ocr_predictor(detect_language=True)(docs, media).collect()
+    assert out and all(r.pred_lang == "unknown" for r in out)
