@@ -220,6 +220,26 @@ def _pdf_scanned_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _html_render_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3's render half end-to-end: boilerplate-laden HTML → injectable
+    renderer (the weasyprint seam, reference io/html.py:11-26) → real
+    PDF → rasterizer → fused OCR → per-page reading-order text. The
+    oracle is the SAME per-page word-chunk SQL as the born-digital PDF
+    parse — a green row proves html→pdf→raster→OCR is span-equal to
+    the direct JVM boilerplate strip."""
+    from onnxtr_spark.sources.html import synthesize_html
+    from onnxtr_spark.sources.rasterize import rasterize_pdf_pages
+    from onnxtr_spark.sources.reader import assemble_page_text
+    from onnxtr_spark.sources.render import render_html_pdfs
+    from onnxtr_spark.stages.fused import detect_recognize_pages
+
+    pdfs = render_html_pdfs(synthesize_html(_documents(spark, sf_dir)))
+    pages = rasterize_pdf_pages(pdfs)
+    return assemble_page_text(detect_recognize_pages(pages), "html_scanned").select(
+        "doc_id", F.col("page").cast("int").alias("page"), F.col("text").alias("page_text")
+    )
+
+
 def _multisource_sql() -> str:
     from onnxtr_spark.sources.reader import MULTISOURCE_READ_SQL
 
@@ -308,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content": _html_main_content,
         "pdf_extract_text": _pdf_extract_text,
         "pdf_scanned_ocr": _pdf_scanned_ocr,
+        "html_render_ocr": _html_render_ocr,
         "multisource_read": _multisource_read,
         # evaluation metrics (reference scripts/evaluate.py:20,92-95)
         "eval_text_match": _eval_text_match,
@@ -367,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
         "html_main_content": _html_sql(),
         "pdf_extract_text": _pdf_sql(),
         "pdf_scanned_ocr": _pdf_sql(),
+        "html_render_ocr": _pdf_sql(),
         "multisource_read": _multisource_sql(),
         "eval_text_match": evaluation.text_match_sql(evaluation.TEXT_MATCH_PAIRS_CTE),
         "eval_localization": evaluation.localization_confusion_sql(),

@@ -122,6 +122,43 @@ def encode_pdf(pages_text: list[str]) -> bytes:
 # "endstream" is wrong because compressed data can end in 0x0D, which a
 # \r?\n delimiter regex would silently eat.
 _STREAM_HDR_RE = re.compile(rb"/Length (\d+)[^>]*>>\s*stream\r?\n")
+
+# --- unsupported-document gate -------------------------------------------
+# This parser handles FlateDecode content streams and Tj/TJ text only.
+# Real-world PDFs carrying other stream filters (DCT/CCITT images, LZW,
+# JBIG2, ...) or encryption would previously fall through to EMPTY page
+# text — a silent data loss. The gate names the reason loudly; the
+# multi-source facade uses the same token set JVM-side to route such
+# docs to the rasterizer branch (a real pypdfium2 rasterizer handles
+# them), so they are flagged or re-routed, never silently blank.
+
+
+class UnsupportedPdfError(ValueError):
+    """Raised for a PDF this content-stream parser cannot faithfully
+    read (encryption or a non-Flate stream filter)."""
+
+
+# filter names this parser cannot inflate (PDF 1.7 table 6) + /Encrypt
+UNSUPPORTED_PDF_TOKENS = (
+    b"/Encrypt",
+    b"/DCTDecode",
+    b"/CCITTFaxDecode",
+    b"/LZWDecode",
+    b"/JBIG2Decode",
+    b"/JPXDecode",
+    b"/ASCII85Decode",
+    b"/ASCIIHexDecode",
+    b"/RunLengthDecode",
+    b"/Crypt",
+)
+
+
+def pdf_unsupported_reason(blob: bytes) -> str | None:
+    """The first unsupported feature found, or None if parseable."""
+    for tok in UNSUPPORTED_PDF_TOKENS:
+        if tok in blob:
+            return "encrypted" if tok == b"/Encrypt" else f"filter:{tok[1:].decode()}"
+    return None
 _SHOW_RE = re.compile(
     r"\(((?:[^()\\]|\\.)*)\)\s*Tj"  # (string) Tj
     r"|\[((?:[^\[\]\\]|\\.)*)\]\s*TJ",  # [ (s1) kern (s2) ... ] TJ
@@ -132,7 +169,17 @@ _TJ_PART_RE = re.compile(r"\(((?:[^()\\]|\\.)*)\)", re.DOTALL)
 
 def decode_pdf_texts(blob: bytes) -> list[str]:
     """Per-page text of a PDF: inflate each content stream, evaluate Tj
-    and TJ showing operators in order."""
+    and TJ showing operators in order. Raises ``UnsupportedPdfError``
+    (never returns silently-empty text) for encrypted PDFs or
+    non-Flate stream filters — route those through the rasterizer
+    branch (sources/reader.py does this automatically)."""
+    reason = pdf_unsupported_reason(blob)
+    if reason is not None:
+        raise UnsupportedPdfError(
+            f"PDF uses an unsupported feature ({reason}); the content-stream "
+            "parser handles FlateDecode text only — route this document "
+            "through the rasterizer branch (sources/rasterize.py)"
+        )
     pages: list[str] = []
     for m in _STREAM_HDR_RE.finditer(blob):
         raw = blob[m.end() : m.end() + int(m.group(1))]

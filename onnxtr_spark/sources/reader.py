@@ -8,8 +8,15 @@ partition-predicate filter, never a per-row Python dispatch — and the
 branches union back into a single (doc_id, kind, page, text) relation:
 
 - ``html``  → JVM-side boilerplate strip (sources/html.py), page 0;
+- ``html_scanned`` → render HTML to PDF (sources/render.py, the
+  injectable weasyprint seam, reference io/html.py:11-26) then the
+  rasterize→OCR chain — the reference's read_html path re-entering S1;
 - ``pdf``   → content-stream text parse (sources/pdf.py), one output
-  row per PDF page (a doc is one payload) — the born-digital path;
+  row per PDF page (a doc is one payload) — the born-digital path.
+  PDFs the parser cannot faithfully read (encryption, non-Flate
+  filters — pdf.UNSUPPORTED_PDF_TOKENS, checked JVM-side on the raw
+  bytes) are REROUTED to the rasterizer branch and come back with kind
+  ``pdf_scanned``: flagged by kind, never silently empty text;
 - ``pdf_scanned`` → rasterize (sources/rasterize.py, the injectable
   pypdfium2 seam, reference io/pdf.py:16-43 + io/reader.py:25-45) then
   the full OCR pipeline — the scanned-document path;
@@ -29,8 +36,9 @@ from pyspark.sql import functions as F
 
 from onnxtr_spark.corpus import WORDS_PER_LINE, WORDS_PER_PAGE
 from onnxtr_spark.sources.html import html_main_text, synthesize_html
-from onnxtr_spark.sources.pdf import pdf_pages_text
-from onnxtr_spark.sources.rasterize import rasterize_pdf_pages
+from onnxtr_spark.sources.pdf import UNSUPPORTED_PDF_TOKENS, pdf_pages_text
+from onnxtr_spark.sources.rasterize import RasterizerConfig, rasterize_pdf_pages
+from onnxtr_spark.sources.render import HtmlRendererConfig, render_html_pdfs
 from onnxtr_spark.stages.fused import detect_recognize_pages
 
 READ_COLS = ["doc_id", "kind", "page", "text"]
@@ -51,12 +59,18 @@ def assemble_page_text(words: DataFrame, kind: str) -> DataFrame:
     )
 
 
-def read_documents(df: DataFrame) -> DataFrame:
+def read_documents(
+    df: DataFrame,
+    rasterizer_cfg: RasterizerConfig = RasterizerConfig(),
+    renderer_cfg: HtmlRendererConfig = HtmlRendererConfig(),
+) -> DataFrame:
     """(doc_id, kind, page, payload binary) → (doc_id, kind, page, text).
 
     ``payload``: utf-8 HTML bytes, PDF bytes (born-digital or scanned),
     or an encoded page image (imaging codec / PNG stand-in) according
-    to ``kind``.
+    to ``kind``. ``rasterizer_cfg``/``renderer_cfg`` pick the pypdfium2
+    / weasyprint implementations (injectable seams; the defaults are
+    the deterministic stubs).
     """
     html = (
         df.where(F.col("kind") == "html")
@@ -67,12 +81,34 @@ def read_documents(df: DataFrame) -> DataFrame:
             html_main_text(F.col("payload").cast("string")).alias("text"),
         )
     )
+    # Unsupported-PDF gate (encryption / non-Flate filters): a cheap
+    # JVM byte scan on the raw payload decides the route — supported
+    # docs take the content-stream parse; unsupported ones join the
+    # rasterizer branch (a real pypdfium2 renders what the parser
+    # can't) and surface with kind 'pdf_scanned'. Never silently empty.
+    unsupported = F.lit(False)
+    for tok in UNSUPPORTED_PDF_TOKENS:
+        unsupported = unsupported | F.contains(F.col("payload"), F.lit(tok))
     pdf = pdf_pages_text(
-        df.where(F.col("kind") == "pdf").select("doc_id", F.col("payload").alias("pdf"))
+        df.where((F.col("kind") == "pdf") & ~unsupported)
+        .select("doc_id", F.col("payload").alias("pdf"))
     ).select("doc_id", F.lit("pdf").alias("kind"), "page", F.col("page_text").alias("text"))
 
+    rendered_pdfs = render_html_pdfs(
+        df.where(F.col("kind") == "html_scanned")
+        .select("doc_id", F.col("payload").cast("string").alias("html")),
+        renderer_cfg,
+    )
+    html_scanned = assemble_page_text(
+        detect_recognize_pages(rasterize_pdf_pages(rendered_pdfs, rasterizer_cfg)),
+        "html_scanned",
+    )
+
     scanned_pages = rasterize_pdf_pages(
-        df.where(F.col("kind") == "pdf_scanned").select("doc_id", F.col("payload").alias("pdf"))
+        df.where(
+            (F.col("kind") == "pdf_scanned") | ((F.col("kind") == "pdf") & unsupported)
+        ).select("doc_id", F.col("payload").alias("pdf")),
+        rasterizer_cfg,
     )
     scanned = assemble_page_text(detect_recognize_pages(scanned_pages), "pdf_scanned")
 
@@ -85,7 +121,13 @@ def read_documents(df: DataFrame) -> DataFrame:
         F.lit(0).alias("width"),   # fused stage decodes them itself
     )
     image = assemble_page_text(detect_recognize_pages(image_pages), "image")
-    return html.unionByName(pdf).unionByName(scanned).unionByName(image).select(*READ_COLS)
+    return (
+        html.unionByName(pdf)
+        .unionByName(html_scanned)
+        .unionByName(scanned)
+        .unionByName(image)
+        .select(*READ_COLS)
+    )
 
 
 def mixed_corpus_from_documents(documents: DataFrame) -> DataFrame:

@@ -138,6 +138,135 @@ def test_rasterizer_registry_injection_and_unregistered_error():
         rz.RASTERIZER_REGISTRY.pop("fake_pdfium", None)
 
 
+# --- unsupported-PDF gate (round-3 verdict item #6) -------------------------
+
+# a DCT-filtered (JPEG) image stream and an encrypted trailer — both
+# beyond the FlateDecode/Tj parser
+DCT_PDF = (
+    b"%PDF-1.4\n1 0 obj\n<< /Subtype /Image /Filter /DCTDecode /Length 4 >>\n"
+    b"stream\n\xff\xd8\xff\xd9\nendstream\nendobj\n%%EOF"
+)
+ENCRYPTED_PDF = (
+    b"%PDF-1.4\n1 0 obj\n<< /Length 10 >>\nstream\n(hidden) Tj\nendstream\nendobj\n"
+    b"trailer\n<< /Root 1 0 R /Encrypt 9 0 R >>\n%%EOF"
+)
+
+
+def test_unsupported_pdf_gate_raises_named_error():
+    """decode_pdf_texts must raise UnsupportedPdfError — never return
+    silently-empty page text — for filters/encryption it can't read."""
+    assert P.pdf_unsupported_reason(DCT_PDF) == "filter:DCTDecode"
+    assert P.pdf_unsupported_reason(ENCRYPTED_PDF) == "encrypted"
+    assert P.pdf_unsupported_reason(P.encode_pdf(["plain"])) is None
+    with pytest.raises(P.UnsupportedPdfError, match="DCTDecode"):
+        P.decode_pdf_texts(DCT_PDF)
+    with pytest.raises(P.UnsupportedPdfError, match="encrypted"):
+        P.decode_pdf_texts(ENCRYPTED_PDF)
+
+
+class TolerantRasterizer:
+    """Test stand-in for a REAL pypdfium2: renders any PDF (even ones
+    the content-stream parser rejects) as one fixed page."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def rasterize(self, blob):
+        from onnxtr_spark import imaging
+
+        return [imaging.render_page([["rerouted", "doc"]])]
+
+
+# module-level registration: executors resolve via factory_module import
+from onnxtr_spark.sources.rasterize import register_rasterizer  # noqa: E402
+
+register_rasterizer("tolerant_pdfium", TolerantRasterizer)
+
+
+def test_unsupported_pdf_routed_to_rasterizer_branch(spark):
+    """A kind='pdf' doc the parser can't read is REROUTED to the
+    rasterizer branch (flagged by kind='pdf_scanned' in the output) —
+    with a capable rasterizer its text is recovered, and the supported
+    sibling doc still takes the parse branch."""
+    import pandas as pd
+
+    from onnxtr_spark.sources.rasterize import RasterizerConfig
+    from onnxtr_spark.sources.reader import read_documents
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": ["good", "bad"],
+            "kind": ["pdf", "pdf"],
+            "page": [0, 0],
+            "payload": [P.encode_pdf(["plain parse text"]), DCT_PDF],
+        })
+    )
+    cfg = RasterizerConfig(name="tolerant_pdfium", factory_module="tests.test_sources")
+    out = {(r.doc_id, r.page): (r.kind, r.text) for r in read_documents(df, rasterizer_cfg=cfg).collect()}
+    assert out[("good", 0)] == ("pdf", "plain parse text")
+    assert out[("bad", 0)] == ("pdf_scanned", "rerouted doc")
+
+
+# --- html render seam (round-3 verdict item #5) ------------------------------
+
+
+def test_html_renderer_stub_strip_matches_jvm(spark):
+    """The stub renderer's Python strip mirror equals the JVM column
+    algebra on boilerplate-laden html, and render() emits a real PDF
+    whose pages are the WORDS_PER_PAGE chunks of the main content."""
+    from onnxtr_spark.corpus import WORDS_PER_PAGE
+    from onnxtr_spark.sources import render as R
+
+    words = " ".join(f"w{i}" for i in range(WORDS_PER_PAGE + 5))
+    html = (
+        f"<html><head><script>a&&b<c</script></head><body><nav><p>junk</p></nav>"
+        f"<main><p>{words}</p></main><footer><p>foot</p></footer></body></html>"
+    )
+    jvm = (
+        spark.createDataFrame(pd.DataFrame({"html": [html]}))
+        .select(H.html_main_text(F.col("html")).alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert R.strip_html_py(html) == jvm == words
+    pdf = R.get_html_renderer(R.HtmlRendererConfig()).render(html)
+    toks = words.split()
+    assert P.decode_pdf_texts(pdf) == [
+        " ".join(toks[:WORDS_PER_PAGE]),
+        " ".join(toks[WORDS_PER_PAGE:]),
+    ]
+
+
+def test_html_renderer_registry_unregistered_error():
+    from onnxtr_spark.sources import render as R
+
+    with pytest.raises(NotImplementedError, match="not registered"):
+        R.get_html_renderer(R.HtmlRendererConfig(name="missing_weasy"))
+
+
+def test_html_scanned_branch_ocr_roundtrip(spark):
+    """kind=html_scanned routes html -> render -> rasterize -> OCR and
+    recovers the stripped main content (the reference's read_html path
+    re-entering S1, io/html.py:11-26)."""
+    import pandas as pd
+
+    from onnxtr_spark.sources.reader import read_documents
+
+    html = (
+        "<html><head><title>junk</title></head><body><nav><p>menu</p></nav>"
+        "<main><p>rendered main words</p></main><footer><p>foot</p></footer></body></html>"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": ["h1"], "kind": ["html_scanned"], "page": [0],
+            "payload": [html.encode()],
+        })
+    )
+    rows = read_documents(df).collect()
+    assert len(rows) == 1
+    assert (rows[0].kind, rows[0].page, rows[0].text) == ("html_scanned", 0, "rendered main words")
+
+
 def test_scanned_pdf_branch_ocr_roundtrip(spark):
     """kind=pdf_scanned routes pdf -> rasterize -> OCR and recovers the
     exact page text (span equality through the scanned branch)."""
