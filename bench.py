@@ -37,6 +37,7 @@ HEADLINE = [
     "html_main_content",
     "pdf_extract_text",
     "pdf_scanned_ocr",
+    "html_render_ocr",
     "eval_ocr_metric",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
