@@ -117,38 +117,204 @@ def encode_pdf(pages_text: list[str]) -> bytes:
     return bytes(buf)
 
 
-# Streams are located via their dict's /Length (direct integers only;
-# indirect-length streams unsupported) — delimiter-scanning for
-# "endstream" is wrong because compressed data can end in 0x0D, which a
-# \r?\n delimiter regex would silently eat.
-_STREAM_HDR_RE = re.compile(rb"/Length (\d+)[^>]*>>\s*stream\r?\n")
+# Streams are located via their dict's /Length (direct integer, or an
+# indirect `N G R` reference resolved against `N G obj <int> endobj`) —
+# delimiter-scanning for "endstream" is wrong because compressed data
+# can end in 0x0D, which a \r?\n delimiter regex would silently eat.
+_STREAM_KW_RE = re.compile(rb"stream\r?\n")
+_LEN_INDIRECT_RE = re.compile(rb"/Length\s+(\d+)\s+(\d+)\s+R")
+_LEN_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+
+
+def _iter_streams(blob: bytes):
+    """Yield (dict_header_bytes, data_start) per stream: backtrack from
+    each ``stream`` keyword over the balanced ``<< ... >>`` dict."""
+    for m in _STREAM_KW_RE.finditer(blob):
+        j = m.start()
+        while j > 0 and blob[j - 1 : j].isspace():
+            j -= 1
+        if blob[j - 2 : j] != b">>":
+            continue
+        depth, i = 1, j - 2
+        while i > 0 and depth:
+            if blob[i - 2 : i] == b">>":
+                depth += 1
+                i -= 2
+            elif blob[i - 2 : i] == b"<<":
+                depth -= 1
+                i -= 2
+            else:
+                i -= 1
+        if depth == 0:
+            yield blob[i:j], m.end()
+
+
+def _stream_length(header: bytes, blob: bytes) -> int | None:
+    m = _LEN_INDIRECT_RE.search(header)
+    if m:
+        ref = re.search(
+            rb"\b" + m.group(1) + rb"\s+" + m.group(2) + rb"\s+obj\s+(\d+)\s+endobj", blob
+        )
+        return int(ref.group(1)) if ref else None
+    m = _LEN_DIRECT_RE.search(header)
+    return int(m.group(1)) if m else None
+
+# --- stream filter decoders (PDF 1.7 §7.4) --------------------------------
+# Decoded here: FlateDecode, LZWDecode (TIFF-style early-change codes),
+# ASCIIHexDecode, ASCII85Decode, RunLengthDecode — and chains of them
+# in array order. Image-codec filters (DCT/CCITT/JBIG2/JPX) and
+# encryption stay behind the loud gate below: those documents route to
+# the rasterizer branch (a real pypdfium2 renders them).
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    body = data.split(b">", 1)[0]
+    hexs = b"".join(body.split())
+    if len(hexs) % 2:  # odd final digit: pad with 0 (spec 7.4.2)
+        hexs += b"0"
+    return bytes.fromhex(hexs.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    body = data.split(b"~>", 1)[0]
+    out = bytearray()
+    group: list[int] = []
+    for ch in body:
+        if ch == 0x7A:  # 'z' = four zero bytes (only legal between groups)
+            if group:
+                raise ValueError("'z' inside an ASCII85 group")
+            out += b"\0\0\0\0"
+            continue
+        if 0x21 <= ch <= 0x75:  # '!'..'u'
+            group.append(ch - 0x21)
+            if len(group) == 5:
+                n = 0
+                for d in group:
+                    n = n * 85 + d
+                out += n.to_bytes(4, "big")
+                group = []
+        # whitespace: skipped
+    if group:  # partial group of k chars -> k-1 bytes, pad with 'u' (84)
+        k = len(group)
+        n = 0
+        for d in group + [84] * (5 - k):
+            n = n * 85 + d
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        ln = data[i]
+        if ln == 128:  # EOD
+            break
+        if ln < 128:
+            out += data[i + 1 : i + 2 + ln]
+            i += 2 + ln
+        else:
+            out += data[i + 1 : i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF/TIFF LZW: 9→12-bit codes MSB-first, clear=256, EOD=257,
+    table grows at 2^w - early_change (spec 7.4.4, EarlyChange default 1)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, buf, nbits = 9, 0, 0
+    prev: bytes | None = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                table = table[:258]
+                width, prev = 9, None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) + early_change - 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+_FILTER_DECODERS = {
+    b"FlateDecode": zlib.decompress,
+    b"Fl": zlib.decompress,  # PDF 1.7 table 6 abbreviations
+    b"LZWDecode": _lzw_decode,
+    b"LZW": _lzw_decode,
+    b"ASCIIHexDecode": _asciihex_decode,
+    b"AHx": _asciihex_decode,
+    b"ASCII85Decode": _ascii85_decode,
+    b"A85": _ascii85_decode,
+    b"RunLengthDecode": _runlength_decode,
+    b"RL": _runlength_decode,
+}
+
+_FILTER_NAMES_RE = re.compile(rb"/Filter\s*(?:\[([^\]]*)\]|/(\w+))")
+_NAME_RE = re.compile(rb"/(\w+)")
+
+
+def _stream_filters(header: bytes) -> list[bytes]:
+    """Filter-name chain of a stream dict, in decode order."""
+    m = _FILTER_NAMES_RE.search(header)
+    if not m:
+        return []
+    if m.group(2) is not None:
+        return [m.group(2)]
+    return [n.group(1) for n in _NAME_RE.finditer(m.group(1))]
+
+
+def _apply_filters(data: bytes, filters: list[bytes]) -> bytes:
+    for name in filters:
+        dec = _FILTER_DECODERS.get(name)
+        if dec is None:
+            raise UnsupportedPdfError(
+                f"PDF stream filter /{name.decode()} is not decodable here; "
+                "route this document through the rasterizer branch "
+                "(sources/rasterize.py)"
+            )
+        data = dec(data)
+    return data
+
 
 # --- unsupported-document gate -------------------------------------------
-# This parser handles FlateDecode content streams and Tj/TJ text only.
-# Real-world PDFs carrying other stream filters (DCT/CCITT images, LZW,
-# JBIG2, ...) or encryption would previously fall through to EMPTY page
-# text — a silent data loss. The gate names the reason loudly; the
-# multi-source facade uses the same token set JVM-side to route such
-# docs to the rasterizer branch (a real pypdfium2 rasterizer handles
-# them), so they are flagged or re-routed, never silently blank.
+# The parser decodes the text-bearing filters above. Image-codec
+# filters (DCT/CCITT/JBIG2/JPX), /Crypt and encryption would fall
+# through to EMPTY page text — a silent data loss. The gate names the
+# reason loudly; the multi-source facade uses the same token set
+# JVM-side to route such docs to the rasterizer branch (a real
+# pypdfium2 rasterizer handles them), so they are flagged or
+# re-routed, never silently blank.
 
 
 class UnsupportedPdfError(ValueError):
     """Raised for a PDF this content-stream parser cannot faithfully
-    read (encryption or a non-Flate stream filter)."""
+    read (encryption or an image-codec stream filter)."""
 
 
-# filter names this parser cannot inflate (PDF 1.7 table 6) + /Encrypt
+# filter names this parser cannot decode (PDF 1.7 table 6) + /Encrypt
 UNSUPPORTED_PDF_TOKENS = (
     b"/Encrypt",
     b"/DCTDecode",
     b"/CCITTFaxDecode",
-    b"/LZWDecode",
     b"/JBIG2Decode",
     b"/JPXDecode",
-    b"/ASCII85Decode",
-    b"/ASCIIHexDecode",
-    b"/RunLengthDecode",
     b"/Crypt",
 )
 
@@ -168,25 +334,36 @@ _TJ_PART_RE = re.compile(r"\(((?:[^()\\]|\\.)*)\)", re.DOTALL)
 
 
 def decode_pdf_texts(blob: bytes) -> list[str]:
-    """Per-page text of a PDF: inflate each content stream, evaluate Tj
-    and TJ showing operators in order. Raises ``UnsupportedPdfError``
-    (never returns silently-empty text) for encrypted PDFs or
-    non-Flate stream filters — route those through the rasterizer
-    branch (sources/reader.py does this automatically)."""
+    """Per-page text of a PDF: decode each content stream through its
+    declared filter chain (Flate / LZW / ASCIIHex / ASCII85 /
+    RunLength, in array order; direct or indirect /Length), evaluate
+    Tj and TJ showing operators in order. Raises
+    ``UnsupportedPdfError`` (never returns silently-empty text) for
+    encrypted PDFs or image-codec stream filters — route those through
+    the rasterizer branch (sources/reader.py does this automatically)."""
     reason = pdf_unsupported_reason(blob)
     if reason is not None:
         raise UnsupportedPdfError(
             f"PDF uses an unsupported feature ({reason}); the content-stream "
-            "parser handles FlateDecode text only — route this document "
+            "parser decodes text-bearing filters only — route this document "
             "through the rasterizer branch (sources/rasterize.py)"
         )
     pages: list[str] = []
-    for m in _STREAM_HDR_RE.finditer(blob):
-        raw = blob[m.end() : m.end() + int(m.group(1))]
-        try:
-            content = zlib.decompress(raw).decode("latin-1")
-        except zlib.error:
-            content = raw.decode("latin-1")
+    for header, start in _iter_streams(blob):
+        length = _stream_length(header, blob)
+        if length is None:
+            continue
+        raw = blob[start : start + length]
+        filters = _stream_filters(header)
+        if filters:
+            content = _apply_filters(raw, filters).decode("latin-1")
+        else:
+            # no /Filter key: historical fixtures store either deflated
+            # or plain bytes — try inflate, fall back to raw
+            try:
+                content = zlib.decompress(raw).decode("latin-1")
+            except zlib.error:
+                content = raw.decode("latin-1")
         parts: list[str] = []
         for sm in _SHOW_RE.finditer(content):
             if sm.group(1) is not None:

@@ -138,6 +138,112 @@ def test_rasterizer_registry_injection_and_unregistered_error():
         rz.RASTERIZER_REGISTRY.pop("fake_pdfium", None)
 
 
+# --- stream filter decoders (PDF 1.7 §7.4) ----------------------------------
+
+
+def _one_stream_pdf(data: bytes, filt: str, length: bytes | None = None, extra: bytes = b"") -> bytes:
+    ln = str(len(data)).encode() if length is None else length
+    return (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + ln + b" /Filter " + filt.encode()
+        + b" >>\nstream\n" + data + b"\nendstream\nendobj\n" + extra + b"%%EOF"
+    )
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Test-side TIFF/PDF LZW encoder mirroring the decoder's width
+    timeline (clear, data codes, EOD; 9→12-bit MSB-first)."""
+    codes = []
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    w = b""
+    for byte in data:
+        wb = w + bytes([byte])
+        if wb in table:
+            w = wb
+        else:
+            codes.append(table[w])
+            table[wb] = next_code
+            next_code += 1
+            w = bytes([byte])
+    if w:
+        codes.append(table[w])
+    out, buf, nbits, width = bytearray(), 0, 0, 9
+
+    def emit(c):
+        nonlocal buf, nbits
+        buf = (buf << width) | c
+        nbits += width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)
+    for k, c in enumerate(codes, start=1):
+        emit(c)
+        if 258 + (k - 1) + early - 1 >= (1 << width) and width < 12:
+            width += 1
+    emit(257)
+    if nbits:
+        out.append(((buf & ((1 << nbits) - 1)) << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+@pytest.mark.parametrize(
+    "filt,enc",
+    [
+        ("/ASCIIHexDecode", lambda b: __import__("binascii").hexlify(b) + b">"),
+        ("/AHx", lambda b: __import__("binascii").hexlify(b) + b">"),
+        ("/ASCII85Decode", lambda b: __import__("base64").a85encode(b) + b"~>"),
+        ("/RunLengthDecode", lambda b: b"".join(
+            bytes([len(c) - 1]) + c for c in (b[i : i + 100] for i in range(0, len(b), 100))
+        ) + bytes([128])),
+        ("/LZWDecode", _lzw_encode),
+    ],
+)
+def test_pdf_filter_decoders_roundtrip(filt, enc):
+    ops = b"BT /F1 12 Tf 72 720 Td (decoded through " + filt.encode()[1:] + b") Tj ET"
+    blob = _one_stream_pdf(enc(ops), filt)
+    assert P.decode_pdf_texts(blob) == [f"decoded through {filt[1:]}"]
+
+
+def test_pdf_filter_chain_in_decode_order():
+    """/Filter [A B]: A is applied first when decoding (spec 7.3.8)."""
+    import base64
+    import zlib as z
+
+    ops = b"BT (chained filters) Tj ET"
+    blob = _one_stream_pdf(base64.a85encode(z.compress(ops)) + b"~>", "[/ASCII85Decode /FlateDecode]")
+    assert P.decode_pdf_texts(blob) == ["chained filters"]
+
+
+def test_pdf_lzw_width_growth_roundtrip():
+    """An LZW stream long enough to cross the 9->10-bit code boundary."""
+    text = " ".join(f"tok{i}" for i in range(400))
+    ops = ("BT (" + text + ") Tj ET").encode()
+    assert P._lzw_decode(_lzw_encode(ops)) == ops
+    blob = _one_stream_pdf(_lzw_encode(ops), "/LZWDecode")
+    assert P.decode_pdf_texts(blob) == [text]
+
+
+def test_pdf_indirect_length_resolved():
+    import zlib as z
+
+    data = z.compress(b"BT (indirect length) Tj ET")
+    blob = _one_stream_pdf(
+        data, "/FlateDecode", length=b"5 0 R",
+        extra=b"5 0 obj\n" + str(len(data)).encode() + b"\nendobj\n",
+    )
+    assert P.decode_pdf_texts(blob) == ["indirect length"]
+
+
+def test_pdf_now_supported_filters_pass_the_gate():
+    """LZW/ASCII85/ASCIIHex/RunLength are DECODED, not gated (the gate
+    keeps only image codecs + encryption)."""
+    assert P.pdf_unsupported_reason(b"%PDF /Filter /LZWDecode stream") is None
+    assert P.pdf_unsupported_reason(b"%PDF /Filter /ASCII85Decode stream") is None
+    assert P.pdf_unsupported_reason(b"%PDF /Filter /JBIG2Decode stream") == "filter:JBIG2Decode"
+
+
 # --- unsupported-PDF gate (round-3 verdict item #6) -------------------------
 
 # a DCT-filtered (JPEG) image stream and an encrypted trailer — both
