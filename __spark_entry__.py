@@ -345,6 +345,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": rel.q18_large_orders,
         "tpch_q7_nation_pair": rel.q7_nation_volume_pair,
         "tpch_q19_disjunctive": rel.q19_disjunctive_revenue,
+        "tpch_q4_late_orders": rel.q4_late_orders,
+        "tpch_q16_supplier_count": rel.q16_supplier_count,
+        "tpch_q22_sales_opportunity": rel.q22_global_sales_opportunity,
         "events_distinct_users": rel.events_distinct_users,
         "top_customers": rel.top_customers,
         "order_priority_count": rel.order_priority_count,
@@ -403,6 +406,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q18_large_orders": rel.Q18_SQL,
         "tpch_q7_nation_pair": rel.Q7_SQL,
         "tpch_q19_disjunctive": rel.Q19_SQL,
+        "tpch_q4_late_orders": rel.Q4_SQL,
+        "tpch_q16_supplier_count": rel.Q16_SQL,
+        "tpch_q22_sales_opportunity": rel.Q22_SQL,
         "events_distinct_users": rel.EVENTS_DISTINCT_SQL,
         "events_top_users": rel.EVENTS_TOP_USERS_SQL,
         "docs_lang_stats": rel.DOCS_LANG_SQL,

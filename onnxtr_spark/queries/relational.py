@@ -517,3 +517,97 @@ SELECT event_type, count(DISTINCT user_id) AS n_users,
        count(*) AS n_events, round(max(value), 2) AS max_value
 FROM events GROUP BY event_type
 """
+
+
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog (EXISTS semi-join): count orders per priority in
+    a quarter that have at least one lineitem shipped after the order
+    date (this schema carries no commit/receipt dates, so 'late' is
+    shipdate > orderdate). Plan: the fact-side date filter pushes into
+    the orders scan; the EXISTS becomes a LeftSemi hash join on
+    l_orderkey — orders rows never duplicate per matching lineitem."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").cast("long").alias("order_count"))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog (NOT-IN anti-join + distinct agg): distinct
+    suppliers per (brand, size-band) over the lineitem part↔supplier
+    relation (this schema has no partsupp), excluding one brand and
+    excluding 'complaint' suppliers (negative account balance) via a
+    broadcast LeftAnti join. The distinct agg is two-phase: partial
+    (brand, band, suppkey) dedup map-side, then the count."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#1")
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", (F.col("p_size") - F.col("p_size") % 10).cast("long").alias("size_band"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, CAST(p_size - p_size % 10 AS BIGINT) AS size_band,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, size_band
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog (scalar subquery + anti-join): per customer
+    nation, count and total balance of above-average-balance customers
+    with no URGENT order since 1997 (this corpus's order coverage is
+    dense, so 'no order at all' would be empty — the anti-join target
+    is the selective urgent-recent subset instead). The scalar average
+    is one tiny agg (Catalyst plans a subquery broadcast, not a driver
+    collect); the NOT EXISTS is a LeftAnti join against the filtered
+    orders fact — the filter pushes into the scan."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderdate") >= F.lit("1997-01-01"))
+    ).select("o_custkey")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    rich = cust.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("a"))
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+                  AND o.o_orderdate >= TIMESTAMP '1997-01-01')
+GROUP BY cntrycode
+"""

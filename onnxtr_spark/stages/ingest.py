@@ -162,6 +162,49 @@ def materialize_corpus(spark: SparkSession, sf_dir: str, cache_dir: str) -> tupl
     return spark.read.parquet(docs_path), spark.read.parquet(media_path)
 
 
+def write_bucketed_corpus(
+    docs: DataFrame, media: DataFrame, buckets: int = 32, prefix: str = "onnxtr_bkt"
+) -> tuple[str, str]:
+    """Persist the ingest-join inputs BUCKETED on ``media_ref`` so the
+    page join is shuffle-free — the strategy the pipeline docstring
+    promises for 10^12 docs, made concrete.
+
+    The media-span side is pre-exploded (doc_id, offset, media_ref)
+    rows and both tables are ``bucketBy(buckets, media_ref)`` +
+    ``sortBy(media_ref)``: a scan of either reports hash partitioning
+    on media_ref, so Catalyst plans the join as a SortMergeJoin with
+    ZERO Exchange (plan-asserted in test_plans.py). At 100 TB this
+    removes the single ingest shuffle — the only wide op ahead of the
+    model stages — and repeated extraction runs (backfills, model
+    re-runs) amortize the one-time bucketed write. Returns the two
+    table names (Spark managed tables; parquet + bucket metadata in
+    the session catalog — the Iceberg analog is a bucket-partitioned
+    table spec)."""
+    spans_tbl, media_tbl = f"{prefix}_spans", f"{prefix}_media"
+    spans = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select("doc_id", F.col("s.offset").alias("offset"), F.col("s.media_ref").alias("media_ref"))
+    )
+    for tbl, df in ((spans_tbl, spans), (media_tbl, media)):
+        df.write.mode("overwrite").bucketBy(buckets, "media_ref").sortBy(
+            "media_ref"
+        ).saveAsTable(tbl)
+    return spans_tbl, media_tbl
+
+
+def media_pages_bucketed(spark: SparkSession, spans_tbl: str, media_tbl: str) -> DataFrame:
+    """The media_pages join over bucketed tables: co-located, no
+    exchange, no explicit repartition needed ahead of the model stages
+    (bucket count IS the parallel grain; pick buckets ≈ cluster cores
+    at write time)."""
+    return (
+        spark.table(spans_tbl)
+        .join(spark.table(media_tbl), "media_ref")
+        .select("doc_id", "offset", "media_ref", "png", "height", "width")
+    )
+
+
 def replicate_documents(documents: DataFrame, factor: int) -> DataFrame:
     """Deterministically scale the corpus: ``factor`` copies with
     disjoint doc_id ranges (doc_id + 10^7 * k). Used by bench --scaling

@@ -20,7 +20,10 @@ Physical plan (SURVEY.md §4):
 
 The media join broadcasts nothing (both sides huge at 10^12 docs); it is
 an equi-join on a unique key, the canonical co-partitioned case — at
-scale both tables would be bucketed by media_ref to make it shuffle-free.
+scale both tables are bucketed by media_ref to make it shuffle-free:
+``ingest.write_bucketed_corpus`` + ``ingest.media_pages_bucketed``
+produce exactly that plan (SortMergeJoin, zero Exchange — asserted in
+test_plans.test_bucketed_media_join_shuffle_free).
 """
 
 from __future__ import annotations

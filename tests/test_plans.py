@@ -219,6 +219,60 @@ def test_token_jaccard_prefix_bounded(spark):
     assert bad == 0
 
 
+def test_semi_anti_join_queries_shape(spark):
+    """q4/q16/q22: EXISTS → LeftSemi, NOT-IN/NOT-EXISTS → LeftAnti,
+    dims broadcast, one agg exchange each — never a row-duplicating
+    inner join where (anti/semi) set semantics are meant."""
+    from onnxtr_spark.queries import relational as rel
+
+    for fn, kind in [
+        (rel.q4_late_orders, "LeftSemi"),
+        (rel.q16_supplier_count, "LeftAnti"),
+        (rel.q22_global_sales_opportunity, "LeftAnti"),
+    ]:
+        p = plan(fn(spark, SF_DIR))
+        assert kind in p, (fn.__name__, p)
+        assert "CartesianProduct" not in p
+        assert p.count("Exchange hashpartitioning") <= 2, (fn.__name__, p)
+
+
+def test_bucketed_media_join_shuffle_free(spark):
+    """The 100-TB ingest strategy made concrete: both sides of the page
+    join written bucketBy(media_ref) → the join plans as SortMergeJoin
+    with ZERO Exchange (the scan's bucketing satisfies the join's
+    required distribution). This is the plan the pipeline docstring
+    promises for 10^12 docs."""
+    from onnxtr_spark.stages.ingest import (
+        docs_from_documents,
+        load_documents,
+        media_from_documents,
+        media_pages_bucketed,
+        write_bucketed_corpus,
+    )
+
+    documents = load_documents(spark, SF_DIR).limit(50)
+    spans_tbl, media_tbl = write_bucketed_corpus(
+        docs_from_documents(documents), media_from_documents(documents), buckets=4,
+        prefix="onnxtr_bkt_test",
+    )
+    # at 10^12 docs NEITHER side broadcasts; model that regime (the
+    # tiny test tables would otherwise be broadcast and the planner
+    # rightly skips bucketing)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = media_pages_bucketed(spark, spans_tbl, media_tbl)
+        p = plan(joined)
+        assert "SortMergeJoin" in p, p
+        assert "Exchange" not in p, p
+        assert "Bucketed: true" in p, p
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in (spans_tbl, media_tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_skew_salt_scatters_giant_doc(spark):
     """North-rule skew: one 1000-page document must not pin one task —
     the media join's hash repartition scatters its pages across
