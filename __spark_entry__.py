@@ -356,7 +356,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": rel.events_sessionize,
         "events_hourly": rel.events_hourly,
         "events_top_users": rel.events_top_users_per_type,
+        "events_funnel": rel.events_funnel,
         "docs_lang_stats": rel.docs_lang_stats,
+        # multimodal: audio decode→features, video demux→frame sampling
+        "audio_features": lambda s, d: media.audio_features_query(_documents(s, d)),
+        "video_frame_meta": lambda s, d: media.video_frame_meta_query(_documents(s, d)),
         # text analysis
         "text_token_stats": lambda s, d: text.token_stats(_documents(s, d)),
         "text_quality_score": lambda s, d: text.quality_score(_documents(s, d)),
@@ -393,6 +397,8 @@ def oracle_sql() -> dict[str, str]:
         "pdf_scanned_ocr": _pdf_sql(),
         "html_render_ocr": _pdf_sql(),
         "multisource_read": _multisource_sql(),
+        "audio_features": media.AUDIO_FEATURES_SQL,
+        "video_frame_meta": media.video_frame_meta_sql(),
         "eval_text_match": evaluation.text_match_sql(evaluation.TEXT_MATCH_PAIRS_CTE),
         "eval_localization": evaluation.localization_confusion_sql(),
         "eval_ocr_metric": evaluation.ocr_metric_sql(),
@@ -411,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q22_sales_opportunity": rel.Q22_SQL,
         "events_distinct_users": rel.EVENTS_DISTINCT_SQL,
         "events_top_users": rel.EVENTS_TOP_USERS_SQL,
+        "events_funnel": rel.EVENTS_FUNNEL_SQL,
         "docs_lang_stats": rel.DOCS_LANG_SQL,
         "top_customers": rel.TOP_CUSTOMERS_SQL,
         "order_priority_count": rel.ORDER_PRIORITY_SQL,

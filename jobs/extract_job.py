@@ -39,10 +39,22 @@ def main() -> None:
     ap.add_argument("--straighten-pages", action="store_true")
     # rotated-word geometry (assume_straight_pages=False)
     ap.add_argument("--rotated-boxes", action="store_true")
+    # one-time: persist both join sides bucketed by media_ref (catalog
+    # tables) so every later extraction run's ingest join is
+    # shuffle-free (ingest.write_bucketed_corpus); value = bucket count
+    ap.add_argument("--write-bucketed", type=int, default=None, metavar="BUCKETS")
     args = ap.parse_args()
 
     spark = get_spark("extract_job")
     media = spark.read.parquet(args.media)
+    if args.write_bucketed:
+        from onnxtr_spark.stages.ingest import write_bucketed_corpus
+
+        docs = spark.read.parquet(args.docs)
+        spans_tbl, media_tbl = write_bucketed_corpus(docs, media, buckets=args.write_bucketed)
+        print(f"bucketed tables written: {spans_tbl}, {media_tbl}")
+        spark.stop()
+        return
     if args.streaming_dir:
         q = stream_extract_available_now(
             spark, args.streaming_dir, media, args.out, f"{args.out}/_checkpoint"

@@ -611,3 +611,53 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
                   AND o.o_orderdate >= TIMESTAMP '1997-01-01')
 GROUP BY cntrycode
 """
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click → purchase, strictly in
+    time order per user): one row of stage counts. Each stage is a
+    pushed type-filter scan + per-user min-timestamp agg joined to the
+    previous stage — keyed by user_id throughout, counts-only output
+    (no timestamp columns cross the oracle hash). The three 1-row
+    stage totals combine by broadcast cross join."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").cast("long").alias("viewed"))
+        .crossJoin(c.agg(F.count("*").cast("long").alias("view_click")))
+        .crossJoin(p.agg(F.count("*").cast("long").alias("view_click_purchase")))
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS viewed,
+       (SELECT count(*) FROM c) AS view_click,
+       (SELECT count(*) FROM p) AS view_click_purchase
+"""
