@@ -147,3 +147,61 @@ def dedup_stream(docs_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_FUNNEL_STATE_DDL = "stage INT, t_view LONG, t_click LONG"
+FUNNEL_INPUT_DDL = "user_id long, event_type string, ts timestamp"
+FUNNEL_OUTPUT_DDL = "user_id long, t_view long, t_click long, t_purchase long"
+
+
+def _funnel_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    stage, t_view, t_click = state.get if state.exists else (0, 0, 0)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    done: list[tuple] = []
+    if stage < 3 and len(rows):
+        # within a micro-batch the file source gives no order promise:
+        # replay this user's slice in event-time order
+        for et, t in sorted(zip(rows["event_type"], rows["t_us"]), key=lambda r: int(r[1])):
+            t = int(t)
+            if stage == 0 and et == "view":
+                stage, t_view = 1, t
+            elif stage == 1 and et == "click" and t > t_view:
+                stage, t_click = 2, t
+            elif stage == 2 and et == "purchase" and t > t_click:
+                stage = 3
+                done.append((int(key[0]), t_view, t_click, t))
+                break  # funnel complete; later events are irrelevant
+    state.update((stage, t_view, t_click))
+    if done:
+        yield pd.DataFrame(done, columns=["user_id", "t_view", "t_click", "t_purchase"])
+    else:
+        yield pd.DataFrame(columns=["user_id", "t_view", "t_click", "t_purchase"])
+
+
+def funnel_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming ordered-funnel state machine: per user, advance
+    view → click → purchase strictly forward in event time and emit ONE
+    row (user_id, t_view, t_click, t_purchase microseconds) when the
+    funnel completes — the ingest-time twin of
+    queries/relational.events_funnel, as a custom stateful operator.
+
+    State is three integers per user (stage + two timestamps) in the
+    stream checkpoint: transitions survive micro-batch boundaries and
+    restarts; a completed user's state pins at stage 3 so duplicates
+    never re-emit. At 10^12 events the state store holds one tiny row
+    per ACTIVE user — completed users could be evicted with a TTL
+    timeout in a production variant."""
+    ev = events_stream.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("t_us"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=FUNNEL_OUTPUT_DDL,
+        stateStructType=_FUNNEL_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

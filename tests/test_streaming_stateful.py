@@ -159,3 +159,54 @@ def test_dedup_stream_suppresses_cross_batch_duplicates(spark, tmp_path):
     assert got == {"1", "2", "4"}
     # one row per distinct fingerprint, exactly once
     assert spark.read.parquet(out).count() == 3
+
+
+def test_funnel_stream_across_microbatches(spark, tmp_path):
+    """Per-user funnel state machine: user 1 completes across THREE
+    micro-batches (state carries stage+timestamps); user 2's purchase
+    arrives before any view and must not count; user 3 completes twice
+    but emits once (stage pins at 3); out-of-order rows inside one
+    batch are replayed in event time."""
+    from onnxtr_spark.streaming.stateful import FUNNEL_INPUT_DDL, funnel_stream
+
+    src = str(tmp_path / "funnel_src")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(user, minute, etype):
+        return {"user_id": user, "event_type": etype, "ts": t0 + dt.timedelta(minutes=minute)}
+
+    # batch 1: u1 views; u2 purchases (no view yet: ignored); u3's
+    # click+view arrive OUT OF ORDER in one batch (view first in time)
+    _write_batch(spark, src, [
+        ev(1, 0, "view"), ev(2, 1, "purchase"),
+        ev(3, 2, "click"), ev(3, 1, "view"),
+    ], FUNNEL_INPUT_DDL, "b1")
+    # batch 2: u1 clicks; u3 purchases (completes)
+    _write_batch(spark, src, [ev(1, 5, "click"), ev(3, 6, "purchase")], FUNNEL_INPUT_DDL, "b2")
+    # batch 3: u1 purchases (completes); u3 runs the whole funnel again
+    # -> must NOT re-emit; u2 views (stage 1 only)
+    _write_batch(spark, src, [
+        ev(1, 9, "purchase"), ev(2, 10, "view"),
+        ev(3, 11, "view"), ev(3, 12, "click"), ev(3, 13, "purchase"),
+    ], FUNNEL_INPUT_DDL, "b3")
+
+    stream = (
+        spark.readStream.schema(FUNNEL_INPUT_DDL).format("parquet")
+        .option("path", src).option("maxFilesPerTrigger", "1").load()
+    )
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("memory").queryName("funnel_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM funnel_out").toPandas().sort_values("user_id")
+    assert list(got.user_id) == [1, 3]
+    u1 = got[got.user_id == 1].iloc[0]
+    us = lambda minute: int((t0 + dt.timedelta(minutes=minute)).timestamp() * 1_000_000)
+    assert (u1.t_view, u1.t_click, u1.t_purchase) == (us(0), us(5), us(9))
+    u3 = got[got.user_id == 3].iloc[0]
+    assert (u3.t_view, u3.t_click, u3.t_purchase) == (us(1), us(2), us(6))
