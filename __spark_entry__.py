@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": lambda s, d: text.lang_id(_documents(s, d)),
         "doc_fingerprint": lambda s, d: text.fingerprint(_documents(s, d)),
         "docs_stratified_sample": lambda s, d: text.stratified_sample(_documents(s, d)),
+        "training_mix": lambda s, d: text.training_mix(_documents(s, d)),
         # dedup
         "dedup_exact": lambda s, d: dedup.exact_dedup(_documents(s, d)),
         "dedup_minhash_bands": lambda s, d: dedup.minhash_bands(_documents(s, d)),
@@ -430,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": text.lang_id_sql(),
         "doc_fingerprint": text.FINGERPRINT_SQL,
         "docs_stratified_sample": text.stratified_sample_sql(),
+        "training_mix": text.training_mix_sql(),
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_minhash_bands": dedup.minhash_bands_sql(),
         "dedup_token_jaccard": dedup.token_jaccard_pairs_sql(),

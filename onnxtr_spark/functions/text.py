@@ -520,3 +520,77 @@ FROM documents
 WHERE ({gate}) % {SAMPLE_DEN} >= 0
   AND ({gate}) % {SAMPLE_DEN} < (CASE {whens} ELSE {int(default_frac * SAMPLE_DEN)} END)
 """
+
+
+# --- training-mix composition ----------------------------------------------
+
+MIX_QUALITY_MIN = 0.45
+MIX_LANG_FRACS = {"en": 0.9, "unknown": 0.3}
+MIX_DEFAULT_FRAC = 0.7
+
+
+def training_mix(
+    documents: DataFrame,
+    quality_min: float = MIX_QUALITY_MIN,
+    lang_fracs: dict[str, float] | None = None,
+    default_frac: float = MIX_DEFAULT_FRAC,
+    seed: int = SAMPLE_SEED,
+) -> DataFrame:
+    """The end-product materialization of the training-data pipeline —
+    the operators above COMPOSED, not re-implemented:
+
+        exact-dedup (keep each content group's canonical doc)
+          ∘ quality gate (score ≥ quality_min)
+          ∘ model language ID (trigram profiles)
+          ∘ per-language stratified hash sampling
+
+    Returns (doc_id, pred_lang, quality) of the kept docs. Everything
+    stays JVM column algebra keyed by doc_id; the dedup group-by is the
+    only extra shuffle, and the sample gate is a narrow filter — the
+    composition inherits each operator's scale properties unchanged.
+    """
+    from onnxtr_spark.functions.dedup import exact_dedup
+
+    fracs = dict(MIX_LANG_FRACS) if lang_fracs is None else lang_fracs
+    canon = exact_dedup(documents).select(F.col("canonical_doc_id").alias("doc_id"))
+    q = quality_score(documents).select("doc_id", "quality")
+    langs = lang_id(documents)
+    gate = F.pmod(hash64(F.col("doc_id").cast("string"), seed), F.lit(SAMPLE_DEN))
+    thresh = F.lit(int(default_frac * SAMPLE_DEN))
+    for lang, frac in sorted(fracs.items()):
+        thresh = F.when(F.col("pred_lang") == lang, F.lit(int(frac * SAMPLE_DEN))).otherwise(thresh)
+    return (
+        documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(canon, "doc_id")
+        .join(q, "doc_id")
+        .where(F.col("quality") >= quality_min)
+        .join(langs, "doc_id")
+        .where(gate < thresh)
+        .select("doc_id", "pred_lang", "quality")
+    )
+
+
+def training_mix_sql(
+    quality_min: float = MIX_QUALITY_MIN,
+    lang_fracs: dict[str, float] | None = None,
+    default_frac: float = MIX_DEFAULT_FRAC,
+    seed: int = SAMPLE_SEED,
+) -> str:
+    from onnxtr_spark.functions.dedup import _NORM_SQL
+
+    fracs = dict(MIX_LANG_FRACS) if lang_fracs is None else lang_fracs
+    whens = " ".join(
+        f"WHEN l.pred_lang = '{lang}' THEN {int(frac * SAMPLE_DEN)}"
+        for lang, frac in sorted(fracs.items())
+    )
+    gate = hash64_sql("CAST(d.doc_id AS VARCHAR)", seed)
+    return f"""
+SELECT d.doc_id, l.pred_lang, q.quality
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+JOIN (SELECT min(CAST(doc_id AS BIGINT)) AS doc_id FROM documents GROUP BY md5({_NORM_SQL})) c
+  ON c.doc_id = d.doc_id
+JOIN ({QUALITY_SCORE_SQL}) q ON q.doc_id = d.doc_id
+JOIN ({lang_id_sql()}) l ON l.doc_id = d.doc_id
+WHERE q.quality >= {quality_min}
+  AND ({gate}) % {SAMPLE_DEN} < (CASE {whens} ELSE {int(default_frac * SAMPLE_DEN)} END)
+"""

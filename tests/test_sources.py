@@ -389,3 +389,42 @@ def test_scanned_pdf_branch_ocr_roundtrip(spark):
     assert out[("s1", 0)] == ("pdf_scanned", "scanned page one words")
     assert out[("s1", 1)] == ("pdf_scanned", "and the second page")
     assert len(out) == 2
+
+
+# --- property tests: filter decoders invert arbitrary payloads --------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_payload = st.binary(min_size=0, max_size=600)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_payload)
+def test_ascii85_decoder_inverts_stdlib_encoder(data):
+    import base64
+
+    assert P._ascii85_decode(base64.a85encode(data) + b"~>") == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(_payload)
+def test_asciihex_decoder_inverts_hexlify(data):
+    import binascii
+
+    assert P._asciihex_decode(binascii.hexlify(data) + b">") == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(_payload)
+def test_runlength_decoder_inverts_literal_encoding(data):
+    enc = b"".join(
+        bytes([len(c) - 1]) + c for c in (data[i : i + 128] for i in range(0, len(data), 128))
+    ) + bytes([128])
+    assert P._runlength_decode(enc) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(_payload)
+def test_lzw_decoder_inverts_encoder(data):
+    assert P._lzw_decode(_lzw_encode(data)) == data
