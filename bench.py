@@ -47,6 +47,10 @@ HEADLINE = [
     "text_quality_score",
     "text_lang_id",
     "doc_fingerprint",
+    "training_mix",
+    "audio_features",
+    "video_frame_meta",
+    "events_funnel",
     "dedup_minhash_bands",
     "dedup_simhash",
     "ann_cosine_topk",
