@@ -308,7 +308,9 @@ class UnsupportedPdfError(ValueError):
     read (encryption or an image-codec stream filter)."""
 
 
-# filter names this parser cannot decode (PDF 1.7 table 6) + /Encrypt
+# filter names this parser cannot decode (PDF 1.7 table 6), /Encrypt,
+# and composite-font CID text (hex strings are 2-byte CIDs needing a
+# CMap — undecodable as single-byte codes)
 UNSUPPORTED_PDF_TOKENS = (
     b"/Encrypt",
     b"/DCTDecode",
@@ -316,6 +318,7 @@ UNSUPPORTED_PDF_TOKENS = (
     b"/JBIG2Decode",
     b"/JPXDecode",
     b"/Crypt",
+    b"/Identity-H",
 )
 
 
@@ -323,14 +326,34 @@ def pdf_unsupported_reason(blob: bytes) -> str | None:
     """The first unsupported feature found, or None if parseable."""
     for tok in UNSUPPORTED_PDF_TOKENS:
         if tok in blob:
-            return "encrypted" if tok == b"/Encrypt" else f"filter:{tok[1:].decode()}"
+            if tok == b"/Encrypt":
+                return "encrypted"
+            if tok == b"/Identity-H":
+                return "cid-font:Identity-H"
+            return f"filter:{tok[1:].decode()}"
     return None
+# Show operators (PDF 1.7 §9.4.3): Tj, the move-and-show ' and "
+# (their numeric/line operands precede the string, so the same
+# string-then-operator match covers them), literal or hex strings, and
+# TJ arrays mixing both. Hex strings decode as single-byte codes
+# (simple fonts); composite-font CID text needs a CMap and gates via
+# /Identity-H below.
 _SHOW_RE = re.compile(
-    r"\(((?:[^()\\]|\\.)*)\)\s*Tj"  # (string) Tj
-    r"|\[((?:[^\[\]\\]|\\.)*)\]\s*TJ",  # [ (s1) kern (s2) ... ] TJ
+    r"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|'|\")"  # (string) Tj / ' / "
+    r"|<([0-9A-Fa-f\s]*)>\s*(?:Tj|'|\")"  # <hex> Tj / ' / "
+    r"|\[((?:[^\[\]\\]|\\.)*)\]\s*TJ",  # [ (s1) kern <s2> ... ] TJ
     re.DOTALL,
 )
-_TJ_PART_RE = re.compile(r"\(((?:[^()\\]|\\.)*)\)", re.DOTALL)
+_TJ_PART_RE = re.compile(r"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>", re.DOTALL)
+
+
+def _hex_string(s: str) -> str:
+    """PDF hex string: whitespace ignored, odd final digit padded with
+    0 (spec 7.3.4.3); single-byte codes → latin-1 text."""
+    hexs = "".join(s.split())
+    if len(hexs) % 2:
+        hexs += "0"
+    return bytes.fromhex(hexs).decode("latin-1")
 
 
 def decode_pdf_texts(blob: bytes) -> list[str]:
@@ -368,9 +391,15 @@ def decode_pdf_texts(blob: bytes) -> list[str]:
         for sm in _SHOW_RE.finditer(content):
             if sm.group(1) is not None:
                 parts.append(_unescape_pdf_string(sm.group(1)))
+            elif sm.group(2) is not None:
+                parts.append(_hex_string(sm.group(2)))
             else:
-                for pm in _TJ_PART_RE.finditer(sm.group(2)):
-                    parts.append(_unescape_pdf_string(pm.group(1)))
+                for pm in _TJ_PART_RE.finditer(sm.group(3)):
+                    parts.append(
+                        _unescape_pdf_string(pm.group(1))
+                        if pm.group(1) is not None
+                        else _hex_string(pm.group(2))
+                    )
         pages.append("".join(parts))
     return pages
 

@@ -236,6 +236,57 @@ def test_semi_anti_join_queries_shape(spark):
         assert p.count("Exchange hashpartitioning") <= 2, (fn.__name__, p)
 
 
+def test_simhash_near_pairs_banded_equi_join(spark):
+    """Candidate generation is a (band, key) equi-join — never a
+    cartesian — and the verify is one bit_count, no window/sort over
+    raw signature rows."""
+    from onnxtr_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(dedup.simhash_near_pairs(docs))
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    assert re.search(r"hashpartitioning\(band", p) or "band" in p, p
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Scale evidence for the skew story: a join keyed on one hot value
+    (10^5 rows on a single key vs 50 spread keys) is re-planned by AQE
+    with the skewed partition SPLIT (the final adaptive SortMergeJoin
+    carries the skew marker) instead of one straggler task. This is the
+    mechanism the LSH/minhash band joins lean on for duplicate-heavy
+    keys beyond what their own bucket refinement splits."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(100_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id") % 50).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(50).select(F.col("id").alias("k"), F.lit("dim").alias("v"))
+        joined = left.join(right, "k")
+        # collect() executes THIS DataFrame's QueryExecution (count()
+        # would finalize a different one), so AQE re-plans in place
+        assert len(joined.collect()) > 0
+        p = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p, p
+        assert "skew=true" in p, p
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
 def test_bucketed_media_join_shuffle_free(spark):
     """The 100-TB ingest strategy made concrete: both sides of the page
     join written bucketBy(media_ref) → the join plans as SortMergeJoin

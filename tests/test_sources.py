@@ -428,3 +428,24 @@ def test_runlength_decoder_inverts_literal_encoding(data):
 @given(_payload)
 def test_lzw_decoder_inverts_encoder(data):
     assert P._lzw_decode(_lzw_encode(data)) == data
+
+
+def test_pdf_hex_strings_and_move_show_operators():
+    """Hex strings (<48..> Tj), the move-and-show ' and " operators,
+    and hex parts inside TJ arrays all decode; odd-length hex pads a
+    trailing 0; composite-font CID text (/Identity-H) gates instead."""
+    ops = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"<48656C6C6F> Tj "  # 'Hello'
+        b"( world) ' "  # move-and-show
+        b'0.2 0.1 (!) " '  # aw ac string "
+        b"[(mix) -10 <2041 4243>] TJ "  # hex split by whitespace -> ' ABC'
+        b"<5> Tj "  # odd digit -> 0x50 'P'
+        b"ET"
+    )
+    blob = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(ops)).encode()
+        + b" >>\nstream\n" + ops + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert P.decode_pdf_texts(blob) == ["Hello world!mix ABCP"]
+    assert P.pdf_unsupported_reason(b"%PDF /Encoding /Identity-H") == "cid-font:Identity-H"
