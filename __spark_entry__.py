@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: dedup.exact_dedup(_documents(s, d)),
         "dedup_minhash_bands": lambda s, d: dedup.minhash_bands(_documents(s, d)),
         "dedup_token_jaccard": lambda s, d: dedup.token_jaccard_pairs(_documents(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_documents(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_documents(s, d)),
         "dedup_simhash_near_pairs": lambda s, d: dedup.simhash_near_pairs(_documents(s, d)),
         "dedup_groups": lambda s, d: dedup.near_dup_groups(_documents(s, d)),
@@ -436,6 +437,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_minhash_bands": dedup.minhash_bands_sql(),
         "dedup_token_jaccard": dedup.token_jaccard_pairs_sql(),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "dedup_simhash": dedup.simhash_sql(),
         "dedup_simhash_near_pairs": dedup.simhash_near_pairs_sql(),
         "dedup_groups": dedup.near_dup_groups_sql(),

@@ -26,9 +26,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # Headline set: the OCR flagship + one representative per operator family.
-# dedup_token_jaccard is excluded: token-Jaccard on this corpus's 31-word
-# vocabulary is intrinsically quadratic (~1M qualifying pairs at sf0.1);
-# the subquadratic LSH path (dedup_minhash_bands) is the benchmarked one.
+# dedup_token_jaccard / dedup_ngram_jaccard are excluded: exact Jaccard
+# on this corpus's 31-word vocabulary is intrinsically dense (shared
+# tokens/char-grams everywhere -> huge candidate sets at sf0.1); the
+# subquadratic sketch paths (dedup_minhash_bands, dedup_simhash) are
+# the benchmarked ones.
 HEADLINE = [
     "ocr_extract_spans",
     "ocr_extract_spans_rotated",

@@ -403,3 +403,86 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {k}
 """
+
+
+NGRAM_N = 5  # character n-gram width for ngram_jaccard_pairs
+NGRAM_THRESHOLD = 0.8
+
+
+def _char_ngrams(n: int):
+    """Distinct character n-grams of the whitespace-normalized text."""
+    norm = _norm_text()
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(norm) - n + 1)),
+            lambda i: F.substring(norm, i, n),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = NGRAM_N, threshold: float = NGRAM_THRESHOLD
+) -> DataFrame:
+    """Exact CHARACTER-n-gram Jaccard near-dup pairs:
+    (doc_a, doc_b, jaccard ≥ threshold, rounded to 4) — the
+    word-robust sibling of ``token_jaccard_pairs`` (n-grams survive
+    word-boundary edits and agglutinative text where token sets
+    don't). Same SSJoin discipline: global-DF-ascending prefix index
+    (≤ ⌊(1-t)·|X|⌋+1 grams per doc — no qualifying pair lost, no d²
+    blowup on frequent grams), candidate equi-join on prefix grams
+    only, exact array_intersect verify per candidate pair."""
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    docsets = (
+        documents.repartition(parallelism)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), _char_ngrams(n).alias("gs"))
+        .withColumn("ng", F.size("gs").cast("long"))
+    )
+    grams = docsets.select("doc_id", "ng", F.explode("gs").alias("g"))
+    df_counts = grams.groupBy("g").agg(F.count("*").alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "g")
+    num = int(round(threshold * 10000))  # exact-ceil quantization (see prefix_tokens)
+    alpha = F.ceil((F.lit(num) * F.col("ng")).cast("double") / F.lit(10000.0))
+    prefix = (
+        grams.join(df_counts, "g")
+        .withColumn("pos", F.row_number().over(wdoc))
+        .where(F.col("pos") <= F.col("ng") - alpha + 1)
+        .select("doc_id", "g", "ng")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "g")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ng").alias("na"), F.col("b.ng").alias("nb"),
+        )
+        .distinct()
+    )
+    sets = docsets.select("doc_id", F.sort_array("gs").alias("gs"))
+    return (
+        cands.join(sets.withColumnsRenamed({"doc_id": "doc_a", "gs": "ga"}), "doc_a")
+        .join(sets.withColumnsRenamed({"doc_id": "doc_b", "gs": "gb"}), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")).cast("long"))
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(n: int = NGRAM_N, threshold: float = NGRAM_THRESHOLD) -> str:
+    """Brute-force quadratic definition (a different algorithm than the
+    prefix-filtered Spark path — the green row proves filter exactness)."""
+    return f"""
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_distinct([substring(norm, i, {n})
+                        for i in range(1, greatest(1, length(norm) - {n} + 1) + 1)]) AS gs
+  FROM (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.gs, b.gs))::DOUBLE
+             / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 4) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.gs, b.gs))::DOUBLE
+            / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 4) >= {threshold}
+"""
