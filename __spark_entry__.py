@@ -348,6 +348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_late_orders": rel.q4_late_orders,
         "tpch_q16_supplier_count": rel.q16_supplier_count,
         "tpch_q22_sales_opportunity": rel.q22_global_sales_opportunity,
+        "tpch_q13_cust_distribution": rel.q13_customer_distribution,
+        "tpch_q15_top_supplier": rel.q15_top_supplier,
         "events_distinct_users": rel.events_distinct_users,
         "top_customers": rel.top_customers,
         "order_priority_count": rel.order_priority_count,
@@ -418,6 +420,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q4_late_orders": rel.Q4_SQL,
         "tpch_q16_supplier_count": rel.Q16_SQL,
         "tpch_q22_sales_opportunity": rel.Q22_SQL,
+        "tpch_q13_cust_distribution": rel.Q13_SQL,
+        "tpch_q15_top_supplier": rel.Q15_SQL,
         "events_distinct_users": rel.EVENTS_DISTINCT_SQL,
         "events_top_users": rel.EVENTS_TOP_USERS_SQL,
         "events_funnel": rel.EVENTS_FUNNEL_SQL,

@@ -661,3 +661,75 @@ SELECT (SELECT count(*) FROM v) AS viewed,
        (SELECT count(*) FROM c) AS view_click,
        (SELECT count(*) FROM p) AS view_click_purchase
 """
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog (outer join + double aggregation): distribution
+    of customers by order count, counting only non-urgent orders — the
+    filter lives in the JOIN CONDITION so zero-order customers survive
+    into the histogram (the pattern an inner join + WHERE would get
+    wrong). First aggregation is per customer (map-side partial), the
+    second is over the tiny count domain."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .select(F.col("c_count").cast("long").alias("c_count"), "custdist")
+    )
+
+
+Q13_SQL = """
+SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog (aggregate view + scalar-max subquery): the
+    supplier(s) with maximum quarterly revenue. The revenue relation is
+    computed once and reused for both the scalar max (a 1-row broadcast
+    cross join, not a driver collect) and the final equality filter;
+    ties all qualify, exactly like the spec's view formulation."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev")
+    )
+    top = revenue.agg(F.max("total_rev").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(top))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name", "total_rev")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_rev
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+"""
