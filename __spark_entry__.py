@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": lambda s, d: text.quality_score(_documents(s, d)),
         "text_lang_id": lambda s, d: text.lang_id(_documents(s, d)),
         "doc_fingerprint": lambda s, d: text.fingerprint(_documents(s, d)),
+        "doc_winnow_fingerprints": lambda s, d: text.winnow_fingerprints(_documents(s, d)),
         "docs_stratified_sample": lambda s, d: text.stratified_sample(_documents(s, d)),
         "training_mix": lambda s, d: text.training_mix(_documents(s, d)),
         # dedup
@@ -436,6 +437,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": text.QUALITY_SCORE_SQL,
         "text_lang_id": text.lang_id_sql(),
         "doc_fingerprint": text.FINGERPRINT_SQL,
+        "doc_winnow_fingerprints": text.winnow_fingerprints_sql(),
         "docs_stratified_sample": text.stratified_sample_sql(),
         "training_mix": text.training_mix_sql(),
         "dedup_exact": dedup.EXACT_DEDUP_SQL,

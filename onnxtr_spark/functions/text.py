@@ -594,3 +594,75 @@ JOIN ({lang_id_sql()}) l ON l.doc_id = d.doc_id
 WHERE q.quality >= {quality_min}
   AND ({gate}) % {SAMPLE_DEN} < (CASE {whens} ELSE {int(default_frac * SAMPLE_DEN)} END)
 """
+
+
+# --- winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003) -------------
+
+WINNOW_K = 8  # char k-gram width
+WINNOW_W = 8  # window of consecutive k-gram hashes; guarantee: any
+# match of length >= K + W - 1 shares a fingerprint
+
+
+def winnow_fingerprints(documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """Distinct winnowing fingerprints per document: (doc_id, fp).
+
+    The classic rolling-hash document-fingerprint scheme (MOSS): hash
+    every character k-gram of the normalized text, slide a window of w
+    consecutive hashes, keep each window's MINIMUM — any substring
+    match of length ≥ k+w-1 between two docs is guaranteed to share a
+    selected fingerprint, while only ~2/(w+1) of the grams are kept.
+
+    Plan: one per-doc pos-ordered window min (partitioned by doc_id —
+    the same bounded per-doc window discipline as lang-ID's rank),
+    then a distinct. Fingerprints are join keys for substring-level
+    containment detection at corpus scale, complementing the set-level
+    Jaccard/MinHash family."""
+    from pyspark.sql import Window
+
+    parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    norm = F.regexp_replace(F.trim("text"), r"\s+", " ")
+    grams = (
+        documents.repartition(parallelism)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(norm) - k + 1)),
+                    lambda i: F.substring(norm, i, k),
+                )
+            ).alias("pos", "gram"),
+        )
+        .select("doc_id", "pos", hash64(F.col("gram"), 13).alias("h"))
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    n_grams = Window.partitionBy("doc_id")
+    return (
+        grams.withColumn("fp", F.min("h").over(win))
+        .withColumn("n", F.count("*").over(n_grams))
+        # posexplode is 0-based: window starts 0..n-w (the SQL mirror's
+        # 1-based 1..n-w+1), one full-w window per start
+        .where(F.col("pos") <= F.greatest(F.lit(0), F.col("n") - w))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def winnow_fingerprints_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    return f"""
+WITH grams AS (
+  SELECT doc_id, i AS pos,
+         {hash64_sql(f"substring(norm, CAST(i AS INT), {k})", 13)} AS h
+  FROM (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm
+    FROM documents
+  ), UNNEST(generate_series(1, greatest(1, length(norm) - {k} + 1))) AS t(i)
+), mins AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM grams
+)
+SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= greatest(1, n - {w} + 1)
+"""

@@ -105,3 +105,31 @@ def test_stratified_sample_rates_and_determinism(spark):
     # same docs
     sub = T.stratified_sample(docs.where("doc_id < 2000"), fr, default_frac=0.5).toPandas()
     assert set(sub["doc_id"]) == {d for d in got["doc_id"] if d < 2000}
+
+
+def test_winnow_guarantee_and_density(spark):
+    """The winnowing contract (Schleimer et al. 2003): two docs sharing
+    a substring of length >= k+w-1 share at least one fingerprint; a
+    doc with no shared substring of that length shares none (here: a
+    disjoint alphabet makes it certain); selected density is far below
+    the full gram count (~2/(w+1) expected)."""
+    import pandas as pd
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                "prefix one " + shared + " suffix alpha",
+                "other beginning " + shared + " different tail",
+                "zzzz qqqq xxxx vvvv kkkk wwww jjjj ffff gggg hhhh",
+            ],
+        })
+    )
+    fps = T.winnow_fingerprints(spark.createDataFrame(docs.toPandas()))
+    rows = fps.toPandas()
+    by_doc = {d: set(g.fp) for d, g in rows.groupby("doc_id")}
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]), "disjoint text must not collide"
+    n_grams_1 = len("prefix one " + shared + " suffix alpha") - T.WINNOW_K + 1
+    assert len(by_doc[1]) < n_grams_1 / 2  # strong thinning vs all grams
