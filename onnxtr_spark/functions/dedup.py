@@ -186,17 +186,30 @@ def token_jaccard_pairs(documents: DataFrame, threshold: float = 0.9) -> DataFra
         .distinct()
     )
     docsets = toks.groupBy("doc_id").agg(F.sort_array(F.collect_list("tok")).alias("toks"))
+    from onnxtr_spark.functions.hashing import round_half_up
+
+    # Threshold filter in exact integer arithmetic (10⁴·inter ≥ num·union):
+    # the prefix filter guarantees candidates only for TRUE jaccard ≥ t,
+    # so filtering on the ROUNDED value would admit pairs in [t-5e-5, t)
+    # that the prefix index may legitimately have dropped — an oracle
+    # mismatch waiting to happen. Rounding is display-only, half-up in
+    # both engines.
+    num = int(round(threshold * 10000))
     return (
         cands.join(docsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "ta"), "doc_a")
         .join(docsets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "tb"), "doc_b")
         .withColumn("inter", F.size(F.array_intersect("ta", "tb")).cast("long"))
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .where(F.lit(10000) * F.col("inter") >= F.lit(num) * F.col("uni"))
+        .select("doc_a", "doc_b", round_half_up(F.col("inter") / F.col("uni"), 4).alias("jaccard"))
     )
 
 
 def token_jaccard_pairs_sql(threshold: float = 0.9) -> str:
+    from onnxtr_spark.functions.hashing import round_half_up_sql
+
+    num = int(round(threshold * 10000))
+    jac = round_half_up_sql("inter::DOUBLE / (sa.n + sb.n - inter)", 4)
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS tok FROM documents
@@ -209,11 +222,11 @@ WITH toks AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       round(inter::DOUBLE / (sa.n + sb.n - inter), 4) AS jaccard
+       {jac} AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 4) >= {threshold}
+WHERE 10000 * inter >= {num} * (sa.n + sb.n - inter)
 """
 
 
@@ -409,9 +422,16 @@ NGRAM_N = 5  # character n-gram width for ngram_jaccard_pairs
 NGRAM_THRESHOLD = 0.8
 
 
-def _char_ngrams(n: int):
-    """Distinct character n-grams of the whitespace-normalized text."""
-    norm = _norm_text()
+def _char_ngrams(n: int, norm=None):
+    """Distinct character n-grams of the whitespace-normalized text.
+
+    Pass ``norm`` as a pre-materialized column when calling in a hot
+    path: expressions referenced inside a ``transform`` lambda are
+    re-evaluated PER ELEMENT, so leaving the default regexp normalizer
+    inline runs the regex once per gram position (~|text| times per
+    doc) instead of once per doc."""
+    if norm is None:
+        norm = _norm_text()
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(norm) - n + 1)),
@@ -430,23 +450,46 @@ def ngram_jaccard_pairs(
     don't). Same SSJoin discipline: global-DF-ascending prefix index
     (≤ ⌊(1-t)·|X|⌋+1 grams per doc — no qualifying pair lost, no d²
     blowup on frequent grams), candidate equi-join on prefix grams
-    only, exact array_intersect verify per candidate pair."""
+    only, exact array_intersect verify per candidate pair.
+
+    Cost shape for scale: grams are xxhash64'd to int64 BEFORE any
+    shuffle (equality joins and set intersection only, so hashing
+    preserves exactness up to 64-bit collisions; the oracle, a
+    different engine, hashes with its own function — hashes never
+    cross engines or reach the output). The hashed doc→gram-set
+    relation is materialized once (localCheckpoint) and feeds the DF
+    count, the prefix index, and both verify sides; the per-doc
+    global-DF prefix is an ``array_sort``+``slice`` over collected
+    (df, gram) structs — no row_number window re-sorting every gram
+    occurrence. The threshold filter is exact integer arithmetic
+    (10⁴·inter ≥ num·union with num = round(t·10⁴)) so no pair at the
+    boundary is lost to display rounding in either engine."""
+    from onnxtr_spark.functions.hashing import round_half_up
+
     parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    num = int(round(threshold * 10000))  # exact-ceil quantization (see prefix_tokens)
     docsets = (
         documents.repartition(parallelism)
-        .select(F.col("doc_id").cast("long").alias("doc_id"), _char_ngrams(n).alias("gs"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"), _norm_text().alias("norm"))
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.transform(_char_ngrams(n, F.col("norm")), lambda g: F.xxhash64(g))
+            ).alias("gs"),
+        )
         .withColumn("ng", F.size("gs").cast("long"))
+        .localCheckpoint(eager=False)
     )
     grams = docsets.select("doc_id", "ng", F.explode("gs").alias("g"))
     df_counts = grams.groupBy("g").agg(F.count("*").alias("df"))
-    wdoc = Window.partitionBy("doc_id").orderBy("df", "g")
-    num = int(round(threshold * 10000))  # exact-ceil quantization (see prefix_tokens)
     alpha = F.ceil((F.lit(num) * F.col("ng")).cast("double") / F.lit(10000.0))
+    plen = (F.col("ng") - alpha + 1).cast("int")
     prefix = (
         grams.join(df_counts, "g")
-        .withColumn("pos", F.row_number().over(wdoc))
-        .where(F.col("pos") <= F.col("ng") - alpha + 1)
-        .select("doc_id", "g", "ng")
+        .groupBy("doc_id", "ng")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("dg"))
+        .select("doc_id", "ng", F.explode(F.slice("dg", F.lit(1), plen)).alias("s"))
+        .select("doc_id", F.col("s.g").alias("g"), "ng")
     )
     cands = (
         prefix.alias("a")
@@ -458,31 +501,47 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    sets = docsets.select("doc_id", F.sort_array("gs").alias("gs"))
     return (
-        cands.join(sets.withColumnsRenamed({"doc_id": "doc_a", "gs": "ga"}), "doc_a")
-        .join(sets.withColumnsRenamed({"doc_id": "doc_b", "gs": "gb"}), "doc_b")
+        cands.join(docsets.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("ga")), "doc_a")
+        .join(docsets.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gb")), "doc_b")
         .withColumn("inter", F.size(F.array_intersect("ga", "gb")).cast("long"))
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .where(F.lit(10000) * F.col("inter") >= F.lit(num) * F.col("uni"))
+        .select("doc_a", "doc_b", round_half_up(F.col("inter") / F.col("uni"), 4).alias("jaccard"))
     )
 
 
 def ngram_jaccard_pairs_sql(n: int = NGRAM_N, threshold: float = NGRAM_THRESHOLD) -> str:
     """Brute-force quadratic definition (a different algorithm than the
-    prefix-filtered Spark path — the green row proves filter exactness)."""
+    prefix-filtered Spark path — the green row proves filter exactness).
+    Grams are hashed to int64 (DuckDB's own hash(); never crosses
+    engines) and pairs are pre-filtered by the exact size bound
+    min(na,nb) ≥ t·max(na,nb) — both standard exact filters, so the
+    oracle stays a full pairwise definition while list_intersect runs
+    on int lists over far fewer pairs."""
+    from onnxtr_spark.functions.hashing import round_half_up_sql
+
+    num = int(round(threshold * 10000))
+    jac = round_half_up_sql("inter::DOUBLE / uni", 4)
     return f"""
 WITH g AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         list_distinct([substring(norm, i, {n})
-                        for i in range(1, greatest(1, length(norm) - {n} + 1) + 1)]) AS gs
+         list_transform(list_distinct([substring(norm, i, {n})
+                        for i in range(1, greatest(1, length(norm) - {n} + 1) + 1)]),
+                        s -> hash(s)) AS gs
   FROM (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+), sized AS (
+  SELECT doc_id, gs, len(gs) AS ng FROM g
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.gs, b.gs)) AS inter,
+         a.ng + b.ng - len(list_intersect(a.gs, b.gs)) AS uni
+  FROM sized a JOIN sized b
+    ON a.doc_id < b.doc_id
+   AND 10000 * a.ng >= {num} * b.ng
+   AND 10000 * b.ng >= {num} * a.ng
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.gs, b.gs))::DOUBLE
-             / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 4) AS jaccard
-FROM g a JOIN g b ON a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.gs, b.gs))::DOUBLE
-            / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 4) >= {threshold}
+SELECT doc_a, doc_b, {jac} AS jaccard
+FROM pairs
+WHERE 10000 * inter >= {num} * uni
 """

@@ -196,6 +196,8 @@ def _ascii85_decode(data: bytes) -> bytes:
         # whitespace: skipped
     if group:  # partial group of k chars -> k-1 bytes, pad with 'u' (84)
         k = len(group)
+        if k == 1:  # 1 leftover digit = 0 output bytes: truncated stream (spec 7.4.3)
+            raise ValueError("ASCII85 stream ends with a single-digit partial group")
         n = 0
         for d in group + [84] * (5 - k):
             n = n * 85 + d
@@ -248,7 +250,10 @@ def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
             if prev is not None:
                 table.append(prev + entry[:1])
             prev = entry
-            if len(table) + early_change - 1 >= (1 << width) and width < 12:
+            # Width bumps when the NEXT code to be assigned would not fit:
+            # with EarlyChange=1 (PDF default) that's one code early, i.e.
+            # at table size 2^w - 1 (511/1023/2047 — pdfminer/mupdf agree).
+            if len(table) + early_change >= (1 << width) and width < 12:
                 width += 1
     return bytes(out)
 

@@ -180,7 +180,11 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
     emit(256)
     for k, c in enumerate(codes, start=1):
         emit(c)
-        if 258 + (k - 1) + early - 1 >= (1 << width) and width < 12:
+        # after the decoder consumes data code k its table holds
+        # 258 + (k-1) entries; with EarlyChange the width for code k+1
+        # bumps when that size is within `early` of 2^w (511/1023/2047
+        # at early=1 — the pdfminer/mupdf timeline)
+        if 258 + (k - 1) + early >= (1 << width) and width < 12:
             width += 1
     emit(257)
     if nbits:
@@ -428,6 +432,38 @@ def test_runlength_decoder_inverts_literal_encoding(data):
 @given(_payload)
 def test_lzw_decoder_inverts_encoder(data):
     assert P._lzw_decode(_lzw_encode(data)) == data
+
+
+def _lzw_boundary_payload(n_pairs: int) -> bytes:
+    # n_pairs distinct 2-byte patterns -> ~n_pairs new table entries,
+    # deterministically marching the table across the 511/1023 widths
+    return b"".join(bytes([i & 0xFF, (i * 7 + 3) & 0xFF]) for i in range(n_pairs))
+
+
+@pytest.mark.parametrize("n_pairs", [300, 900])  # crosses 511; 900 also crosses 1023
+def test_lzw_width_bump_crosses_early_change_boundaries(n_pairs):
+    data = _lzw_boundary_payload(n_pairs)
+    assert P._lzw_decode(_lzw_encode(data)) == data
+
+
+def test_lzw_early_change_timelines_are_distinguished():
+    """EarlyChange=1 (PDF default) bumps the code width one code EARLIER
+    than EarlyChange=0. The two timelines genuinely diverge once the
+    table crosses 511 entries, so a decoder on the wrong timeline must
+    desync — this is the regression guard for the off-by-one where
+    encoder and decoder agreed with each other but not with the spec
+    (both bumped at 2^w instead of 2^w-1)."""
+    data = _lzw_boundary_payload(300)
+    # each timeline is self-consistent...
+    assert P._lzw_decode(_lzw_encode(data, early=1), early_change=1) == data
+    assert P._lzw_decode(_lzw_encode(data, early=0), early_change=0) == data
+    # ...but crossing them desyncs past the 511-entry boundary
+    for enc_early, dec_early in ((0, 1), (1, 0)):
+        try:
+            got = P._lzw_decode(_lzw_encode(data, early=enc_early), early_change=dec_early)
+        except ValueError:
+            continue
+        assert got != data
 
 
 def test_pdf_hex_strings_and_move_show_operators():
