@@ -316,25 +316,11 @@ def _media_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- registry ---------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered CHEAPEST-FIRST (measured check-oracle wall time at
+    # sf0.01), so a correctness run that hits a time budget truncates
+    # the fewest/cheapest rows of evidence, not a 12-query tail.
     return {
-        # OCR extraction pipeline (SURVEY §2.1-2.8)
-        "ocr_extract_spans": _ocr_spans,
-        "ocr_extract_spans_rotated": _ocr_spans_rotated,
-        "ocr_extract_spans_straightened": _ocr_spans_straightened,
-        "ocr_render_text": _ocr_rendered,
-        "ocr_detect_boxes": _ocr_detect_boxes,
-        "media_page_stats": _media_page_stats,
-        "artefact_detect": _artefact_detect,
-        "html_main_content": _html_main_content,
-        "pdf_extract_text": _pdf_extract_text,
-        "pdf_scanned_ocr": _pdf_scanned_ocr,
-        "html_render_ocr": _html_render_ocr,
-        "multisource_read": _multisource_read,
-        # evaluation metrics (reference scripts/evaluate.py:20,92-95)
-        "eval_text_match": _eval_text_match,
-        "eval_localization": _eval_localization,
-        "eval_ocr_metric": _eval_ocr_metric,
-        # relational / TPC-H-ish
+        # sub-second: relational / TPC-H-ish
         "tpch_q1_pricing": rel.q1_pricing_summary,
         "tpch_q3_shipping": rel.q3_shipping_priority,
         "tpch_q5_nation_volume": rel.q5_nation_volume,
@@ -360,32 +346,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": rel.events_top_users_per_type,
         "events_funnel": rel.events_funnel,
         "docs_lang_stats": rel.docs_lang_stats,
-        # multimodal: audio decode→features, video demux→frame sampling
-        "audio_features": lambda s, d: media.audio_features_query(_documents(s, d)),
-        "video_frame_meta": lambda s, d: media.video_frame_meta_query(_documents(s, d)),
-        # text analysis
+        # sub-second: text analysis / dedup signatures / ANN components
         "text_token_stats": lambda s, d: text.token_stats(_documents(s, d)),
         "text_quality_score": lambda s, d: text.quality_score(_documents(s, d)),
-        "text_lang_id": lambda s, d: text.lang_id(_documents(s, d)),
         "doc_fingerprint": lambda s, d: text.fingerprint(_documents(s, d)),
         "doc_winnow_fingerprints": lambda s, d: text.winnow_fingerprints(_documents(s, d)),
         "docs_stratified_sample": lambda s, d: text.stratified_sample(_documents(s, d)),
-        "training_mix": lambda s, d: text.training_mix(_documents(s, d)),
-        # dedup
         "dedup_exact": lambda s, d: dedup.exact_dedup(_documents(s, d)),
-        "dedup_minhash_bands": lambda s, d: dedup.minhash_bands(_documents(s, d)),
-        "dedup_token_jaccard": lambda s, d: dedup.token_jaccard_pairs(_documents(s, d)),
-        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_documents(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_documents(s, d)),
-        "dedup_simhash_near_pairs": lambda s, d: dedup.simhash_near_pairs(_documents(s, d)),
-        "dedup_groups": lambda s, d: dedup.near_dup_groups(_documents(s, d)),
-        # similarity search
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(_embeddings(s, d)),
-        "ann_ivf_topk": lambda s, d: similarity.ivf_topk(_embeddings(s, d)),
         "ann_lsh_buckets": lambda s, d: similarity.lsh_buckets(_embeddings(s, d)),
-        "ann_lsh_near_pairs": lambda s, d: similarity.lsh_near_pairs(_embeddings(s, d)),
         "embedding_centroids": lambda s, d: similarity.label_centroids(_embeddings(s, d)),
+        # multimodal: audio decode→features, video demux→frame sampling
+        "audio_features": lambda s, d: media.audio_features_query(_documents(s, d)),
+        "video_frame_meta": lambda s, d: media.video_frame_meta_query(_documents(s, d)),
+        "media_page_stats": _media_page_stats,
+        # 1-5 s tier
+        "ann_ivf_topk": lambda s, d: similarity.ivf_topk(_embeddings(s, d)),
+        "dedup_minhash_bands": lambda s, d: dedup.minhash_bands(_documents(s, d)),
+        "dedup_simhash_near_pairs": lambda s, d: dedup.simhash_near_pairs(_documents(s, d)),
         "kmeans_centroids": lambda s, d: similarity.kmeans_centroids(_embeddings(s, d)),
+        "text_lang_id": lambda s, d: text.lang_id(_documents(s, d)),
+        "training_mix": lambda s, d: text.training_mix(_documents(s, d)),
+        "dedup_token_jaccard": lambda s, d: dedup.token_jaccard_pairs(_documents(s, d)),
+        "html_main_content": _html_main_content,
+        "pdf_extract_text": _pdf_extract_text,
+        "artefact_detect": _artefact_detect,
+        # evaluation metrics (reference scripts/evaluate.py:20,92-95)
+        "eval_localization": _eval_localization,
+        "eval_ocr_metric": _eval_ocr_metric,
+        "eval_text_match": _eval_text_match,
+        "ocr_detect_boxes": _ocr_detect_boxes,
+        "ocr_render_text": _ocr_rendered,
+        # heavy tail: full OCR pipelines + quadratic-verify dedup/ANN
+        "pdf_scanned_ocr": _pdf_scanned_ocr,
+        "html_render_ocr": _html_render_ocr,
+        "multisource_read": _multisource_read,
+        "ocr_extract_spans": _ocr_spans,
+        "ocr_extract_spans_rotated": _ocr_spans_rotated,
+        "ocr_extract_spans_straightened": _ocr_spans_straightened,
+        "dedup_groups": lambda s, d: dedup.near_dup_groups(_documents(s, d)),
+        "ann_lsh_near_pairs": lambda s, d: similarity.lsh_near_pairs(_embeddings(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_documents(s, d)),
     }
 
 

@@ -290,9 +290,14 @@ def near_dup_groups(documents: DataFrame, threshold: float = 0.9, max_iters: int
     """
     pairs = token_jaccard_pairs(documents, threshold).select("doc_a", "doc_b")
     nodes = documents.select(F.col("doc_id").cast("long").alias("node")).distinct()
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).withColumnsRenamed({"doc_a": "node", "doc_b": "peer"})
+    # materialize the edge list ONCE — every round's neighbor-min join
+    # re-reads it, and without the checkpoint each iteration would
+    # re-run the entire SSJoin candidate pipeline from the raw text
+    edges = (
+        pairs.unionByName(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .withColumnsRenamed({"doc_a": "node", "doc_b": "peer"})
+        .localCheckpoint()
+    )
 
     labels = nodes.withColumn("label", F.col("node")).localCheckpoint()
     for _ in range(max_iters):
@@ -305,7 +310,10 @@ def near_dup_groups(documents: DataFrame, threshold: float = 0.9, max_iters: int
             labels.select(F.col("node").alias("jn"), F.col("label").alias("jlabel")),
             F.col("l.label") == F.col("jn"),
         ).select(F.col("l.node").alias("node"), F.col("jlabel").alias("plabel"))
-        new_labels = (
+        # carry the previous label through the checkpoint so convergence
+        # is a cheap filter-count on the materialized frame, not another
+        # full old-vs-new equi-join per round
+        stepped = (
             labels.join(neighbor_min, labels.node == F.col("n"), "left")
             .join(jumped.withColumnsRenamed({"node": "jnode"}), labels.node == F.col("jnode"), "left")
             .select(
@@ -314,17 +322,13 @@ def near_dup_groups(documents: DataFrame, threshold: float = 0.9, max_iters: int
                     F.col("label"),
                     F.coalesce(F.col("nmin"), F.col("label")),
                     F.coalesce(F.col("plabel"), F.col("label")),
-                ).alias("label"),
+                ).alias("new_label"),
+                F.col("label").alias("old_label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), F.col("a.node") == F.col("b.node"))
-            .where(F.col("a.label") != F.col("b.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where(F.col("new_label") != F.col("old_label")).count()
+        labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
