@@ -141,6 +141,76 @@ def _ab_fused(spark, docs, media_df) -> dict | None:
     }
 
 
+# Round-4 verdict item #2: pdf_scanned_ocr showed 13.7s(r3) -> 18.4s(r4)
+# in the driver record while BENCH.md's own same-round snapshots read
+# 11.8s and 14.9s — i.e. the spread WITHIN a round exceeded the delta
+# BETWEEN rounds. The only scanned-branch code change since the r3
+# record is decode_pdf_texts (PDF filter decoders, pure Python, no
+# Spark plan change), so the honest attribution is a driver-side
+# interleaved A/B of exactly that function on the same blobs, plus its
+# single-thread share of the corpus — if that share is milliseconds,
+# the query-level delta is window noise by elimination.
+SCANNED_AB_REV = os.environ.get("SPARK_GRAFT_SCANNED_AB_REV", "1e4badd")
+
+
+def _ab_scanned_decode() -> dict | None:
+    """Interleaved same-window A/B of pre-filter-decoder vs current
+    decode_pdf_texts over the full SF corpus (driver-side, no Spark)."""
+    import importlib.util
+    import subprocess
+
+    import duckdb as _duck
+
+    from onnxtr_spark.corpus import WORDS_PER_PAGE
+    from onnxtr_spark.sources import pdf as new
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        src = subprocess.run(
+            ["git", "show", f"{SCANNED_AB_REV}:onnxtr_spark/sources/pdf.py"],
+            capture_output=True, text=True, cwd=repo, check=True,
+        ).stdout
+    except Exception as e:  # no git history: skip
+        return {"error": f"old decoder unavailable: {e}"}
+    cache = os.path.join(repo, ".cache")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"pdf_{SCANNED_AB_REV}.py")
+    with open(path, "w") as f:
+        f.write(src)
+    spec = importlib.util.spec_from_file_location(f"pdf_{SCANNED_AB_REV}", path)
+    old = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(old)
+
+    docs = _duck.sql(f"SELECT text FROM '{SF_DIR}/documents.parquet'").fetchall()
+    blobs = []
+    for (text,) in docs:
+        words = [w for w in text.split() if w]
+        chunks = [
+            " ".join(words[i : i + WORDS_PER_PAGE]) for i in range(0, len(words), WORDS_PER_PAGE)
+        ] or [""]
+        blobs.append(new.encode_pdf(chunks))
+    for b in blobs[:50]:  # decode-equality guard before timing
+        if old.decode_pdf_texts(b) != new.decode_pdf_texts(b):
+            return {"error": "old/new decoders disagree — A/B void"}
+    samples: dict[str, list[float]] = {"old": [], "new": []}
+    for _ in range(3):
+        for name, mod in (("old", old), ("new", new)):
+            t0 = time.time()
+            for b in blobs:
+                mod.decode_pdf_texts(b)
+            samples[name].append(round(time.time() - t0, 3))
+    mins = {k: min(v) for k, v in samples.items()}
+    return {
+        "rev_old": SCANNED_AB_REV,
+        "corpus_pdfs": len(blobs),
+        "samples_sec": samples,
+        "min_sec": mins,
+        "new_over_old": round(mins["new"] / mins["old"], 3),
+        "added_sec_single_thread": round(mins["new"] - mins["old"], 3),
+        "protocol": "interleaved same-window, decode-only, full corpus, min-of-3",
+    }
+
+
 def _count_pages(spark) -> int:
     from pyspark.sql import functions as F
 
@@ -225,6 +295,9 @@ def headline() -> None:
             "pages_per_sec_float_contract": round(pages / extract_float_sec, 2),
             "model_iters": MODEL_ITERS,
             "ab_fused_r2_vs_cur": ab,
+            "ab_scanned_decode": _ab_scanned_decode()
+            if os.environ.get("SPARK_GRAFT_AB", "1") != "0"
+            else None,
         })
     )
     spark.stop()
