@@ -67,6 +67,26 @@ FROM w, UNNEST(generate_series(1, len(w.words))) AS u(i)
 """
 
 
+def _ocr_spans_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 attention-family recognition end-to-end through the zoo
+    factory: ``reco_arch="stub_vitstr"`` resolves an engine whose
+    DecodeContract routes the fused stage onto the positional
+    <eos>-split decoder (reference ViTSTRPostProcessor,
+    models/recognition/models/vitstr.py:81-109) instead of CTC
+    best-path. The oracle is the SAME span SQL — recognized text and
+    order are invariant under the recognition family, so a green row
+    proves the attention path end-to-end."""
+    from onnxtr_spark.zoo import ocr_predictor
+
+    documents = load_documents(spark, sf_dir)
+    out = ocr_predictor(reco_arch="stub_vitstr")(
+        docs_from_documents(documents), media_from_documents(documents)
+    )
+    return out.select(
+        "doc_id", F.col("offset").cast("long").alias("offset"), "kind", "text", "media_ref"
+    )
+
+
 def _ocr_spans_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rotated-word pipeline (assume_straight_pages=False): pages skewed
     6-10° in-plane, detection emits (N,4,2) polygons
@@ -383,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_render_ocr": _html_render_ocr,
         "multisource_read": _multisource_read,
         "ocr_extract_spans": _ocr_spans,
+        "ocr_extract_spans_attention": _ocr_spans_attention,
         "ocr_extract_spans_rotated": _ocr_spans_rotated,
         "ocr_extract_spans_straightened": _ocr_spans_straightened,
         "dedup_groups": lambda s, d: dedup.near_dup_groups(_documents(s, d)),
@@ -394,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "ocr_extract_spans": OCR_SPANS_SQL,
+        "ocr_extract_spans_attention": OCR_SPANS_SQL,
         "ocr_extract_spans_rotated": OCR_SPANS_SQL,
         "ocr_extract_spans_straightened": OCR_SPANS_SQL,
         "ocr_render_text": OCR_RENDERED_SQL,

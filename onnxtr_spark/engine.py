@@ -184,8 +184,43 @@ class OrientationEngine:
         return out
 
 
+@dataclass(frozen=True)
+class DecodeContract:
+    """How a recognition model's logits decode to (word, conf) — the
+    property that distinguishes the reference's two recognition
+    families (each model class binds its own postprocessor):
+
+    - CTC (CRNN, crnn.py:55-101): per-TIMESTEP logits, C = vocab+1
+      (blank last), collapse repeats then drop blanks, conf = min of
+      the per-step top prob.
+    - attention (ViTSTR/PARSeq/SAR/MASTER): per-POSITION logits,
+      C = vocab + n_special specials in embedding order (<eos>,
+      <sos>, <pad>), word ends at <eos>; conf = mean over the word
+      prefix (ViTSTR vitstr.py:95-109, PARSeq) or min over all
+      positions (SAR sar.py:87-99, MASTER).
+
+    Engines expose ``decode_contract``; the recognize stages dispatch
+    the matching kernel (kernels/ctc.py) from it, so swapping
+    ``reco_arch`` swaps the decoder with no stage change."""
+
+    kind: str = "ctc"  # "ctc" | "attention"
+    n_special: int = 1  # classes beyond the vocab (eos[/sos[/pad]])
+    conf: str = "min"  # "mean" | "min"
+
+
+CTC_CONTRACT = DecodeContract()
+ATTENTION_CONTRACTS = {
+    "vitstr": DecodeContract(kind="attention", n_special=2, conf="mean"),
+    "parseq": DecodeContract(kind="attention", n_special=3, conf="mean"),
+    "sar": DecodeContract(kind="attention", n_special=1, conf="min"),
+    "master": DecodeContract(kind="attention", n_special=3, conf="min"),
+}
+
+
 class RecognitionEngine:
     """Stub recognition model: crop batch → per-timestep logits."""
+
+    decode_contract = CTC_CONTRACT
 
     def __init__(self, vocab: str = DEFAULT_VOCAB):
         self.vocab = vocab
@@ -198,6 +233,53 @@ class RecognitionEngine:
         for i in range(batch.shape[0]):
             classes = imaging.columns_to_classes(batch[i], self.vocab)
             logits[i] = imaging.classes_to_logits(classes, n_classes)
+        return logits
+
+
+class AttentionRecognitionEngine:
+    """Stub attention-family recognition model (I4 + C2): crop batch →
+    (B, L, C) POSITIONAL logits, C = len(vocab) + n_special with <eos>
+    at index len(vocab) — the output contract of the reference's
+    ViTSTR/PARSeq/SAR/MASTER ONNX graphs (e.g. vitstr.py:66-78 run →
+    postprocessor over positional argmax).
+
+    The stub reads the same glyph encoding as the CTC stub (darkest
+    pixel per column), collapses it to the character sequence, and
+    emits one confident class per POSITION: char classes 0..len-1,
+    then <eos> at every remaining position (a real model emits eos
+    then arbitrary logits; confident eos keeps SAR's min-over-all-
+    positions reduction deterministic). L is dynamic per batch
+    (longest word + 1) — a real ONNX session has a fixed max_length
+    axis instead; the decode kernel is length-agnostic."""
+
+    def __init__(self, cfg: EngineConfig, vocab: str = DEFAULT_VOCAB, family: str = "vitstr"):
+        self.cfg = cfg
+        self.vocab = vocab
+        self.decode_contract = ATTENTION_CONTRACTS[family]
+
+    def run(self, batch: np.ndarray) -> np.ndarray:
+        if batch.ndim != 4 or batch.shape[-1] not in (1, 3):
+            raise ValueError(f"expected B×H×W×C (C=1|3), got {batch.shape}")
+        blank = len(self.vocab)
+        seqs = []
+        for i in range(batch.shape[0]):
+            cls = imaging.columns_to_classes(batch[i], self.vocab)
+            if cls.size:
+                keep = np.ones(cls.size, dtype=bool)
+                keep[1:] = cls[1:] != cls[:-1]
+                seq = cls[keep]
+                seq = seq[seq != blank]
+            else:
+                seq = cls
+            seqs.append(seq)
+        n_classes = len(self.vocab) + self.decode_contract.n_special
+        eos = len(self.vocab)
+        length = max((len(s) for s in seqs), default=0) + 1
+        logits = np.zeros((batch.shape[0], length, n_classes), dtype=np.float32)
+        peak = np.float32(12.0)
+        for i, seq in enumerate(seqs):
+            logits[i, np.arange(len(seq)), seq] = peak
+            logits[i, len(seq):, eos] = peak
         return logits
 
 
@@ -306,6 +388,11 @@ register_model("stub_fast_float", FloatDetectionEngine)
 register_model("stub_crnn", lambda cfg, vocab=DEFAULT_VOCAB: RecognitionEngine(vocab))
 register_model("stub_crnn_float", lambda cfg, vocab=DEFAULT_VOCAB: FloatRecognitionEngine(cfg, vocab))
 register_model("stub_mobilenet_orient", lambda cfg: OrientationEngine())
+for _family in ("vitstr", "parseq", "sar", "master"):
+    register_model(
+        f"stub_{_family}",
+        lambda cfg, vocab=DEFAULT_VOCAB, _f=_family: AttentionRecognitionEngine(cfg, vocab, _f),
+    )
 register_model("stub_yolo_artefact", lambda cfg: ArtefactEngine())
 
 DEFAULT_ENGINE = EngineConfig()

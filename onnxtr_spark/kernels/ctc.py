@@ -31,30 +31,42 @@ def decode_sequence(sequence: list[int], vocab: str) -> str:
 
 
 def attention_decode(
-    logits: np.ndarray, vocab: str, conf_reduction: str = "mean"
+    logits: np.ndarray, vocab: str, conf_reduction: str = "mean", n_special: int = 2
 ) -> list[tuple[str, float]]:
-    """Attention-style positional decode (C2): argmax per position,
-    truncate at <eos> (index len(vocab)).
+    """Attention-family positional decode (C2): argmax per position,
+    word = everything before the first <eos>.
 
-    Mirrors the reference's ViTSTR/PARSeq postprocessors
-    (models/recognition/models/vitstr.py:95-109, parseq.py:86-100):
-    confidence = mean of per-char top probability over the decoded
-    length (+eos); SAR/MASTER use min instead (sar.py:87-99) —
-    selectable via ``conf_reduction``.
-    """
-    eos = len(vocab)
-    m = logits.max(axis=-1, keepdims=True)
-    s = np.exp(logits - m).sum(axis=-1)
-    probs = 1.0 / s  # per-step top softmax prob (see ctc_best_path note)
+    Exact mirror of the reference's four attention postprocessors —
+    the class axis is vocab + specials in embedding order
+    (<eos> at index len(vocab), then <sos>, then <pad>):
+
+    - ViTSTR (vitstr.py:81-109): n_special=2, conf = mean of the
+      per-position top softmax prob over the first len(word)
+      positions, clipped, 0.0 for an empty word;
+    - PARSeq (parseq.py:77-101): n_special=3, same mean formula;
+    - SAR (sar.py:79-99): n_special=1, conf = min of the top prob
+      over ALL positions (including past <eos>), clipped;
+    - MASTER (master.py:83-110): n_special=3, same min formula.
+
+    A special token before the first <eos> joins into the word as its
+    literal "<sos>"/"<pad>" text — the reference's string-join-then-
+    split does exactly that, and len(word) (the STRING length) is what
+    the mean prefix runs over."""
+    specials = ["<eos>", "<sos>", "<pad>"][: max(1, n_special)]
+    emb = list(vocab) + specials
     best = np.argmax(logits, axis=-1)
+    # per-position top softmax prob without the full softmax (see
+    # ctc_best_path note): max(softmax(l)) = 1 / sum(exp(l - max))
+    m = logits.max(axis=-1, keepdims=True)
+    probs = 1.0 / np.exp(logits - m).sum(axis=-1)
 
     out = []
-    reduce = np.mean if conf_reduction == "mean" else np.min
     for seq, p in zip(best, probs):
-        stops = np.flatnonzero(seq == eos)
-        end = int(stops[0]) if stops.size else len(seq)
-        word = decode_sequence(seq[:end].tolist(), vocab)
-        conf = float(reduce(p[: end + 1])) if end + 1 <= len(p) else float(reduce(p))
+        word = "".join(emb[int(i)] for i in seq).split("<eos>")[0]
+        if conf_reduction == "mean":
+            conf = float(p[: len(word)].clip(0, 1).mean()) if word else 0.0
+        else:
+            conf = float(np.clip(p.min(), 0, 1))
         out.append((word, conf))
     return out
 

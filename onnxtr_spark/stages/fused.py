@@ -29,7 +29,7 @@ from onnxtr_spark.engine import get_detection_engine, get_orientation_engine, ge
 from onnxtr_spark.kernels import detect_post, preprocess, rotated_post, split_merge
 from onnxtr_spark.kernels.straighten import estimate_orientation
 from onnxtr_spark.kernels.builder import word_order, word_order_blocks
-from onnxtr_spark.kernels.ctc import ctc_best_path
+from onnxtr_spark.kernels.ctc import attention_decode, ctc_best_path
 from onnxtr_spark.kernels.geometry import extract_crops, resize_preserve, resize_unpadded
 from onnxtr_spark.kernels.rotated import (
     extract_rcrops_nearest,
@@ -88,6 +88,13 @@ def detect_recognize_pages(
         det = get_detection_engine(det_cfg.engine)
         reco = get_recognition_engine(reco_cfg.vocab, reco_cfg.engine)
         n_classes_vocab = reco_cfg.vocab
+        # C1 vs C2: the decoder follows the model family, not the stage
+        # (reference binds a postprocessor per model class — engine.py
+        # DecodeContract). CTC engines predate the contract attribute,
+        # hence the default.
+        from onnxtr_spark.engine import CTC_CONTRACT
+
+        contract = getattr(reco, "decode_contract", CTC_CONTRACT)
         t_part = perf_counter()
         m_pages = m_boxes = m_words = 0
         m_decode_s = 0.0
@@ -277,7 +284,12 @@ def detect_recognize_pages(
                     logits = reco.run(x)
                 else:
                     logits = reco.run(batch)
-                preds.extend(ctc_best_path(logits, n_classes_vocab))
+                if contract.kind == "attention":
+                    preds.extend(
+                        attention_decode(logits, n_classes_vocab, contract.conf, contract.n_special)
+                    )
+                else:
+                    preds.extend(ctc_best_path(logits, n_classes_vocab))
 
             out_rows: list[tuple] = []
             for meta in page_meta:

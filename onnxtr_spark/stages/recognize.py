@@ -110,12 +110,21 @@ def recognize_pages(detected: DataFrame, cfg: RecognizeConfig = RecognizeConfig(
                     for s in splits
                 )
 
-            # I4: batched model forward + C1 CTC decode over all splits.
+            # I4: batched model forward + decode over all splits; the
+            # decoder (C1 CTC vs C2 attention) follows the engine's
+            # DecodeContract, same dispatch as the fused stage.
+            from onnxtr_spark.engine import CTC_CONTRACT
+            from onnxtr_spark.kernels.ctc import attention_decode
+
+            contract = getattr(engine, "decode_contract", CTC_CONTRACT)
             preds: list[tuple[str, float]] = []
             for start in range(0, len(flat_splits), cfg.batch_size):
                 batch = np.stack(flat_splits[start : start + cfg.batch_size])
                 logits = engine.run(batch)
-                preds.extend(ctc_best_path(logits, cfg.vocab))
+                if contract.kind == "attention":
+                    preds.extend(attention_decode(logits, cfg.vocab, contract.conf, contract.n_special))
+                else:
+                    preds.extend(ctc_best_path(logits, cfg.vocab))
 
             out_rows: list[dict] = []
             for meta in page_meta:

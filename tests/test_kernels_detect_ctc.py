@@ -162,3 +162,78 @@ def test_attention_decode():
     assert attention_decode(logits, vocab)[0][0] == "cba"
     # min-reduction variant (SAR/MASTER semantics)
     assert attention_decode(logits, vocab, conf_reduction="min")[0][1] <= attention_decode(logits, vocab)[0][1]
+
+
+def test_attention_decode_reference_conf_semantics():
+    """Confidence mirrors the reference postprocessors exactly:
+    ViTSTR/PARSeq mean over the first len(word) positions (0.0 when
+    empty, vitstr.py:103-107); SAR/MASTER min over ALL positions
+    including past <eos> (sar.py:91-93)."""
+    import numpy as np
+    from onnxtr_spark.kernels.ctc import attention_decode, softmax
+
+    vocab = "abc"
+    eos = len(vocab)
+    # ViTSTR shape: C = len(vocab) + 2 (<eos>, <sos>); uneven peaks so
+    # mean-prefix vs min-all genuinely differ
+    classes = [0, 1, eos, 2]
+    logits = np.zeros((1, 4, 5), dtype=np.float32)
+    for t, c in enumerate(classes):
+        logits[0, t, c] = 5.0 + t  # increasing peak: position 0 is the least confident
+    p = softmax(logits, axis=-1).max(-1)[0]
+    word, conf = attention_decode(logits, vocab, "mean", n_special=2)[0]
+    assert word == "ab"
+    assert conf == pytest.approx(float(p[:2].mean()))  # len(word)=2 prefix, NOT incl. eos
+    # SAR: min over all 4 positions, even past <eos>
+    word, conf = attention_decode(logits, vocab, "min", n_special=1)[0]
+    assert word == "ab"
+    assert conf == pytest.approx(float(p.min()))
+    # empty word -> 0.0 under the mean family
+    logits = np.zeros((1, 3, 5), dtype=np.float32)
+    logits[0, :, eos] = 9.0
+    assert attention_decode(logits, vocab, "mean", n_special=2)[0] == ("", 0.0)
+
+
+def test_attention_engine_end_to_end_contract():
+    """stub_vitstr emits positional logits whose decode equals the CTC
+    stub's text on the same crop batch (the family swap changes the
+    decoder, not the recognized text)."""
+    import numpy as np
+    from onnxtr_spark.engine import (
+        ATTENTION_CONTRACTS,
+        EngineConfig,
+        get_recognition_engine,
+    )
+    from onnxtr_spark import imaging
+    from onnxtr_spark.kernels.ctc import attention_decode, ctc_best_path
+    from onnxtr_spark.kernels.geometry import resize_unpadded
+    from onnxtr_spark.vocabs import DEFAULT_VOCAB
+
+    def word_crop(w):
+        if not w:
+            return np.full((32, 16, 3), 255, dtype=np.uint8)
+        page = imaging.render_page([[w]], jitter=False)
+        ys, xs = np.nonzero(page[:, :, 0] != 255)
+        # tight glyph crop, like the pipeline's detect-stage boxes —
+        # resizing the full margined page would downscale away the
+        # inter-glyph gap columns and merge repeated characters
+        return page[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+
+    words = ["hello", "spark", "a", ""]
+    crops = [resize_unpadded(word_crop(w), 32, 128) for w in words]
+    wmax = max(c.shape[1] for c in crops)
+    batch = np.full((len(crops), 32, wmax, crops[0].shape[2]), 255, dtype=np.uint8)
+    for i, c in enumerate(crops):
+        batch[i, : c.shape[0], : c.shape[1]] = c
+
+    ctc = get_recognition_engine(DEFAULT_VOCAB, EngineConfig(arch="stub_crnn"))
+    ctc_words = [w for w, _ in ctc_best_path(ctc.run(batch), DEFAULT_VOCAB)]
+    for family, contract in ATTENTION_CONTRACTS.items():
+        eng = get_recognition_engine(DEFAULT_VOCAB, EngineConfig(arch=f"stub_{family}"))
+        assert eng.decode_contract == contract
+        logits = eng.run(batch)
+        assert logits.shape[2] == len(DEFAULT_VOCAB) + contract.n_special
+        att_words = [
+            w for w, _ in attention_decode(logits, DEFAULT_VOCAB, contract.conf, contract.n_special)
+        ]
+        assert att_words == ctc_words == words

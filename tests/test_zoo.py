@@ -66,6 +66,23 @@ def test_default_predictor_matches_extract_spans(spark, corpus):
     )
 
 
+def test_attention_reco_arch_matches_ctc_spans(spark, corpus):
+    """reco_arch='stub_vitstr' routes the fused stage through the C2
+    attention decoder (engine DecodeContract dispatch) and yields the
+    same span relation as the default CTC family — swapping the
+    recognition family is a pure config change end-to-end."""
+    docs, media = corpus
+    want = ocr_predictor()(docs, media).toPandas()
+    for family in ("stub_vitstr", "stub_sar"):
+        out = ocr_predictor(reco_arch=family)(docs, media).toPandas()
+        got = out.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+        ref = want.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+        assert (
+            got[["doc_id", "offset", "kind", "text", "media_ref"]].astype(str).values.tolist()
+            == ref[["doc_id", "offset", "kind", "text", "media_ref"]].astype(str).values.tolist()
+        )
+
+
 def test_detect_language_and_orientation_columns(spark, corpus):
     docs, media = corpus
     p = ocr_predictor(detect_language=True, detect_orientation=True)
