@@ -87,6 +87,24 @@ def _ocr_spans_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ocr_spans_db(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arch detection defaults end-to-end: ``det_arch=
+    "stub_db_float"`` resolves DBNet's thresholds (bin 0.3, reference
+    differentiable_binarization.py:59-60 — vs FAST's 0.1) through the
+    float-contract detection path, where the stub emits the near-binary
+    probability maps a trained DBNet produces. Same span oracle: a
+    green row proves the db-thresholded pipeline is span-equal."""
+    from onnxtr_spark.zoo import ocr_predictor
+
+    documents = load_documents(spark, sf_dir)
+    out = ocr_predictor(det_arch="stub_db_float")(
+        docs_from_documents(documents), media_from_documents(documents)
+    )
+    return out.select(
+        "doc_id", F.col("offset").cast("long").alias("offset"), "kind", "text", "media_ref"
+    )
+
+
 def _ocr_spans_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rotated-word pipeline (assume_straight_pages=False): pages skewed
     6-10° in-plane, detection emits (N,4,2) polygons
@@ -404,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multisource_read": _multisource_read,
         "ocr_extract_spans": _ocr_spans,
         "ocr_extract_spans_attention": _ocr_spans_attention,
+        "ocr_extract_spans_db": _ocr_spans_db,
         "ocr_extract_spans_rotated": _ocr_spans_rotated,
         "ocr_extract_spans_straightened": _ocr_spans_straightened,
         "dedup_groups": lambda s, d: dedup.near_dup_groups(_documents(s, d)),
@@ -416,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ocr_extract_spans": OCR_SPANS_SQL,
         "ocr_extract_spans_attention": OCR_SPANS_SQL,
+        "ocr_extract_spans_db": OCR_SPANS_SQL,
         "ocr_extract_spans_rotated": OCR_SPANS_SQL,
         "ocr_extract_spans_straightened": OCR_SPANS_SQL,
         "ocr_render_text": OCR_RENDERED_SQL,

@@ -355,6 +355,22 @@ class FloatDetectionEngine:
         return (np.float32(255.0) - px[..., 0]) / np.float32(255.0)
 
 
+class DbFloatDetectionEngine(FloatDetectionEngine):
+    """DBNet-shaped float-contract detection stub: near-BINARY
+    probability maps (a trained DBNet's differentiable binarization
+    saturates probs toward 0/1 — that is why its default bin_thresh is
+    0.3, differentiable_binarization.py:59, vs FAST's 0.1). Any
+    non-background pixel maps to 0.875, background to 0.0, so the 0.3
+    binarization keeps exactly the glyph components while the parent's
+    affine map would lose glyph classes whose pixel intensity sits
+    above the folded 0.3 threshold — i.e. this stub genuinely
+    exercises the per-arch threshold table end-to-end."""
+
+    def run(self, batch: np.ndarray) -> np.ndarray:
+        raw = super().run(batch)  # affine (255-px)/255 map
+        return np.where(raw >= np.float32(0.02), np.float32(0.875), np.float32(0.0))
+
+
 class FloatRecognitionEngine:
     """Recognition stub with a real CRNN's input contract: float32,
     normalized, optionally channels-first. Denormalizes back to the
@@ -385,6 +401,7 @@ class FloatRecognitionEngine:
 
 register_model("stub_fast", lambda cfg: DetectionEngine())
 register_model("stub_fast_float", FloatDetectionEngine)
+register_model("stub_db_float", DbFloatDetectionEngine)
 register_model("stub_crnn", lambda cfg, vocab=DEFAULT_VOCAB: RecognitionEngine(vocab))
 register_model("stub_crnn_float", lambda cfg, vocab=DEFAULT_VOCAB: FloatRecognitionEngine(cfg, vocab))
 register_model("stub_mobilenet_orient", lambda cfg: OrientationEngine())

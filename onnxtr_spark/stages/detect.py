@@ -41,6 +41,29 @@ DETECT_SCHEMA = (
 )
 
 
+# Per-architecture postprocess defaults, the reference's default_cfgs
+# pattern: DBNet binarizes at 0.3 (models/detection/models/
+# differentiable_binarization.py:59-60) while FAST and LinkNet use 0.1
+# (fast.py:57-58, linknet.py:59-60); box_thresh is 0.1 and unclip 1.5
+# (postprocessor/base.py:36) across the family. Keyed by family prefix
+# so every variant ("db_resnet50", "db_mobilenet_v3_large", ...) and
+# the stub archs ("stub_db_float") resolve without enumeration.
+DET_DEFAULT_CFGS: dict[str, tuple[float, float, float]] = {
+    "db": (0.3, 0.1, 1.5),
+    "fast": (0.1, 0.1, 1.5),
+    "linknet": (0.1, 0.1, 1.5),
+}
+
+
+def det_thresholds_for(arch: str) -> tuple[float, float, float]:
+    """(bin_thresh, box_thresh, unclip_ratio) for a detection arch."""
+    family = arch.removeprefix("stub_")
+    for prefix, t in DET_DEFAULT_CFGS.items():
+        if family.startswith(prefix):
+            return t
+    return (detect_post.BIN_THRESH, detect_post.BOX_THRESH, detect_post.UNCLIP_RATIO)
+
+
 @dataclass(frozen=True)
 class DetectConfig:
     map_size: int = 512  # detection model input (reference uses 1024, models/zoo.py:22)

@@ -60,6 +60,11 @@ def _engine_of(arch, default_arch: str) -> EngineConfig:
     if isinstance(arch, EngineConfig):
         return arch
     if isinstance(arch, str):
+        # *_float stubs implement a real CNN's tensor contract; the
+        # stage must run P1-P4 + a true forward for them instead of the
+        # folded uint8 fast path
+        if arch.endswith("_float"):
+            return EngineConfig(arch=arch, input_contract="float_bhwc")
         return EngineConfig(arch=arch)
     engine = getattr(arch, "engine", None)  # hub.HubModel
     if isinstance(engine, EngineConfig):
@@ -186,7 +191,16 @@ def ocr_predictor(
     reco_engine = reco_engine_cfg or _engine_of(reco_arch, "stub_crnn")
     if isinstance(reco_arch, object) and hasattr(reco_arch, "param"):
         vocab = reco_arch.param("vocab", vocab)  # hub models carry their vocab
+    # per-arch postprocess thresholds (the reference's default_cfgs):
+    # db_* binarizes at 0.3, fast_*/linknet_* at 0.1 — previously every
+    # arch string silently ran the FAST thresholds
+    from onnxtr_spark.stages.detect import det_thresholds_for
+
+    bin_thresh, box_thresh, unclip_ratio = det_thresholds_for(det_engine.arch)
     det_cfg = DetectConfig(
+        bin_thresh=bin_thresh,
+        box_thresh=box_thresh,
+        unclip_ratio=unclip_ratio,
         assume_straight_pages=assume_straight_pages,
         straighten_pages=straighten_pages,
         disable_crop_orientation=disable_crop_orientation,

@@ -83,6 +83,39 @@ def test_attention_reco_arch_matches_ctc_spans(spark, corpus):
         )
 
 
+def test_per_arch_detection_defaults():
+    """The reference's default_cfgs thresholds follow the arch: DBNet
+    binarizes at 0.3 (differentiable_binarization.py:59-60), FAST and
+    LinkNet at 0.1 (fast.py:57-58, linknet.py:59-60) — an arch string
+    must carry its own thresholds, not the global FAST ones."""
+    assert ocr_predictor(det_arch="db_resnet50").det_cfg.bin_thresh == 0.3
+    assert ocr_predictor(det_arch="db_mobilenet_v3_large").det_cfg.bin_thresh == 0.3
+    assert ocr_predictor(det_arch="fast_base").det_cfg.bin_thresh == 0.1
+    assert ocr_predictor(det_arch="linknet_resnet18").det_cfg.bin_thresh == 0.1
+    assert ocr_predictor().det_cfg.bin_thresh == 0.1  # default arch = stub FAST
+    for p in (ocr_predictor(det_arch="db_resnet50"), ocr_predictor(det_arch="fast_base")):
+        assert p.det_cfg.box_thresh == 0.1
+        assert p.det_cfg.unclip_ratio == 1.5
+
+
+def test_db_arch_spans_match_fast(spark, corpus):
+    """End-to-end with the DBNet-shaped stub: near-binary prob maps +
+    the 0.3 bin threshold through the float det path reproduce the
+    default FAST-stub span relation."""
+    docs, media = corpus
+    p = ocr_predictor(det_arch="stub_db_float")
+    assert p.det_cfg.bin_thresh == 0.3
+    assert p.det_cfg.engine.input_contract == "float_bhwc"
+    out = p(docs, media).toPandas()
+    want = golden_flat()
+    got = out.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    want = want.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    assert (
+        got[["doc_id", "offset", "kind", "text", "media_ref"]].astype(str).values.tolist()
+        == want.astype(str).values.tolist()
+    )
+
+
 def test_detect_language_and_orientation_columns(spark, corpus):
     docs, media = corpus
     p = ocr_predictor(detect_language=True, detect_orientation=True)
