@@ -69,6 +69,19 @@ def resize_preserve(
     return out
 
 
+def resize_stretch(img: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
+    """Anisotropic resize to exactly (target_h, target_w): the
+    reference's ``Resize(preserve_aspect_ratio=False)`` branch
+    (transforms/base.py:41-50 — a plain cv2.resize to output_size).
+    Nearest-neighbor gather like the other resize kernels; relative
+    box coordinates on the stretched map equal page-relative
+    coordinates directly, so no padding removal applies."""
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(target_h) * (h / target_h)).astype(np.int64), h - 1)
+    xs = np.minimum((np.arange(target_w) * (w / target_w)).astype(np.int64), w - 1)
+    return img[np.ix_(ys, xs)]
+
+
 def resize_unpadded(img: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
     """Aspect-preserving resize WITHOUT padding: content only, shape
     (new_h, new_w, ...) with new_h <= target_h, new_w <= target_w.

@@ -77,6 +77,7 @@ def preprocess_samples(
     symmetric_pad: bool = True,
     output_format: str = "BHWC",
     pad_value: int = 0,
+    preserve_aspect_ratio: bool = True,
 ) -> list[np.ndarray]:
     """The PreProcessor.__call__ list branch (preprocessor/base.py:
     61-113): per sample HWC translate -> P1 resize+pad -> P3 cast/255;
@@ -86,10 +87,19 @@ def preprocess_samples(
     # real model is trained with that. The stub models interpret pixel
     # value directly (dark = text), so the stub stages pass
     # pad_value=255 (white) for bit-equivalence with the uint8 path.
-    resized = [
-        cast_scale(resize_preserve(shape_translate(s, "HWC"), out_h, out_w, symmetric_pad, pad_value))
-        for s in samples
-    ]
+    if preserve_aspect_ratio:
+        resized = [
+            cast_scale(resize_preserve(shape_translate(s, "HWC"), out_h, out_w, symmetric_pad, pad_value))
+            for s in samples
+        ]
+    else:
+        from onnxtr_spark.kernels.geometry import resize_stretch
+
+        # Resize(preserve_aspect_ratio=False): anisotropic stretch, no
+        # padding at all (transforms/base.py:41-50)
+        resized = [
+            cast_scale(resize_stretch(shape_translate(s, "HWC"), out_h, out_w)) for s in samples
+        ]
     batches = [normalize(b, mean, std) for b in batch_inputs(resized, batch_size)]
     if output_format != "BHWC":
         batches = [shape_translate(b, output_format) for b in batches]

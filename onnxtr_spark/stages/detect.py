@@ -70,6 +70,13 @@ class DetectConfig:
     bin_thresh: float = detect_post.BIN_THRESH
     box_thresh: float = detect_post.BOX_THRESH
     unclip_ratio: float = detect_post.UNCLIP_RATIO
+    # The reference Resize contract (transforms/base.py:41-86): keep
+    # aspect ratio and pad (symmetrically or bottom/right), or stretch
+    # anisotropically; remove_padding inverts the pad on the emitted
+    # relative boxes (_utils/base.py:12-62). All four combinations are
+    # span-equivalent on the same pages — only the map geometry differs.
+    preserve_aspect_ratio: bool = True
+    symmetric_pad: bool = True
     batch_size: int = 2  # reference det batch size (models/zoo.py:22)
     # loc_preds hooks (reference OCRPredictor.add_hook,
     # models/predictor/base.py:77,204-210, applied predictor.py:112-113):
@@ -133,10 +140,19 @@ def detect_pages(pages: DataFrame, cfg: DetectConfig = DetectConfig()) -> DataFr
                         map_size, map_size, batch_size,
                         mean=cfg.engine.mean, std=cfg.engine.std, output_format=fmt,
                         pad_value=255,
+                        symmetric_pad=cfg.symmetric_pad,
+                        preserve_aspect_ratio=cfg.preserve_aspect_ratio,
                     )[0]
-                else:
+                elif cfg.preserve_aspect_ratio:
                     batch = np.stack([
-                        resize_preserve(imaging.decode_image(b), map_size, map_size, True, 255)
+                        resize_preserve(imaging.decode_image(b), map_size, map_size, cfg.symmetric_pad, 255)
+                        for b in pngs[start : start + batch_size]
+                    ])
+                else:
+                    from onnxtr_spark.kernels.geometry import resize_stretch
+
+                    batch = np.stack([
+                        resize_stretch(imaging.decode_image(b), map_size, map_size)
                         for b in pngs[start : start + batch_size]
                     ])
                 prob_maps = engine.run(batch)  # B×H×W float32 in [0,1]
@@ -146,7 +162,8 @@ def detect_pages(pages: DataFrame, cfg: DetectConfig = DetectConfig()) -> DataFr
                     )
                     boxes = detect_post.remove_padding(
                         boxes, int(heights[start + i]), int(widths[start + i]),
-                        preserve_aspect_ratio=True, symmetric_pad=True,
+                        preserve_aspect_ratio=cfg.preserve_aspect_ratio,
+                        symmetric_pad=cfg.symmetric_pad,
                     )
                     for hook in cfg.hooks:
                         boxes = hook(boxes)

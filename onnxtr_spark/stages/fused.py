@@ -30,7 +30,12 @@ from onnxtr_spark.kernels import detect_post, preprocess, rotated_post, split_me
 from onnxtr_spark.kernels.straighten import estimate_orientation
 from onnxtr_spark.kernels.builder import word_order, word_order_blocks
 from onnxtr_spark.kernels.ctc import attention_decode, ctc_best_path
-from onnxtr_spark.kernels.geometry import extract_crops, resize_preserve, resize_unpadded
+from onnxtr_spark.kernels.geometry import (
+    extract_crops,
+    resize_preserve,
+    resize_stretch,
+    resize_unpadded,
+)
 from onnxtr_spark.kernels.rotated import (
     extract_rcrops_nearest,
     rectify_crops,
@@ -81,6 +86,14 @@ def detect_recognize_pages(
             )
     float_det = det_cfg.engine.input_contract.startswith("float")
     float_reco = reco_cfg.engine.input_contract.startswith("float")
+    if not det_cfg.assume_straight_pages and not (
+        det_cfg.preserve_aspect_ratio and det_cfg.symmetric_pad
+    ):
+        raise NotImplementedError(
+            "non-default resize contracts (preserve_aspect_ratio/symmetric_pad) "
+            "are implemented for the straight-page path; the rotated path's "
+            "polygon unpad (reference _utils/base.py rotated branch) is not wired"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from time import perf_counter
@@ -174,7 +187,28 @@ def detect_recognize_pages(
                 # and P8 padding removal is the identity (it stays real
                 # in the standalone stage); map passes skip the ~30% pad
                 # rows a square map carries.
-                resized = resize_unpadded(img, det_cfg.map_size, det_cfg.map_size)
+                if det_cfg.preserve_aspect_ratio and det_cfg.symmetric_pad:
+                    # default contract: content-exact isotropic map, no
+                    # pad rows at all — P8 removal is the identity (the
+                    # padded-symmetric algebra is exercised standalone,
+                    # stages/detect.py)
+                    resized = resize_unpadded(img, det_cfg.map_size, det_cfg.map_size)
+                    unpad = None
+                elif det_cfg.preserve_aspect_ratio:
+                    # asymmetric pad (bottom/right, transforms/base.py:
+                    # 72-76): boxes come back map-relative; the
+                    # asymmetric remove_padding branch rescales them to
+                    # page-relative (_utils/base.py:12-62). White pad:
+                    # the stub reads pixel value as text evidence.
+                    resized = resize_preserve(
+                        img, det_cfg.map_size, det_cfg.map_size, symmetric_pad=False, pad_value=255
+                    )
+                    unpad = "asym"
+                else:
+                    # preserve_aspect_ratio=False: anisotropic stretch;
+                    # map-relative coords ARE page-relative, no unpad
+                    resized = resize_stretch(img, det_cfg.map_size, det_cfg.map_size)
+                    unpad = None
                 if float_det:
                     # real-CNN contract: P2-P4 on the unpadded map, one
                     # forward per page (dynamic spatial dims — unpadded
@@ -200,6 +234,11 @@ def detect_recognize_pages(
                             resized[:, :, 0], det_cfg.bin_thresh, det_cfg.box_thresh, det_cfg.unclip_ratio
                         )
                     )
+                    if unpad == "asym":
+                        boxes = detect_post.remove_padding(
+                            boxes, img.shape[0], img.shape[1],
+                            preserve_aspect_ratio=True, symmetric_pad=False,
+                        )
                     for hook in det_cfg.hooks:  # loc_preds hooks (detect.py DetectConfig)
                         boxes = hook(boxes)
                     # --- crop + split (G1, P5, W1)

@@ -23,10 +23,14 @@ Flag mapping (reference → this repo):
   schema always carries the B7 enclosing straight box columns, so True
   and False coincide here (the reference's False keeps polygons in its
   nested export — our nested export is span-typed).
-- ``preserve_aspect_ratio`` / ``symmetric_pad``: accepted; the fused
-  stage's unpadded isotropic map corresponds to the default
-  (True, True) contract — other combinations only exist on the
-  standalone detect stage (kernels/detect_post.remove_padding).
+- ``preserve_aspect_ratio`` / ``symmetric_pad`` →
+  DetectConfig.preserve_aspect_ratio/symmetric_pad: all four Resize
+  contracts (reference transforms/base.py:41-86) run end-to-end on the
+  straight-page path — (True, True) as the content-exact unpadded map
+  (P8 identity), (True, False) via asymmetric pad + the asymmetric
+  remove_padding branch (_utils/base.py:12-62), (False, _) via
+  anisotropic stretch (map-relative = page-relative). The rotated
+  path's polygon unpad is not wired (loud gate).
 - ``detect_language`` → language attached from the recognized text
   (Cavnar-Trenkle trigram model, functions/text.lang_id).
   ``lang_granularity="doc"`` (default) gives one label per document;
@@ -180,11 +184,11 @@ def ocr_predictor(
     flag mapping; ``det_engine_cfg``/``reco_engine_cfg`` override the
     arch-derived engine configs wholesale (reference passes them into
     the predictors the same way)."""
-    if not (preserve_aspect_ratio and symmetric_pad):
+    if not assume_straight_pages and not (preserve_aspect_ratio and symmetric_pad):
         raise NotImplementedError(
-            "the fused pipeline implements the (preserve_aspect_ratio=True, "
-            "symmetric_pad=True) contract; other combinations exist only on "
-            "the standalone detect stage (detect_post.remove_padding)"
+            "non-default preserve_aspect_ratio/symmetric_pad are implemented "
+            "for the straight-page path; the rotated path's polygon unpad is "
+            "not wired (reference _utils/base.py rotated branch)"
         )
     _ = export_as_straight_boxes  # parity no-op: flat spans always carry B7 boxes
     det_engine = det_engine_cfg or _engine_of(det_arch, "stub_fast")
@@ -201,6 +205,8 @@ def ocr_predictor(
         bin_thresh=bin_thresh,
         box_thresh=box_thresh,
         unclip_ratio=unclip_ratio,
+        preserve_aspect_ratio=preserve_aspect_ratio,
+        symmetric_pad=symmetric_pad,
         assume_straight_pages=assume_straight_pages,
         straighten_pages=straighten_pages,
         disable_crop_orientation=disable_crop_orientation,

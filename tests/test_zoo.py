@@ -34,8 +34,14 @@ def test_flag_mapping():
     # into the predictors the same way)
     ec = EngineConfig(arch="stub_fast", intra_op_num_threads=2)
     assert ocr_predictor(det_engine_cfg=ec).det_cfg.engine is ec
+    # resize-contract flags thread through to DetectConfig; only the
+    # rotated path gates non-default combos (polygon unpad unwired)
+    p = ocr_predictor(preserve_aspect_ratio=False)
+    assert p.det_cfg.preserve_aspect_ratio is False
+    p = ocr_predictor(symmetric_pad=False)
+    assert p.det_cfg.symmetric_pad is False and p.det_cfg.preserve_aspect_ratio is True
     with pytest.raises(NotImplementedError):
-        ocr_predictor(preserve_aspect_ratio=False)
+        ocr_predictor(assume_straight_pages=False, preserve_aspect_ratio=False)
     with pytest.raises(TypeError):
         ocr_predictor(det_arch=123)
 
@@ -108,6 +114,52 @@ def test_db_arch_spans_match_fast(spark, corpus):
     assert p.det_cfg.engine.input_contract == "float_bhwc"
     out = p(docs, media).toPandas()
     want = golden_flat()
+    got = out.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    want = want.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    assert (
+        got[["doc_id", "offset", "kind", "text", "media_ref"]].astype(str).values.tolist()
+        == want.astype(str).values.tolist()
+    )
+
+
+@pytest.mark.parametrize(
+    "preserve,sym", [(True, True), (True, False), (False, True), (False, False)]
+)
+def test_resize_contract_combos_span_equal(spark, corpus, preserve, sym):
+    """All four Resize contracts (reference transforms/base.py:41-86)
+    produce the same span relation end-to-end on the straight path:
+    (True,True) content-exact unpadded map, (True,False) asymmetric pad
+    + asymmetric remove_padding, (False,_) anisotropic stretch.
+
+    The aspect-preserving combos are exact on any page. The stretch
+    combos inherit the reference's unclip-in-map-pixels semantics
+    (postprocessor/base.py:42-62 runs BEFORE coords normalize), so a
+    page upscaled y-ward by the stretch inflates the unclip distance in
+    page terms — on a 1-line page (y-scale ~3.5×) the expansion crosses
+    the inter-word gap exactly as the reference would. Equality is
+    therefore asserted on full-height pages (y-scale ≤ ~1.5×), where
+    the contract is bit-stable."""
+    import pandas as pd
+
+    from onnxtr_spark.corpus import build_corpus_pdfs, expected_spans
+
+    if preserve:
+        docs, media = corpus
+        want = golden_flat()
+    else:
+        full = [
+            ("full-0001", " ".join(f"w{i:03d}" for i in range(60))),  # 2 full pages
+            ("full-0002", "alpha beta gamma delta epsilon " * 6),  # 1 full page
+        ]
+        docs_pdf, media_pdf = build_corpus_pdfs(full)
+        docs = spark.createDataFrame(docs_pdf)
+        media = spark.createDataFrame(media_pdf)
+        want = pd.DataFrame(
+            [{"doc_id": did, **s} for did, txt in full for s in expected_spans(did, txt)]
+        )[["doc_id", "offset", "kind", "text", "media_ref"]]
+    out = ocr_predictor(preserve_aspect_ratio=preserve, symmetric_pad=sym)(
+        docs, media
+    ).toPandas()
     got = out.sort_values(["doc_id", "offset"]).reset_index(drop=True)
     want = want.sort_values(["doc_id", "offset"]).reset_index(drop=True)
     assert (
