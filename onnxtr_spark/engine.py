@@ -69,6 +69,16 @@ class EngineConfig:
     input_contract: str = "uint8_bhwc"
     mean: tuple[float, float, float] = (0.5, 0.5, 0.5)
     std: tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # Quantization surface (reference: every model ctor takes
+    # load_in_8_bit and swaps to default_cfgs' url_8_bit artifact,
+    # e.g. recognition/models/crnn.py:152-162; fp16 artifacts come from
+    # scripts/convert_to_float16.py). With stub engines these are
+    # flag-plumbing only, but a real-ORT factory reads them off the cfg
+    # it receives: load_in_8_bit selects model_path_8_bit when present,
+    # precision names the artifact's tensor dtype ("float32"|"float16").
+    load_in_8_bit: bool = False
+    model_path_8_bit: str | None = None
+    precision: str = "float32"
 
 
 # arch -> factory(cfg, **kwargs) -> session-like object. The registry is
@@ -85,18 +95,34 @@ def register_model(arch: str, factory: Callable[..., object]) -> None:
 
 
 def _resolve(kind: str, cfg: EngineConfig, **kwargs) -> object:
-    key = (kind, cfg.arch, cfg.model_path, tuple(sorted(kwargs.items())))
+    # the full (hashable) cfg keys the session cache: configs differing
+    # in quantization, providers, or threading must not share a session
+    key = (kind, cfg, tuple(sorted(kwargs.items())))
     if key not in _SESSIONS:
         if cfg.arch not in MODEL_REGISTRY and cfg.factory_module:
             import importlib
 
             importlib.import_module(cfg.factory_module)
         if cfg.arch not in MODEL_REGISTRY:
+            quant = ""
+            if cfg.load_in_8_bit or cfg.precision != "float32":
+                quant = (
+                    f" Quantization flags set (load_in_8_bit={cfg.load_in_8_bit}, "
+                    f"precision={cfg.precision!r}) apply when the registered factory "
+                    "loads the artifact (reference crnn.py:152-162 url_8_bit swap / "
+                    "scripts/convert_to_float16.py)."
+                )
             raise NotImplementedError(
                 f"arch {cfg.arch!r} is not registered; onnxruntime is absent in this "
                 "container, so a real model_path needs a registered factory that wraps "
-                "an InferenceSession (register_model)."
+                "an InferenceSession (register_model)." + quant
             )
+        if cfg.load_in_8_bit and cfg.model_path_8_bit:
+            # the reference's url_8_bit swap (crnn.py:162): the factory
+            # only ever sees the effective artifact path
+            from dataclasses import replace
+
+            cfg = replace(cfg, model_path=cfg.model_path_8_bit)
         if cfg.model_path and "://" in cfg.model_path:
             # URL artifact: fetch through the per-host cache with
             # checksum verification (reference models/engine.py:102-112

@@ -95,4 +95,52 @@ def test_resolve_feeds_factory_a_verified_local_path(tmp_path, artifact, monkeyp
         assert Path(seen["path"]).read_bytes() == b"onnx-bytes-v1"
     finally:
         eng.MODEL_REGISTRY.pop("fake_url_arch", None)
-        eng._SESSIONS.pop(("det", "fake_url_arch", url, ()), None)
+        eng._SESSIONS.pop(("det", cfg, ()), None)
+
+
+def test_quantization_flags_reach_factory_and_swap_artifact():
+    """EngineConfig.load_in_8_bit / precision are part of the session
+    contract (reference crnn.py:152-162 + scripts/convert_to_float16.py):
+    the factory sees the flags, load_in_8_bit swaps model_path to the
+    8-bit artifact (the url_8_bit pattern), and differing quantization
+    configs never share a cached session."""
+    from onnxtr_spark import engine as eng
+
+    seen = []
+
+    def factory(cfg):
+        seen.append(cfg)
+        return object()
+
+    eng.register_model("fake_quant_arch", factory)
+    try:
+        base = eng.EngineConfig(
+            arch="fake_quant_arch", model_path="/m/fp32.onnx", model_path_8_bit="/m/int8.onnx"
+        )
+        q8 = eng.EngineConfig(
+            arch="fake_quant_arch", model_path="/m/fp32.onnx", model_path_8_bit="/m/int8.onnx",
+            load_in_8_bit=True,
+        )
+        fp16 = eng.EngineConfig(arch="fake_quant_arch", model_path="/m/fp16.onnx", precision="float16")
+        s_base = eng._resolve("reco", base)
+        s_q8 = eng._resolve("reco", q8)
+        s_fp16 = eng._resolve("reco", fp16)
+        assert len({id(s_base), id(s_q8), id(s_fp16)}) == 3  # no session sharing
+        assert seen[0].model_path == "/m/fp32.onnx"
+        assert seen[1].model_path == "/m/int8.onnx" and seen[1].load_in_8_bit  # url_8_bit swap
+        assert seen[2].precision == "float16"
+        assert eng._resolve("reco", q8) is s_q8  # same cfg -> cached session
+    finally:
+        eng.MODEL_REGISTRY.pop("fake_quant_arch", None)
+        for k in [k for k in eng._SESSIONS if isinstance(k[1], eng.EngineConfig) and k[1].arch == "fake_quant_arch"]:
+            eng._SESSIONS.pop(k, None)
+
+
+def test_unregistered_arch_gate_names_quantization_flags():
+    from onnxtr_spark import engine as eng
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="load_in_8_bit=True"):
+        eng._resolve("reco", eng.EngineConfig(arch="no_such_arch_q", load_in_8_bit=True))
+    with _pytest.raises(NotImplementedError, match="precision='float16'"):
+        eng._resolve("reco", eng.EngineConfig(arch="no_such_arch_q", precision="float16"))
