@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from onnxtr_spark.functions.hashing import hash64, hash64_sql
 from onnxtr_spark.functions.text import _TOKENS_SQL, _shingles_sql, shingles, tokens
+from onnxtr_spark.partitioning import spread
 
 MINHASH_K = 8  # signature length
 LSH_BANDS = 4  # bands of r = K/BANDS rows
@@ -168,7 +169,7 @@ def token_jaccard_pairs(documents: DataFrame, threshold: float = 0.9) -> DataFra
     verify cost is per candidate, never per shared-token occurrence.
     Output is identical to the unbounded inverted-index formulation —
     the DuckDB oracle is unchanged."""
-    documents = documents.repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    documents = spread(documents)
     toks = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"), F.explode(F.array_distinct(tokens())).alias("tok")
     )
@@ -235,7 +236,7 @@ SIMHASH_BITS = 16
 
 def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash over token frequencies: (doc_id, simhash)."""
-    documents = documents.repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    documents = spread(documents)
     toks = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"), F.explode(tokens()).alias("tok")
     ).withColumn("h", hash64(F.col("tok"), 7))
@@ -470,10 +471,9 @@ def ngram_jaccard_pairs(
     boundary is lost to display rounding in either engine."""
     from onnxtr_spark.functions.hashing import round_half_up
 
-    parallelism = documents.sparkSession.sparkContext.defaultParallelism
     num = int(round(threshold * 10000))  # exact-ceil quantization (see prefix_tokens)
     docsets = (
-        documents.repartition(parallelism)
+        spread(documents)
         .select(F.col("doc_id").cast("long").alias("doc_id"), _norm_text().alias("norm"))
         .select(
             "doc_id",

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from onnxtr_spark.corpus import WORDS_PER_PAGE
+from onnxtr_spark.partitioning import spread
 
 IOU_THRESH = 0.5  # reference scripts/evaluate.py --iou default
 
@@ -263,7 +264,6 @@ def _confusion_partials(boxes: DataFrame, iou_thresh: float, with_text: bool) ->
     mapInPandas sums page counters across its whole partition. The
     global aggregation sees one tiny counter row per partition — at
     10^12 docs the post-stage shuffle is counters only."""
-    parallelism = boxes.sparkSession.sparkContext.defaultParallelism
     is_gt = F.col("side") == "gt"
     aggs = [
         F.flatten(F.collect_list(F.when(is_gt, F.array("xmin", "ymin", "xmax", "ymax")))).alias("gt_flat"),
@@ -288,7 +288,7 @@ def _confusion_partials(boxes: DataFrame, iou_thresh: float, with_text: bool) ->
     # small maxRecordsPerBatch made tall-row transfer the bottleneck:
     # measured 2.1s of a 5.7s wall for a no-op stage at sf0.1).
     grouped = (
-        boxes.repartition(parallelism, "doc_id", "page")
+        spread(boxes, "doc_id", "page")
         .groupBy("doc_id", "page")
         .agg(*aggs)
     )

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from onnxtr_spark import imaging
+from onnxtr_spark.partitioning import spread
 
 PAGE_STATS_SCHEMA = "media_ref string, height long, width long, dark_ratio double, n_dark_rows long"
 
@@ -133,10 +134,9 @@ def synthesize_audio(documents: DataFrame) -> DataFrame:
     square-wave PCM per doc — amplitude 1000 + (doc_id % 90)·300, length
     16·(50 + n_chars % 200) samples. Closed-form signal → the feature
     extractor below is oracle-checkable bit-for-bit."""
-    parallelism = documents.sparkSession.sparkContext.defaultParallelism
-    base = documents.select(
+    base = spread(documents.select(
         F.col("doc_id").cast("long").alias("doc_id"), F.col("n_chars").cast("long").alias("n_chars")
-    ).repartition(parallelism)
+    ))
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         half = AUDIO_PERIOD // 2
@@ -248,11 +248,10 @@ def synthesize_videos(documents: DataFrame) -> DataFrame:
     blob here — the realistic video-table shape)."""
     from onnxtr_spark.corpus import WORDS_PER_LINE, WORDS_PER_PAGE
 
-    parallelism = documents.sparkSession.sparkContext.defaultParallelism
-    base = documents.select(
+    base = spread(documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.split(F.trim("text"), r"\s+").alias("words"),
-    ).repartition(parallelism)
+    ))
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

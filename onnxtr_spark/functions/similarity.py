@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from onnxtr_spark.functions.hashing import round_half_up, round_half_up_sql
+from onnxtr_spark.partitioning import spread
 
 ROUND = 3  # similarity rounding — absorbs float32-vs-float64 engine drift
 
@@ -275,9 +276,7 @@ def lsh_near_pairs(
     # spread the code computation: the code projection is CPU-bound per
     # row (bands·bits 64-dim dots), and a single-row-group parquet would
     # otherwise compute it all in one task
-    embeddings = embeddings.repartition(
-        embeddings.sparkSession.sparkContext.defaultParallelism, "vec_id"
-    )
+    embeddings = spread(embeddings, "vec_id")
     band_codes = [
         F.struct(
             _rh_code(F.col("embedding"), [_hyperplane(b, i, dim) for i in range(bits)]).alias("bucket"),

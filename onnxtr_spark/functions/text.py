@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from onnxtr_spark.functions.hashing import hash64, hash64_sql, round_half_up, round_half_up_sql
+from onnxtr_spark.partitioning import spread
 
 EN_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
@@ -300,7 +301,7 @@ def lang_id(documents: DataFrame, cast_id: bool = True) -> DataFrame:
     # spread the trigram explode: normalization + extraction are
     # CPU-bound per doc and the documents table is a single row group
     # (same rationale as shingles())
-    documents = documents.repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    documents = spread(documents)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), _NORM_RE, " "))
     tris = F.flatten(
         F.transform(
@@ -422,7 +423,7 @@ def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     The input is spread across cores first: the documents table is a
     single parquet row-group, and shingle hashing is CPU-bound — without
     the repartition one task does all of it."""
-    documents = documents.repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    documents = spread(documents)
     toks = tokens()
     sh = F.when(
         F.size(toks) < k, F.array(F.array_join(toks, " "))
@@ -619,10 +620,9 @@ def winnow_fingerprints(documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW
     Jaccard/MinHash family."""
     from pyspark.sql import Window
 
-    parallelism = documents.sparkSession.sparkContext.defaultParallelism
     norm = F.regexp_replace(F.trim("text"), r"\s+", " ")
     grams = (
-        documents.repartition(parallelism)
+        spread(documents)
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.posexplode(

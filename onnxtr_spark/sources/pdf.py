@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from onnxtr_spark.corpus import WORDS_PER_PAGE
+from onnxtr_spark.partitioning import spread
 
 _ESC = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f", "(": "(", ")": ")", "\\": "\\"}
 
@@ -420,8 +421,7 @@ def synthesize_pdfs(documents: DataFrame) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"),
         F.split(F.trim("text"), r"\s+").alias("words"),
     )
-    parallelism = documents.sparkSession.sparkContext.defaultParallelism
-    base = base.repartition(parallelism)
+    base = spread(base)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -36,6 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from onnxtr_spark.corpus import WORDS_PER_LINE
+from onnxtr_spark.partitioning import spread
 
 
 @dataclass(frozen=True)
@@ -113,8 +114,7 @@ def rasterize_pdf_pages(pdfs: DataFrame, cfg: RasterizerConfig = RasterizerConfi
     per-row CPU, and AQE's byte-based coalescing would serialize the
     stage onto one partition for small byte volumes (see BENCH notes).
     """
-    parallelism = pdfs.sparkSession.sparkContext.defaultParallelism
-    pdfs = pdfs.repartition(parallelism)
+    pdfs = spread(pdfs)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from onnxtr_spark import imaging

@@ -40,6 +40,7 @@ from onnxtr_spark.sources.pdf import UNSUPPORTED_PDF_TOKENS, pdf_pages_text
 from onnxtr_spark.sources.rasterize import RasterizerConfig, rasterize_pdf_pages
 from onnxtr_spark.sources.render import HtmlRendererConfig, render_html_pdfs
 from onnxtr_spark.stages.fused import detect_recognize_pages
+from onnxtr_spark.partitioning import spread
 
 READ_COLS = ["doc_id", "kind", "page", "text"]
 
@@ -155,7 +156,6 @@ def mixed_corpus_from_documents(documents: DataFrame) -> DataFrame:
 
     import pandas as pd
 
-    parallelism = documents.sparkSession.sparkContext.defaultParallelism
 
     def build_pdf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from onnxtr_spark.sources.pdf import encode_pdf
@@ -175,7 +175,7 @@ def mixed_corpus_from_documents(documents: DataFrame) -> DataFrame:
     pdfs = (
         base.where(F.col("k4").isin(1, 3))
         .withColumn("kind", F.when(F.col("k4") == 1, "pdf").otherwise("pdf_scanned"))
-        .repartition(parallelism)
+        .transform(spread)
         .mapInPandas(build_pdf, "doc_id string, kind string, page int, payload binary")
     )
 
@@ -201,7 +201,7 @@ def mixed_corpus_from_documents(documents: DataFrame) -> DataFrame:
 
     images = (
         base.where(F.col("k4") == 2)
-        .repartition(parallelism)
+        .transform(spread)
         .mapInPandas(build_images, "doc_id string, kind string, page int, payload binary")
     )
     return html.unionByName(pdfs).unionByName(images)

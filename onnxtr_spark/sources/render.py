@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 
 from onnxtr_spark.corpus import WORDS_PER_PAGE
 from onnxtr_spark.sources.html import _DROP_BLOCKS, _ENTITIES
+from onnxtr_spark.partitioning import spread
 
 
 @dataclass(frozen=True)
@@ -123,8 +124,7 @@ def render_html_pdfs(htmls: DataFrame, cfg: HtmlRendererConfig = HtmlRendererCon
     per-row CPU, and AQE's byte-based coalescing would serialize the
     stage onto one partition for small byte volumes (see BENCH notes).
     """
-    parallelism = htmls.sparkSession.sparkContext.defaultParallelism
-    htmls = htmls.repartition(parallelism)
+    htmls = spread(htmls)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         renderer = get_html_renderer(cfg)

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from onnxtr_spark import imaging
 from onnxtr_spark.corpus import WORDS_PER_LINE, WORDS_PER_PAGE
+from onnxtr_spark.partitioning import spread
 
 MEDIA_SCHEMA = "media_ref string, png binary, height int, width int"
 
@@ -86,8 +87,7 @@ def media_from_documents(
     base = _with_words(documents)
     # Rendering is CPU-bound Python: spread it across all cores even when
     # the source is a single small parquet file (1 input partition).
-    parallelism = documents.sparkSession.sparkContext.defaultParallelism
-    base = base.repartition(parallelism)
+    base = spread(base)
     pages = base.select(
         "doc_id",
         F.posexplode(

@@ -35,6 +35,7 @@ from onnxtr_spark.stages.build import assemble_spans, to_doc_spans
 from onnxtr_spark.stages.detect import DetectConfig, detect_pages
 from onnxtr_spark.stages.ingest import docs_from_documents, load_documents, media_from_documents
 from onnxtr_spark.stages.recognize import RecognizeConfig, recognize_pages
+from onnxtr_spark.partitioning import spread
 
 
 def media_pages(docs: DataFrame, media: DataFrame) -> DataFrame:
@@ -52,7 +53,6 @@ def media_pages(docs: DataFrame, media: DataFrame) -> DataFrame:
         .where(F.col("s.kind") == "media")
         .select("doc_id", F.col("s.offset").alias("offset"), F.col("s.media_ref").alias("media_ref"))
     )
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
     # Join + explicit hash repartition on media_ref. Measured A/B
     # (BASELINE.md): a broadcast join that streams pages in scan order
     # is ~30% SLOWER end-to-end than paying this small shuffle, because
@@ -61,10 +61,8 @@ def media_pages(docs: DataFrame, media: DataFrame) -> DataFrame:
     # per task. Page blobs are zlib-compressed (~2-3 KB/page), so the
     # shuffle is cheap — and this is exactly the north_rule's skew
     # salt: a 1000-page document scatters across all tasks.
-    return (
-        spans.join(media, "media_ref")
-        .repartition(parallelism, "media_ref")
-        .select("doc_id", "offset", "media_ref", "png", "height", "width")
+    return spread(spans.join(media, "media_ref"), "media_ref").select(
+        "doc_id", "offset", "media_ref", "png", "height", "width"
     )
 
 
