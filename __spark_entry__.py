@@ -390,6 +390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": lambda s, d: text.fingerprint(_documents(s, d)),
         "doc_winnow_fingerprints": lambda s, d: text.winnow_fingerprints(_documents(s, d)),
         "docs_stratified_sample": lambda s, d: text.stratified_sample(_documents(s, d)),
+        "text_pii_scrub": lambda s, d: text.pii_scrub(_documents(s, d)),
+        "text_repetition_stats": lambda s, d: text.repetition_stats(_documents(s, d)),
+        "dedup_passages": lambda s, d: text.passage_dedup(_documents(s, d)),
         "dedup_exact": lambda s, d: dedup.exact_dedup(_documents(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_documents(s, d)),
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(_embeddings(s, d)),
@@ -483,6 +486,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": text.FINGERPRINT_SQL,
         "doc_winnow_fingerprints": text.winnow_fingerprints_sql(),
         "docs_stratified_sample": text.stratified_sample_sql(),
+        "text_pii_scrub": text.pii_scrub_sql(),
+        "text_repetition_stats": text.repetition_stats_sql(),
+        "dedup_passages": text.passage_dedup_sql(),
         "training_mix": text.training_mix_sql(),
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_minhash_bands": dedup.minhash_bands_sql(),

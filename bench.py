@@ -33,6 +33,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # the benchmarked ones.
 HEADLINE = [
     "ocr_extract_spans",
+    "ocr_extract_spans_attention",
+    "ocr_extract_spans_db",
     "ocr_extract_spans_rotated",
     "ocr_extract_spans_straightened",
     "artefact_detect",

@@ -666,3 +666,202 @@ WITH grams AS (
 )
 SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= greatest(1, n - {w} + 1)
 """
+
+
+# --- PII scrubbing --------------------------------------------------------
+# Standard pre-training redaction pass: emails, IPv4s, phone-like digit
+# runs. Patterns restricted to the RE2 ∩ Java-regex common dialect (no
+# lookarounds) so Spark and the DuckDB oracle compile the same automaton.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d[\d-]{7,}\d"
+
+# The synthetic corpus carries no organic PII, so the query would be a
+# vacuous all-zeros pass. Both engines therefore INJECT deterministic
+# per-doc PII first (same SQL-expressible seed), making the green row
+# prove extraction counts AND byte-exact redaction on text that
+# actually contains every pattern.
+def _seeded_text():
+    d = F.col("doc_id").cast("long")
+    return F.concat(
+        F.trim("text"),
+        F.lit(" contact user"), d, F.lit("@mail.example.org"),
+        F.lit(" from 10."), d % 200, F.lit(".0."), d % 250,
+        F.lit(" call +1-555-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+
+
+_SEEDED_SQL = (
+    "trim(text) || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org'"
+    " || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR)"
+    " || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """Redact emails/IPv4s/phone runs: (doc_id, n_emails, n_ips,
+    n_phones, clean_hash). clean_hash is md5 of the fully-redacted
+    text — bit-exact replacement equality across engines without
+    shipping the text back."""
+    seeded = documents.select(F.col("doc_id").cast("long").alias("doc_id"), _seeded_text().alias("t"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_IPV4_RE), F.lit(0))).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+def pii_scrub_sql() -> str:
+    return f"""
+WITH s AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SEEDED_SQL} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_IPV4_RE}', '<IP>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g')) AS clean_hash
+FROM s
+"""
+
+
+# --- Gopher-style repetition stats ----------------------------------------
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc repetition signals (the Gopher/MassiveText repetition
+    filters' Spark shape): duplicate-word fraction and the character
+    share of the single most frequent word-2-gram. One explode +
+    map-side-combined groupBy for the 2-gram mode; everything else is
+    per-row array algebra — no window over raw grams."""
+    toks = tokens()
+    n = F.size(toks)
+    base = spread(documents).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        toks.alias("toks"),
+        F.length(F.regexp_replace(F.trim("text"), r"\s+", " ")).cast("double").alias("n_chars"),
+    )
+    dup = base.select(
+        "doc_id", "n_chars",
+        (F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias("dupf"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.lit(1), F.size("toks") - 1)),
+                lambda i: F.concat_ws(" ", F.element_at("toks", i), F.element_at("toks", i + 1)),
+            )
+        ).alias("g"),
+    ).where(F.size(F.split(F.col("g"), " ")) == 2)  # 1-token docs emit a degenerate unigram: drop
+    top = (
+        bigrams.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("cnt", "g")).alias("top"))
+        .select("doc_id", F.col("top.cnt").alias("top_cnt"), F.col("top.g").alias("top_g"))
+    )
+    return (
+        dup.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            round_half_up(F.col("dupf"), 4).alias("dup_word_frac"),
+            round_half_up(
+                F.coalesce(F.col("top_cnt") * F.length("top_g") / F.col("n_chars"), F.lit(0.0)), 4
+            ).alias("top_bigram_char_frac"),
+        )
+    )
+
+
+def repetition_stats_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKENS_SQL} AS toks,
+         length(regexp_replace(trim(text), '\\s+', ' ', 'g'))::DOUBLE AS n_chars
+  FROM documents
+), dup AS (
+  SELECT doc_id, n_chars,
+         1.0 - len(list_distinct(toks))::DOUBLE / len(toks) AS dupf
+  FROM base
+), bigrams AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+  FROM base, UNNEST(generate_series(1, greatest(1, len(toks) - 1))) AS u(i)
+  WHERE len(toks) >= 2
+), counted AS (
+  SELECT doc_id, g, count(*) AS cnt FROM bigrams GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, cnt AS top_cnt, g AS top_g
+  FROM counted
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g DESC) = 1
+)
+SELECT dup.doc_id,
+       {round_half_up_sql('dupf', 4)} AS dup_word_frac,
+       {round_half_up_sql("coalesce(top_cnt * length(top_g) / n_chars, 0.0)", 4)} AS top_bigram_char_frac
+FROM dup LEFT JOIN top ON dup.doc_id = top.doc_id
+"""
+
+
+# --- passage-level exact dedup --------------------------------------------
+
+
+def passage_dedup(documents: DataFrame, width: int = 30) -> DataFrame:
+    """Exact dedup at PASSAGE granularity (width-word chunks, the page
+    chunking): (passage_hash, n_occurrences, n_docs, canonical_doc_id,
+    canonical_pos). Whole-doc exact dedup misses boilerplate repeated
+    INSIDE distinct documents; this is the standard paragraph-level
+    pass. One explode + one map-side-combined groupBy — scales like
+    exact_dedup."""
+    toks = tokens()
+    n = F.size(toks)
+    chunks = spread(documents).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.lit(0), F.ceil(n / width).cast("int") - 1)),
+                lambda p: F.concat_ws(" ", F.slice(toks, p * width + 1, width)),
+            )
+        ).alias("pos", "chunk"),
+    )
+    return (
+        chunks.groupBy(F.md5("chunk").alias("passage_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min(F.struct("doc_id", "pos")).alias("c"),
+        )
+        .select(
+            "passage_hash", "n_occurrences", "n_docs",
+            F.col("c.doc_id").alias("canonical_doc_id"),
+            F.col("c.pos").cast("long").alias("canonical_pos"),
+        )
+    )
+
+
+def passage_dedup_sql(width: int = 30) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKENS_SQL} AS toks FROM documents
+), chunks AS (
+  SELECT doc_id, p - 1 AS pos,
+         array_to_string(toks[(p - 1) * {width} + 1 : (p - 1) * {width} + {width}], ' ') AS chunk
+  FROM base, UNNEST(generate_series(1, greatest(1, CAST(ceil(len(toks) / {width}.0) AS BIGINT)))) AS u(p)
+)
+SELECT md5(chunk) AS passage_hash,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs,
+       min(struct_pack(doc_id := doc_id, pos := pos)).doc_id AS canonical_doc_id,
+       CAST(min(struct_pack(doc_id := doc_id, pos := pos)).pos AS BIGINT) AS canonical_pos
+FROM chunks
+GROUP BY 1
+"""
