@@ -86,14 +86,6 @@ def detect_recognize_pages(
             )
     float_det = det_cfg.engine.input_contract.startswith("float")
     float_reco = reco_cfg.engine.input_contract.startswith("float")
-    if not det_cfg.assume_straight_pages and not (
-        det_cfg.preserve_aspect_ratio and det_cfg.symmetric_pad
-    ):
-        raise NotImplementedError(
-            "non-default resize contracts (preserve_aspect_ratio/symmetric_pad) "
-            "are implemented for the straight-page path; the rotated path's "
-            "polygon unpad (reference _utils/base.py rotated branch) is not wired"
-        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from time import perf_counter
@@ -257,6 +249,14 @@ def detect_recognize_pages(
                             resized[:, :, 0], det_cfg.bin_thresh, det_cfg.box_thresh, det_cfg.unclip_ratio
                         )
                     )
+                    if unpad == "asym":
+                        # P8 rotated branch (reference _utils/base.py
+                        # 12-62, loc_pred[:, :, c] rescale incl. the
+                        # score-row quirk — kernels/rotated_post.py)
+                        polys5 = rotated_post.remove_padding_rotated(
+                            polys5, img.shape[0], img.shape[1],
+                            preserve_aspect_ratio=True, symmetric_pad=False,
+                        )
                     for hook in det_cfg.hooks:
                         polys5 = hook(polys5)
                     polys = polys5[:, :4, :].astype(np.float64)

@@ -30,7 +30,8 @@ Flag mapping (reference → this repo):
   (P8 identity), (True, False) via asymmetric pad + the asymmetric
   remove_padding branch (_utils/base.py:12-62), (False, _) via
   anisotropic stretch (map-relative = page-relative). The rotated
-  path's polygon unpad is not wired (loud gate).
+  path applies the polygon-channel unpad branch
+  (kernels/rotated_post.remove_padding_rotated).
 - ``detect_language`` → language attached from the recognized text
   (Cavnar-Trenkle trigram model, functions/text.lang_id).
   ``lang_granularity="doc"`` (default) gives one label per document;
@@ -184,12 +185,6 @@ def ocr_predictor(
     flag mapping; ``det_engine_cfg``/``reco_engine_cfg`` override the
     arch-derived engine configs wholesale (reference passes them into
     the predictors the same way)."""
-    if not assume_straight_pages and not (preserve_aspect_ratio and symmetric_pad):
-        raise NotImplementedError(
-            "non-default preserve_aspect_ratio/symmetric_pad are implemented "
-            "for the straight-page path; the rotated path's polygon unpad is "
-            "not wired (reference _utils/base.py rotated branch)"
-        )
     _ = export_as_straight_boxes  # parity no-op: flat spans always carry B7 boxes
     det_engine = det_engine_cfg or _engine_of(det_arch, "stub_fast")
     reco_engine = reco_engine_cfg or _engine_of(reco_arch, "stub_crnn")

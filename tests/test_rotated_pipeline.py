@@ -177,3 +177,24 @@ def test_rotated_export_geometry_is_straight_enclosing(rotated_corpus):
     # skew is real: enclosing boxes of rotated words are taller than the
     # straight corpus' glyph rows would be
     assert angle_for(FIXTURE_TEXTS[0][0], 0) != 0
+
+
+def test_rotated_asymmetric_pad_span_equality(rotated_corpus):
+    """The rotated path through the asymmetric-pad Resize contract
+    (preserve_aspect_ratio=True, symmetric_pad=False): detection runs
+    on a bottom/right-padded square map and the polygon-channel P8
+    branch (rotated_post.remove_padding_rotated, reference
+    _utils/base.py:12-62 loc_pred[:, :, c] rescale) restores
+    page-relative polygons — spans equal the default contract's."""
+    docs, media = rotated_corpus
+    got = (
+        extract_spans(
+            docs, media,
+            det_cfg=DetectConfig(assume_straight_pages=False, symmetric_pad=False),
+        )
+        .toPandas()
+        .sort_values(["doc_id", "offset"])
+        .reset_index(drop=True)
+    )
+    exp = golden_flat().sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns].astype(str), exp.astype(str))

@@ -34,14 +34,15 @@ def test_flag_mapping():
     # into the predictors the same way)
     ec = EngineConfig(arch="stub_fast", intra_op_num_threads=2)
     assert ocr_predictor(det_engine_cfg=ec).det_cfg.engine is ec
-    # resize-contract flags thread through to DetectConfig; only the
-    # rotated path gates non-default combos (polygon unpad unwired)
+    # resize-contract flags thread through to DetectConfig on both the
+    # straight and rotated paths (polygon unpad wired,
+    # rotated_post.remove_padding_rotated)
     p = ocr_predictor(preserve_aspect_ratio=False)
     assert p.det_cfg.preserve_aspect_ratio is False
     p = ocr_predictor(symmetric_pad=False)
     assert p.det_cfg.symmetric_pad is False and p.det_cfg.preserve_aspect_ratio is True
-    with pytest.raises(NotImplementedError):
-        ocr_predictor(assume_straight_pages=False, preserve_aspect_ratio=False)
+    p = ocr_predictor(assume_straight_pages=False, symmetric_pad=False)
+    assert p.det_cfg.assume_straight_pages is False and p.det_cfg.symmetric_pad is False
     with pytest.raises(TypeError):
         ocr_predictor(det_arch=123)
 
