@@ -31,21 +31,60 @@ def stage_width(df: DataFrame) -> int:
     return int(conf) if conf else spark.sparkContext.defaultParallelism
 
 
+# Wide operators in the ANALYZED logical plan. When any is present,
+# probing df.rdd.getNumPartitions() is NOT free: under AQE, converting
+# to an RDD finalizes the adaptive plan, which EXECUTES every non-result
+# query stage eagerly — a partition-count "peek" would run the join /
+# shuffle right there at plan-build time (measured: the fused float
+# benchmark tripled when media_pages probed its join). Probe only
+# exchange-free plans (scans + narrow transforms), where .rdd is pure
+# plan construction.
+_WIDE_NODES = (
+    "Join",
+    "Aggregate",
+    "Repartition",
+    "RepartitionByExpression",
+    "Window",
+    "Deduplicate",
+    "Distinct",
+    "Sort",
+    "Union",
+)
+
+
+def _probe_safe(df: DataFrame) -> bool:
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # non-JVM backend (e.g. connect): stay conservative
+        return False
+    return not any(node in plan for node in _WIDE_NODES)
+
+
 def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Ensure at least the configured width ahead of a Python stage.
 
-    Without ``cols``: round-robin repartition to the width, skipped
-    entirely when the input is already at least that wide (never narrow
-    a big scan). With ``cols``: hash repartition on the keys — keyed
-    redistribution decorrelates scan-order cost clusters (adjacent
-    pages of one document have correlated cost; measured ~30% win over
-    scan order, BENCH.md) — widened to the input's existing partition
-    count so a wide scan is never narrowed either.
+    Without ``cols``: round-robin repartition to the width — skipped
+    entirely when an exchange-free input (the 100 TB scan case) is
+    already at least that wide, so a big scan is never narrowed or
+    needlessly shuffled. With ``cols``: hash repartition on the keys —
+    keyed redistribution decorrelates scan-order cost clusters
+    (adjacent pages of one document have correlated cost; measured
+    ~30% win over scan order, BENCH.md) — widened to the input's
+    partition count when that is probeable.
+
+    Inputs whose plan already contains an exchange (join/agg/
+    repartition upstream) keep the unconditional explicit repartition:
+    their width follows spark.sql.shuffle.partitions, which a cluster
+    deployment sizes anyway, and probing them would execute the plan
+    (see _WIDE_NODES note). The conf knob overrides the floor in
+    either case.
     """
     width = stage_width(df)
-    current = df.rdd.getNumPartitions()
-    if cols:
-        return df.repartition(max(width, current), *cols)
-    if current >= width:
-        return df
-    return df.repartition(width)
+    if _probe_safe(df):
+        current = df.rdd.getNumPartitions()
+        if cols:
+            return df.repartition(max(width, current), *cols)
+        if current >= width:
+            return df
+        return df.repartition(width)
+    return df.repartition(width, *cols) if cols else df.repartition(width)

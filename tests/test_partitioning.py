@@ -16,20 +16,36 @@ def test_narrow_input_widens_to_default_parallelism(spark, df):
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
 
 
-def test_wide_input_passes_through_untouched(spark, df):
+def test_wide_scan_passes_through_untouched(spark):
+    # an exchange-FREE wide input (the 100 TB scan shape): probeable,
+    # already wide -> same object graph, no narrowing shuffle
     width = spark.sparkContext.defaultParallelism
-    wide = df.repartition(width * 4)
+    wide = spark.range(0, 1000, numPartitions=width * 4)
     out = spread(wide)
-    # no narrowing shuffle: the plan is the SAME object graph, still 4x wide
     assert out is wide
     assert out.rdd.getNumPartitions() == width * 4
 
 
-def test_keyed_spread_never_narrows(spark, df):
+def test_keyed_spread_never_narrows_a_wide_scan(spark):
     width = spark.sparkContext.defaultParallelism
-    wide = df.repartition(width * 4)
+    wide = spark.range(0, 1000, numPartitions=width * 4)
     out = spread(wide, "id")
     assert out.rdd.getNumPartitions() == width * 4
+
+
+def test_exchange_bearing_plan_is_not_probed(spark, df):
+    # a plan with an upstream exchange must NOT be probed (under AQE,
+    # .rdd would execute the shuffle at plan-build time); it gets the
+    # explicit unconditional repartition instead
+    from onnxtr_spark.partitioning import _probe_safe
+
+    wide = df.repartition(7)
+    assert not _probe_safe(wide)
+    joined = df.alias("a").join(df.alias("b"), "id")
+    assert not _probe_safe(joined)
+    assert _probe_safe(df.where(df.id > 3).select("id"))
+    out = spread(wide)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
 
 
 def test_conf_knob_overrides_width(spark, df):
