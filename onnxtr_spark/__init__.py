@@ -30,10 +30,16 @@ def __getattr__(name):
     # Lazy top-level API (mirrors the reference's `from onnxtr.models
     # import ocr_predictor, from_hub, EngineConfig` surface) without
     # importing pyspark at package-import time.
-    if name == "ocr_predictor":
-        from onnxtr_spark.zoo import ocr_predictor
+    if name in (
+        "ocr_predictor",
+        "detection_predictor",
+        "recognition_predictor",
+        "crop_orientation_predictor",
+        "page_orientation_predictor",
+    ):
+        from onnxtr_spark import zoo
 
-        return ocr_predictor
+        return getattr(zoo, name)
     if name == "from_hub":
         from onnxtr_spark.hub import from_hub
 

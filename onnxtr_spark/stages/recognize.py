@@ -62,6 +62,11 @@ class RecognizeConfig:
     # cores with 1024).
     batch_size: int = 256
     vocab: str = DEFAULT_VOCAB
+    # The reference recognition Resize pads bottom/right by default and
+    # symmetrically on request (recognition/zoo.py:61-66 symmetric_pad,
+    # transforms/base.py:59-71); decode is pad-side-invariant (padding
+    # is background white), asserted in test_zoo.py.
+    symmetric_pad: bool = False
     # B1-B3 always run; B4 block clustering is off by default like the
     # reference (models/builder.py:33 resolve_blocks=False)
     resolve_blocks: bool = False
@@ -106,7 +111,7 @@ def recognize_pages(detected: DataFrame, cfg: RecognizeConfig = RecognizeConfig(
                 # columns by darkest pixel, so black padding would mask
                 # every glyph in height-padded (wide) crops.
                 flat_splits.extend(
-                    resize_preserve(s, cfg.crop_h, cfg.crop_w, symmetric_pad=False, pad_value=255)
+                    resize_preserve(s, cfg.crop_h, cfg.crop_w, symmetric_pad=cfg.symmetric_pad, pad_value=255)
                     for s in splits
                 )
 

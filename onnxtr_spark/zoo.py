@@ -55,7 +55,15 @@ from onnxtr_spark.stages.detect import DetectConfig
 from onnxtr_spark.stages.recognize import RecognizeConfig
 from onnxtr_spark.vocabs import DEFAULT_VOCAB
 
-__all__ = ["ocr_predictor", "OCRPredictorSpark", "page_orientations"]
+__all__ = [
+    "ocr_predictor",
+    "OCRPredictorSpark",
+    "page_orientations",
+    "detection_predictor",
+    "recognition_predictor",
+    "crop_orientation_predictor",
+    "page_orientation_predictor",
+]
 
 
 def _engine_of(arch, default_arch: str) -> EngineConfig:
@@ -216,3 +224,142 @@ def ocr_predictor(
         detect_orientation=detect_orientation,
         lang_granularity=lang_granularity,
     )
+
+
+# --- standalone stage factories -------------------------------------------
+# The reference exposes the two pipeline halves and the orientation
+# classifiers as their own factories (models/detection/zoo.py:60-101,
+# models/recognition/zoo.py:61-96, models/classification/zoo.py:52-124);
+# tests and scripts/evaluate.py drive them directly. The Spark twins
+# return declarative DataFrame transformers over the same stages the
+# fused pipeline composes.
+
+
+@dataclass(frozen=True)
+class DetectionPredictorSpark:
+    """``predictor(pages)`` → (doc_id, offset, media_ref, png, h, w,
+    boxes) — the standalone detection stage (stages/detect.py)."""
+
+    cfg: DetectConfig
+
+    def __call__(self, pages: DataFrame) -> DataFrame:
+        from onnxtr_spark.stages.detect import detect_pages
+
+        return detect_pages(pages, self.cfg)
+
+
+def detection_predictor(
+    arch=None,
+    assume_straight_pages: bool = True,
+    preserve_aspect_ratio: bool = True,
+    symmetric_pad: bool = True,
+    batch_size: int = 2,
+    load_in_8_bit: bool = False,
+    engine_cfg: EngineConfig | None = None,
+) -> DetectionPredictorSpark:
+    """The reference ``detection_predictor`` (models/detection/zoo.py:
+    60-101): per-arch thresholds from the default_cfgs table, the full
+    Resize contract surface, and the quantization flag. The standalone
+    stage is straight-boxes-only (its output schema carries (N,5)
+    straight boxes, like the reference's assume_straight_pages=True
+    contract); the rotated polygon path runs through
+    ``ocr_predictor(assume_straight_pages=False)``."""
+    if not assume_straight_pages:
+        raise NotImplementedError(
+            "the standalone detection stage emits straight boxes; use "
+            "ocr_predictor(assume_straight_pages=False) for the polygon path"
+        )
+    engine = engine_cfg or _engine_of(arch, "stub_fast")
+    if load_in_8_bit:
+        engine = replace(engine, load_in_8_bit=True)
+    from onnxtr_spark.stages.detect import det_thresholds_for
+
+    bin_thresh, box_thresh, unclip_ratio = det_thresholds_for(engine.arch)
+    return DetectionPredictorSpark(
+        DetectConfig(
+            bin_thresh=bin_thresh,
+            box_thresh=box_thresh,
+            unclip_ratio=unclip_ratio,
+            preserve_aspect_ratio=preserve_aspect_ratio,
+            symmetric_pad=symmetric_pad,
+            batch_size=batch_size,
+            engine=engine,
+        )
+    )
+
+
+@dataclass(frozen=True)
+class RecognitionPredictorSpark:
+    """``predictor(detected)`` → the word span relation — the standalone
+    recognition stage over detection output (stages/recognize.py; the
+    reference's crop-list input maps to the (page, boxes) relation the
+    detect stage emits, crops are extracted executor-side)."""
+
+    cfg: RecognizeConfig
+
+    def __call__(self, detected: DataFrame) -> DataFrame:
+        from onnxtr_spark.stages.recognize import recognize_pages
+
+        return recognize_pages(detected, self.cfg)
+
+
+def recognition_predictor(
+    arch=None,
+    symmetric_pad: bool = False,
+    batch_size: int = 128,
+    load_in_8_bit: bool = False,
+    engine_cfg: EngineConfig | None = None,
+    vocab: str = DEFAULT_VOCAB,
+) -> RecognitionPredictorSpark:
+    """The reference ``recognition_predictor`` (models/recognition/
+    zoo.py:61-96): arch-or-config polymorphism, the crop Resize's
+    symmetric_pad flag (default False = bottom/right, like the
+    reference), and the quantization flag. The decoder family (C1 CTC
+    vs C2 attention) follows the resolved engine's DecodeContract."""
+    engine = engine_cfg or _engine_of(arch, "stub_crnn")
+    if load_in_8_bit:
+        engine = replace(engine, load_in_8_bit=True)
+    if isinstance(arch, object) and hasattr(arch, "param"):
+        vocab = arch.param("vocab", vocab)
+    return RecognitionPredictorSpark(
+        RecognizeConfig(batch_size=batch_size, symmetric_pad=symmetric_pad, vocab=vocab, engine=engine)
+    )
+
+
+@dataclass(frozen=True)
+class OrientationPredictorSpark:
+    """``predictor(images)`` → (media_ref, orientation_class,
+    orientation_deg) over any (media_ref, png) relation — crops or
+    pages; the reference's crop/page variants differ only in the model
+    artifact (models/classification/zoo.py:19-49), which the engine
+    config selects here."""
+
+    model_type: str  # "crop" | "page" (display/parity only)
+    engine: EngineConfig
+
+    def __call__(self, images: DataFrame) -> DataFrame:
+        return page_orientations(images)
+
+
+def crop_orientation_predictor(
+    arch=None, batch_size: int = 512, load_in_8_bit: bool = False,
+    engine_cfg: EngineConfig | None = None,
+) -> OrientationPredictorSpark:
+    """Reference models/classification/zoo.py:52-86."""
+    _ = batch_size  # classification batches per Arrow chunk (engine.run)
+    engine = engine_cfg or _engine_of(arch, "stub_mobilenet_orient")
+    if load_in_8_bit:
+        engine = replace(engine, load_in_8_bit=True)
+    return OrientationPredictorSpark("crop", engine)
+
+
+def page_orientation_predictor(
+    arch=None, batch_size: int = 512, load_in_8_bit: bool = False,
+    engine_cfg: EngineConfig | None = None,
+) -> OrientationPredictorSpark:
+    """Reference models/classification/zoo.py:88-124."""
+    _ = batch_size
+    engine = engine_cfg or _engine_of(arch, "stub_mobilenet_orient")
+    if load_in_8_bit:
+        engine = replace(engine, load_in_8_bit=True)
+    return OrientationPredictorSpark("page", engine)

@@ -221,3 +221,46 @@ def test_detect_language_empty_doc_unknown(spark, corpus):
     media = spark.createDataFrame(media_pdf, schema=MEDIA_SCHEMA)
     out = ocr_predictor(detect_language=True)(docs, media).collect()
     assert out and all(r.pred_lang == "unknown" for r in out)
+
+
+def test_standalone_predictor_factories(spark, corpus):
+    """The reference's stage-level factories (detection/zoo.py:60-101,
+    recognition/zoo.py:61-96, classification/zoo.py:52-124) as Spark
+    transformers: detect alone, then recognize over its output, equals
+    the fused pipeline's word relation; orientation factories classify
+    any (media_ref, png) relation."""
+    import onnxtr_spark as ox
+    from onnxtr_spark.stages.pipeline import media_pages
+
+    docs, media = corpus
+    pages = media_pages(docs, media)
+
+    det = ox.detection_predictor()
+    detected = det(pages)
+    reco = ox.recognition_predictor()
+    words = reco(detected).toPandas()
+    assert len(words) > 0
+
+    # same words/texts as the fused pipeline's span relation
+    fused = ocr_predictor()(docs, media).toPandas()
+    fused_words = fused[fused.offset >= 1]
+    assert sorted(zip(words.media_ref, words.text)) == sorted(
+        zip(fused_words.media_ref, fused_words.text)
+    )
+
+    # per-arch thresholds + quantization flags thread through
+    assert ox.detection_predictor(arch="db_resnet50").cfg.bin_thresh == 0.3
+    assert ox.detection_predictor(load_in_8_bit=True).cfg.engine.load_in_8_bit
+    assert ox.recognition_predictor(load_in_8_bit=True).cfg.engine.load_in_8_bit
+    with pytest.raises(NotImplementedError):
+        ox.detection_predictor(assume_straight_pages=False)
+
+    # symmetric crop pad is decode-invariant (white padding both sides)
+    sym_words = ox.recognition_predictor(symmetric_pad=True)(detected).toPandas()
+    assert sorted(sym_words.text) == sorted(words.text)
+
+    # orientation factories classify a (media_ref, png) relation
+    orients = ox.crop_orientation_predictor()(pages).toPandas()
+    assert set(orients.columns) == {"media_ref", "orientation_class", "orientation_deg"}
+    assert (orients.orientation_class == 0).all()  # unrotated corpus
+    assert ox.page_orientation_predictor().model_type == "page"
