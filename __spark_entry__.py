@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": lambda s, d: text.pii_scrub(_documents(s, d)),
         "text_repetition_stats": lambda s, d: text.repetition_stats(_documents(s, d)),
         "dedup_passages": lambda s, d: text.passage_dedup(_documents(s, d)),
+        "docs_decontaminate": lambda s, d: text.contamination(_documents(s, d)),
         "dedup_exact": lambda s, d: dedup.exact_dedup(_documents(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_documents(s, d)),
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(_embeddings(s, d)),
@@ -489,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": text.pii_scrub_sql(),
         "text_repetition_stats": text.repetition_stats_sql(),
         "dedup_passages": text.passage_dedup_sql(),
+        "docs_decontaminate": text.contamination_sql(),
         "training_mix": text.training_mix_sql(),
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_minhash_bands": dedup.minhash_bands_sql(),

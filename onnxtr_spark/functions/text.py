@@ -865,3 +865,85 @@ SELECT md5(chunk) AS passage_hash,
 FROM chunks
 GROUP BY 1
 """
+
+
+# --- benchmark decontamination --------------------------------------------
+
+
+CONTAM_N = 3  # word-n-gram width; production decontamination uses 8-13
+CONTAM_EVAL_MOD = 97  # doc_id % mod == 0 -> held-out "benchmark" set
+
+
+def contamination(
+    documents: DataFrame, n: int = CONTAM_N, eval_mod: int = CONTAM_EVAL_MOD
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-n-gram with the held-out eval set (docs with
+    doc_id % eval_mod == 0 stand in for the benchmark table — a real
+    deployment joins an actual eval-set relation the same way).
+    Output: (doc_id, n_shared_grams, contaminated) for every TRAIN doc.
+
+    Scale shape: eval n-grams are hashed to int64, deduplicated, and
+    BROADCAST — the eval set is tiny next to the corpus, so the train
+    side is never shuffled; per-doc shared counts come from one
+    map-side-combined groupBy on the broadcast-join survivors."""
+    d = F.col("doc_id").cast("long")
+    toks = tokens()
+    base = spread(documents).select(
+        d.alias("doc_id"),
+        toks.alias("t"),
+        (d % eval_mod == 0).alias("is_eval"),
+    )
+    grams = base.select(
+        "doc_id",
+        "is_eval",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.lit(1), F.size("t") - n + 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("t", i, n))),
+            )
+        ).alias("g"),
+    )
+    eval_grams = grams.where("is_eval").select("g").distinct()
+    shared = (
+        grams.where(~F.col("is_eval"))
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_grams"))
+    )
+    return (
+        base.where(~F.col("is_eval"))
+        .select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def contamination_sql(n: int = CONTAM_N, eval_mod: int = CONTAM_EVAL_MOD) -> str:
+    """Brute-force string-n-gram definition (no hashing, no broadcast
+    structure) — the green row proves the hashed broadcast path loses
+    and invents nothing."""
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKENS_SQL} AS t FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[i : i + {n} - 1], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, greatest(1, len(t) - {n} + 1))) AS u(i)
+), ev AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {eval_mod} = 0
+), hits AS (
+  SELECT g2.doc_id, count(DISTINCT g2.g) AS shared
+  FROM grams g2 JOIN ev USING (g)
+  WHERE g2.doc_id % {eval_mod} <> 0
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(coalesce(h.shared, 0) AS BIGINT) AS n_shared_grams,
+       coalesce(h.shared, 0) > 0 AS contaminated
+FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+WHERE t.doc_id % {eval_mod} <> 0
+"""

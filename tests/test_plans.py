@@ -349,3 +349,15 @@ def test_skew_salt_scatters_giant_doc(spark):
     # and no partition hoards more than half the pages
     assert n_parts >= spark.sparkContext.defaultParallelism
     assert biggest <= 40 / 2
+
+
+def test_contamination_broadcasts_eval_grams(spark):
+    """Decontamination must never shuffle the train side: the eval
+    n-gram set is the broadcast build side, and the per-doc shared
+    count partial-aggregates map-side."""
+    from onnxtr_spark.functions.text import contamination
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(contamination(docs))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p.split("BroadcastHashJoin")[0]  # gram join is the broadcast one
