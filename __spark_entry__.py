@@ -394,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_stats": lambda s, d: text.repetition_stats(_documents(s, d)),
         "dedup_passages": lambda s, d: text.passage_dedup(_documents(s, d)),
         "docs_decontaminate": lambda s, d: text.contamination(_documents(s, d)),
+        "text_unigram_nll": lambda s, d: text.unigram_nll(_documents(s, d)),
         "dedup_exact": lambda s, d: dedup.exact_dedup(_documents(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_documents(s, d)),
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(_embeddings(s, d)),
@@ -491,6 +492,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition_stats": text.repetition_stats_sql(),
         "dedup_passages": text.passage_dedup_sql(),
         "docs_decontaminate": text.contamination_sql(),
+        "text_unigram_nll": text.UNIGRAM_NLL_SQL,
         "training_mix": text.training_mix_sql(),
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_minhash_bands": dedup.minhash_bands_sql(),

@@ -947,3 +947,53 @@ SELECT t.doc_id,
 FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
 WHERE t.doc_id % {eval_mod} <> 0
 """
+
+
+# --- unigram LM scoring (perplexity-proxy quality filter) -----------------
+
+
+def unigram_nll(documents: DataFrame) -> DataFrame:
+    """CCNet-style LM quality proxy: per-doc mean negative log
+    probability of its tokens under the corpus's OWN unigram model
+    (docs full of globally-rare tokens score high = likely noise;
+    boilerplate scores low). Output: (doc_id, n_tokens, nll).
+
+    Scale shape: token counts are one map-side-combined groupBy; the
+    corpus-total is a 1-row broadcast cross join (control-plane
+    scalar, never a single-partition window); the count join back to
+    token occurrences is an equi-join AQE broadcasts while the
+    vocabulary fits and shuffles when it doesn't."""
+    toks_e = spread(documents).select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.explode(tokens()).alias("tok")
+    )
+    counts = toks_e.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    logp = counts.crossJoin(F.broadcast(total)).select(
+        "tok", F.log(F.col("cnt") / F.col("total")).alias("lp")
+    )
+    return (
+        toks_e.join(logp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            round_half_up(-F.avg("lp"), 4).alias("nll"),
+        )
+    )
+
+
+UNIGRAM_NLL_SQL = f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+), counts AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
+), total AS (
+  SELECT sum(cnt) AS total FROM counts
+), logp AS (
+  SELECT tok, ln(cnt::DOUBLE / total) AS lp FROM counts, total
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       {round_half_up_sql('-avg(lp)', 4)} AS nll
+FROM toks JOIN logp USING (tok)
+GROUP BY doc_id
+"""
