@@ -400,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(_embeddings(s, d)),
         "ann_lsh_buckets": lambda s, d: similarity.lsh_buckets(_embeddings(s, d)),
         "embedding_centroids": lambda s, d: similarity.label_centroids(_embeddings(s, d)),
+        "embedding_quantize": lambda s, d: similarity.quantize_embeddings(_embeddings(s, d)),
         # multimodal: audio decode→features, video demux→frame sampling
         "audio_features": lambda s, d: media.audio_features_query(_documents(s, d)),
         "video_frame_meta": lambda s, d: media.video_frame_meta_query(_documents(s, d)),
@@ -506,5 +507,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_buckets": similarity.lsh_buckets_sql(),
         "ann_lsh_near_pairs": similarity.lsh_near_pairs_sql(),
         "embedding_centroids": similarity.LABEL_CENTROIDS_SQL,
+        "embedding_quantize": similarity.QUANTIZE_EMBEDDINGS_SQL,
         "kmeans_centroids": similarity.kmeans_centroids_sql(),
     }
