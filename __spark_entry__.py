@@ -401,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": lambda s, d: similarity.lsh_buckets(_embeddings(s, d)),
         "embedding_centroids": lambda s, d: similarity.label_centroids(_embeddings(s, d)),
         "embedding_quantize": lambda s, d: similarity.quantize_embeddings(_embeddings(s, d)),
+        "ann_cosine_topk_int8": lambda s, d: similarity.cosine_topk_int8(_embeddings(s, d)),
         # multimodal: audio decode→features, video demux→frame sampling
         "audio_features": lambda s, d: media.audio_features_query(_documents(s, d)),
         "video_frame_meta": lambda s, d: media.video_frame_meta_query(_documents(s, d)),
@@ -508,5 +509,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_near_pairs": similarity.lsh_near_pairs_sql(),
         "embedding_centroids": similarity.LABEL_CENTROIDS_SQL,
         "embedding_quantize": similarity.QUANTIZE_EMBEDDINGS_SQL,
+        "ann_cosine_topk_int8": similarity.cosine_topk_int8_sql(),
         "kmeans_centroids": similarity.kmeans_centroids_sql(),
     }

@@ -678,3 +678,70 @@ SELECT vec_id, CAST(i AS BIGINT) AS pos,
        scale
 FROM s, UNNEST(generate_series(1, len(v))) AS u(i)
 """
+
+
+def cosine_topk_int8(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
+    """Exact top-k by cosine over the INT8-QUANTIZED index — the search
+    path that pairs with ``quantize_embeddings`` at 100 TB (4x less
+    memory traffic, integer dot products; the per-vector scales cancel
+    in the cosine, so similarity needs no dequantization at all).
+    Same output contract as ``cosine_topk``; the quantization rounds
+    the vectors, so ranks can legitimately differ from the float index
+    — the oracle replays the identical int8 definition."""
+    v = F.col("embedding")
+    scale = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))) / F.lit(127.0)
+    qz = embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform(v, lambda x: F.floor(x / scale + 0.5).cast("long")).alias("qv"),
+    ).withColumn(
+        "qn",
+        F.sqrt(
+            F.aggregate(
+                F.col("qv"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            ).cast("double")
+        ),
+    )
+    queries = qz.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q"), F.col("qn").alias("q_qn")
+    )
+    pairs = qz.crossJoin(F.broadcast(queries)).where(F.col("vec_id") != F.col("query_id"))
+    idot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sims = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        round_half_up(idot.cast("double") / (F.col("q_qn") * F.col("qn")), ROUND).alias("sim"),
+    )
+    return _topk(sims, k)
+
+
+def cosine_topk_int8_sql(n_queries: int = 8, k: int = 5) -> str:
+    idot = "list_sum(list_transform(list_zip(q.qv, e.qv), p -> p[1] * p[2]))::DOUBLE"
+    return f"""
+WITH s AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+  FROM embeddings
+), qz AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x::DOUBLE / scale + 0.5) AS BIGINT)) AS qv
+  FROM s
+), n AS (
+  SELECT vec_id, qv,
+         sqrt(list_sum(list_transform(qv, x -> (x * x)::DOUBLE))) AS qn
+  FROM qz
+), sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {round_half_up_sql(f'{idot} / (q.qn * e.qn)', ROUND)} AS sim
+  FROM n e, (SELECT * FROM n WHERE vec_id < {n_queries}) q
+  WHERE e.vec_id != q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= {k}
+"""
