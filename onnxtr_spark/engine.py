@@ -429,6 +429,9 @@ register_model("stub_fast", lambda cfg: DetectionEngine())
 register_model("stub_fast_float", FloatDetectionEngine)
 register_model("stub_db_float", DbFloatDetectionEngine)
 register_model("stub_crnn", lambda cfg, vocab=DEFAULT_VOCAB: RecognitionEngine(vocab))
+# VIPTR decodes with the same CTC contract as CRNN (blank = len(vocab),
+# min-of-top-prob conf; reference viptr.py:33-88) — same engine family
+register_model("stub_viptr", lambda cfg, vocab=DEFAULT_VOCAB: RecognitionEngine(vocab))
 register_model("stub_crnn_float", lambda cfg, vocab=DEFAULT_VOCAB: FloatRecognitionEngine(cfg, vocab))
 register_model("stub_mobilenet_orient", lambda cfg: OrientationEngine())
 for _family in ("vitstr", "parseq", "sar", "master"):

@@ -80,6 +80,10 @@ def test_attention_reco_arch_matches_ctc_spans(spark, corpus):
     recognition family is a pure config change end-to-end."""
     docs, media = corpus
     want = ocr_predictor()(docs, media).toPandas()
+    # viptr: CTC contract identical to CRNN (viptr.py:33-88), alias arch
+    from onnxtr_spark.engine import CTC_CONTRACT, EngineConfig as _EC, get_recognition_engine
+
+    assert get_recognition_engine(cfg=_EC(arch="stub_viptr")).decode_contract == CTC_CONTRACT
     for family in ("stub_vitstr", "stub_sar"):
         out = ocr_predictor(reco_arch=family)(docs, media).toPandas()
         got = out.sort_values(["doc_id", "offset"]).reset_index(drop=True)
