@@ -205,3 +205,90 @@ def funnel_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming MinHash near-dup -------------------------------------------
+
+NEARDUP_INPUT_DDL = "doc_id string, text string"
+NEARDUP_OUTPUT_DDL = "doc_id string, dup_of string, band int"
+_NEARDUP_STATE_DDL = "first string"
+
+
+def _stream_minhash_bands(docs_stream: DataFrame) -> DataFrame:
+    """Per-ROW MinHash band keys — the same signature math as the batch
+    operator (functions/dedup.minhash_signatures: one md5 per shingle,
+    multiplicative seeds mod P) but folded over the per-doc shingle
+    ARRAY instead of explode+groupBy: a streaming query gets exactly one
+    stateful operator (the bucket state below), everything upstream
+    stays narrow."""
+    from onnxtr_spark.functions.dedup import LSH_BANDS, MINHASH_A, MINHASH_K, MINHASH_P
+    from onnxtr_spark.functions.hashing import hash64
+
+    k = 3
+    toks = F.split(F.trim("text"), r"\s+")
+    sh = F.when(F.size(toks) < k, F.array(F.array_join(toks, " "))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+            )
+        )
+    )
+    base = F.transform(sh, lambda s: F.pmod(hash64(s, 0), F.lit(MINHASH_P)))
+    sigs = [
+        F.array_min(F.transform(base, lambda b: F.pmod(b * F.lit(MINHASH_A[i]), F.lit(MINHASH_P))))
+        for i in range(MINHASH_K)
+    ]
+    r = MINHASH_K // LSH_BANDS
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("_", *[sigs[b * r + j].cast("string") for j in range(r)])).alias("band_key"),
+        )
+        for b in range(LSH_BANDS)
+    ])
+    return docs_stream.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def _neardup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    ids = sorted({str(d) for pdf in pdfs for d in pdf["doc_id"]})
+    if not ids:
+        yield pd.DataFrame(columns=["doc_id", "dup_of", "band"])
+        return
+    band = int(key[0])
+    if state.exists:
+        first = state.get[0]
+        dups = [d for d in ids if d != first]
+    else:
+        first = ids[0]
+        state.update((first,))
+        dups = ids[1:]
+    yield pd.DataFrame({
+        "doc_id": dups,
+        "dup_of": [first] * len(dups),
+        "band": [band] * len(dups),
+    })
+
+
+def neardup_stream(docs_stream: DataFrame) -> DataFrame:
+    """Streaming MinHash-LSH near-dup: each (band, band_key) bucket
+    remembers its FIRST document (one string of state per non-empty
+    bucket); any later arrival in the same bucket — same micro-batch or
+    weeks later — emits (doc_id, dup_of, band). The ingest-time twin of
+    ``dedup.lsh_candidate_pairs``: a doc colliding in several bands
+    emits once per band, so downstream takes
+    ``distinct(doc_id, dup_of)`` exactly like the batch operator's
+    candidate distinct. State survives restarts via the stream
+    checkpoint; size is one row per OCCUPIED bucket, independent of
+    corpus length."""
+    return _stream_minhash_bands(docs_stream).groupBy("band", "band_key").applyInPandasWithState(
+        _neardup_fn,
+        outputStructType=NEARDUP_OUTPUT_DDL,
+        stateStructType=_NEARDUP_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
