@@ -40,6 +40,10 @@ def __getattr__(name):
         from onnxtr_spark import zoo
 
         return getattr(zoo, name)
+    if name == "DocumentFile":
+        from onnxtr_spark.sources.reader import DocumentFile
+
+        return DocumentFile
     if name == "from_hub":
         from onnxtr_spark.hub import from_hub
 

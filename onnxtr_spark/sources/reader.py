@@ -224,3 +224,62 @@ SELECT sid, CASE k4 WHEN 1 THEN 'pdf' WHEN 2 THEN 'image' ELSE 'pdf_scanned' END
        array_to_string(words[p * {WORDS_PER_PAGE} + 1 : (p + 1) * {WORDS_PER_PAGE}], ' ')
 FROM paged
 """
+
+
+class DocumentFile:
+    """The reference's I/O entry (io/reader.py:21-79) in Spark shape:
+    each classmethod turns a DataFrame of raw document bytes into the
+    PAGES relation (doc_id, offset, media_ref, png, height, width) the
+    predictors consume — ``DocumentFile.from_pdfs(blobs)`` then
+    ``ocr_predictor()``/``detection_predictor()`` mirrors the
+    reference's ``DocumentFile.from_pdf(path)`` then ``model(doc)``.
+    Single-file convenience is a 1-row DataFrame; at 10^12 docs the
+    input is a table either way."""
+
+    @classmethod
+    def from_pdfs(
+        cls, pdfs: DataFrame, rasterizer_cfg: RasterizerConfig = RasterizerConfig()
+    ) -> DataFrame:
+        """(doc_id, pdf binary) → one page-image row per PDF page
+        (reference from_pdf → read_pdf, io/pdf.py:16-43: pypdfium2
+        render at scale=2 — the injectable rasterizer seam)."""
+        return rasterize_pdf_pages(pdfs, rasterizer_cfg)
+
+    @classmethod
+    def from_images(cls, images: DataFrame) -> DataFrame:
+        """(doc_id, page, png [, height, width]) → the pages contract
+        (reference from_images, io/image.py decode). Width/height are
+        decoded from the image header when absent."""
+        cols = set(images.columns)
+        if "offset" not in cols:
+            images = images.withColumn("offset", F.coalesce(F.col("page"), F.lit(0)).cast("int"))
+        if "media_ref" not in cols:
+            images = images.withColumn(
+                "media_ref", F.concat_ws("-", F.lit("m"), F.col("doc_id"), F.col("offset"))
+            )
+        if "height" not in cols or "width" not in cols:
+            # imaging codec header: magic(5) + H,W little-endian int32
+            images = images.withColumn(
+                "height", F.conv(F.hex(F.reverse(F.substring(F.col("png"), 6, 4))), 16, 10).cast("int")
+            ).withColumn(
+                "width", F.conv(F.hex(F.reverse(F.substring(F.col("png"), 10, 4))), 16, 10).cast("int")
+            )
+        return images.select("doc_id", "offset", "media_ref", "png", "height", "width")
+
+    @classmethod
+    def from_html(
+        cls,
+        htmls: DataFrame,
+        renderer_cfg: HtmlRendererConfig = HtmlRendererConfig(),
+        rasterizer_cfg: RasterizerConfig = RasterizerConfig(),
+    ) -> DataFrame:
+        """(doc_id, html string) → rendered PDF → page images (the
+        reference's from_url: weasyprint render then from_pdf,
+        io/reader.py:41-61 + io/html.py:11-26; fetching the URL body
+        is the caller's concern here — the table holds the HTML)."""
+        return rasterize_pdf_pages(
+            render_html_pdfs(htmls.select("doc_id", "html"), renderer_cfg).select(
+                "doc_id", F.col("pdf")
+            ),
+            rasterizer_cfg,
+        )

@@ -34,3 +34,59 @@ def test_mixed_corpus_routes_per_kind(spark):
     assert rows[("i1", 0)] == ("image", "scanned words")
     assert rows[("i1", 1)] == ("image", "second page")
     assert len(out) == 5
+
+
+def test_documentfile_from_pdfs_feeds_predictors(spark):
+    """DocumentFile.from_pdfs → detection/recognition predictors: the
+    reference's `DocumentFile.from_pdf(path); model(doc)` shape as
+    DataFrame transforms, span-text-equal to the source words."""
+    import onnxtr_spark as ox
+    from onnxtr_spark.corpus import FIXTURE_TEXTS
+    from onnxtr_spark.sources.pdf import synthesize_pdfs
+    from onnxtr_spark.sources.reader import DocumentFile
+
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in FIXTURE_TEXTS[:2]], "doc_id string, text string"
+    )
+    pages = DocumentFile.from_pdfs(synthesize_pdfs(docs))
+    words = ox.recognition_predictor()(ox.detection_predictor()(pages)).toPandas()
+    got = sorted(words.text)
+    want = sorted(w for _, t in FIXTURE_TEXTS[:2] for w in t.split())
+    assert got == want
+
+
+def test_documentfile_from_images_decodes_dims_and_runs(spark):
+    """from_images fills offset/media_ref and decodes height/width from
+    the image header JVM-side (no Python pass), yielding the exact
+    pages contract."""
+    import pandas as pd
+
+    from onnxtr_spark import imaging
+    from onnxtr_spark.corpus import FIXTURE_TEXTS, render_doc_pages
+    from onnxtr_spark.sources.reader import DocumentFile
+    from onnxtr_spark.stages.fused import detect_recognize_pages
+
+    rows = []
+    for doc_id, text in FIXTURE_TEXTS[:2]:
+        for p, (_, img) in enumerate(render_doc_pages(doc_id, text)):
+            rows.append({"doc_id": doc_id, "page": p, "png": imaging.encode_image(img),
+                         "h": img.shape[0], "w": img.shape[1]})
+    images = spark.createDataFrame(pd.DataFrame(rows), "doc_id string, page int, png binary, h int, w int")
+    pages = DocumentFile.from_images(images.select("doc_id", "page", "png"))
+    out = pages.toPandas()
+    byref = {r["doc_id"] + "-" + str(r["page"]): (r["h"], r["w"]) for r in rows}
+    for _, r in out.iterrows():
+        assert (r.height, r.width) == byref[r.doc_id + "-" + str(r.offset)]
+    assert detect_recognize_pages(pages).count() > 0
+
+
+def test_documentfile_from_html_renders_to_pages(spark):
+    from onnxtr_spark.sources.reader import DocumentFile
+
+    htmls = spark.createDataFrame(
+        [("h1", "<html><body><main><p>alpha beta gamma</p></main></body></html>")],
+        "doc_id string, html string",
+    )
+    pages = DocumentFile.from_html(htmls).toPandas()
+    assert len(pages) >= 1
+    assert set(pages.columns) == {"doc_id", "offset", "media_ref", "png", "height", "width"}
