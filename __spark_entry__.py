@@ -374,6 +374,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_sales_opportunity": rel.q22_global_sales_opportunity,
         "tpch_q13_cust_distribution": rel.q13_customer_distribution,
         "tpch_q15_top_supplier": rel.q15_top_supplier,
+        "tpch_q8_market_share": rel.q8_market_share,
+        "tpch_q9_profit": rel.q9_profit_by_nation_year,
+        "tpch_q17_small_qty": rel.q17_small_quantity_revenue,
+        "tpch_q21_waiting_suppliers": rel.q21_waiting_suppliers,
         "events_distinct_users": rel.events_distinct_users,
         "top_customers": rel.top_customers,
         "order_priority_count": rel.order_priority_count,
@@ -474,6 +478,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q22_sales_opportunity": rel.Q22_SQL,
         "tpch_q13_cust_distribution": rel.Q13_SQL,
         "tpch_q15_top_supplier": rel.Q15_SQL,
+        "tpch_q8_market_share": rel.Q8_SQL,
+        "tpch_q9_profit": rel.Q9_SQL,
+        "tpch_q17_small_qty": rel.Q17_SQL,
+        "tpch_q21_waiting_suppliers": rel.Q21_SQL,
         "events_distinct_users": rel.EVENTS_DISTINCT_SQL,
         "events_top_users": rel.EVENTS_TOP_USERS_SQL,
         "events_funnel": rel.EVENTS_FUNNEL_SQL,

@@ -733,3 +733,195 @@ SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_rev
 FROM supplier JOIN revenue ON s_suppkey = l_suppkey
 WHERE total_rev = (SELECT max(total_rev) FROM revenue)
 """
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog (national market share): NATION_1's share of
+    AMERICA-region customers' STANDARD-part volume per order year.
+    Plan shape: one fact scan, every dimension broadcast, conditional
+    aggregation for the share numerator — no second pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    supp = _t(spark, sf_dir, "supplier")
+    nat_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0)) / F.sum(vol), 4
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_1'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog (product-type profit): per supplier nation and
+    order year, revenue minus a retail-price cost proxy (the testdata
+    has no partsupp table, so p_retailprice*0.6*quantity stands in for
+    ps_supplycost*quantity — same plan shape: fact scan, broadcast
+    dims, one aggregation) over parts whose name contains 'gear'."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").contains("gear"))
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    # per-ROW integer cents, then an exact integer sum: a double
+    # sum-then-round is summation-order-dependent and hit a .005 tie
+    # one cent apart between engines (partial-agg order vs sequential)
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.lit(0.6) * F.col("l_quantity")
+    cents = F.floor(amount * 100 + F.lit(0.5)).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg((F.sum(cents) / F.lit(100.0)).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount) - p_retailprice * 0.6 * l_quantity) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog (small-quantity-order revenue): average yearly
+    revenue lost if Brand#1 orders below 20% of the part's average
+    quantity were not filled. The correlated scalar subquery becomes a
+    per-part aggregate joined back (the thresholds relation is
+    part-cardinality — AQE broadcasts it)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("thr")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(thr, li.l_partkey == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("thr"))
+        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+WITH thr AS (
+  SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS thr
+  FROM lineitem GROUP BY 1
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN thr  ON l_partkey = t_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < thr
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog (suppliers who kept orders waiting): per
+    NATION_1 supplier, count multi-supplier orders where THIS supplier
+    shipped late (> 60 days after the order date; the testdata carries
+    no commit/receipt dates) and NO OTHER supplier on the order was
+    late. The exists / not-exists pair becomes two aggregated
+    anti-joinable relations on orderkey — no correlated per-row
+    subquery, two shuffles total."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderstatus")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).where(F.col("o_orderstatus") == "F")
+    late = F.datediff("l_shipdate", "o_orderdate") > 60
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supps"),
+    )
+    target = (
+        lo.where(late)
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        target.join(F.broadcast(supp), target.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("s_name").alias("s_name"))
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+Q21_SQL = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(DISTINCT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+                             THEN l_suppkey END) AS n_late_supps
+  FROM lo GROUP BY 1
+), target AS (
+  SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+  FROM lo JOIN per_order USING (l_orderkey)
+  WHERE date_diff('day', o_orderdate, l_shipdate) > 60
+    AND n_supps > 1 AND n_late_supps = 1
+)
+SELECT s_name, count(*) AS numwait
+FROM target
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+GROUP BY 1 ORDER BY numwait DESC, s_name
+"""
