@@ -365,3 +365,48 @@ def test_contamination_broadcasts_eval_grams(spark):
     # join's strategy is conf-dependent and not the point)
     assert _re.search(r"BroadcastHashJoin \[g#", p), p
     assert not _re.search(r"SortMergeJoin \[g#", p), p
+
+
+def test_new_pipeline_operators_plan_shapes(spark):
+    """Scale-shape assertions for the round-5 operators: no per-query
+    windows over raw exploded rows, no cartesian products, broadcasts
+    where a small side exists."""
+    from onnxtr_spark.functions.similarity import cosine_topk_int8, quantize_embeddings
+    from onnxtr_spark.functions.text import (
+        passage_dedup,
+        pii_scrub,
+        repetition_stats,
+        unigram_nll,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    # pii_scrub and quantize: pure narrow column algebra — no exchange
+    # beyond the input spread, certainly no join/window
+    for df in (pii_scrub(docs), quantize_embeddings(emb)):
+        p = plan(df)
+        assert "Window" not in p and "Join" not in p
+
+    # repetition stats: the bigram mode is groupBy+max(struct), never a
+    # window over the exploded grams
+    p = plan(repetition_stats(docs))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+    # passage dedup: single hash aggregate (partial+final), no window
+    p = plan(passage_dedup(docs))
+    assert "Window" not in p and "Join" not in p
+
+    # unigram NLL: the corpus total is a broadcast 1-row join, not a
+    # single-partition window
+    p = plan(unigram_nll(docs))
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+    # int8 top-k: queries broadcast into the scan side, two-level top-k
+    # (partial rank inside fan-out buckets before the final window)
+    p = plan(cosine_topk_int8(emb))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\bWindow \[", p)) == 2  # partial + final row_number only
