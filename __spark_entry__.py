@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_brand_stats": rel.part_brand_stats,
         "lineitem_top_per_order": rel.lineitem_top_per_order,
         "events_sessionize": rel.events_sessionize,
+        "events_session_pct": rel.events_session_duration_percentiles,
         "events_hourly": rel.events_hourly,
         "events_top_users": rel.events_top_users_per_type,
         "events_funnel": rel.events_funnel,
@@ -491,6 +492,7 @@ def oracle_sql() -> dict[str, str]:
         "part_brand_stats": rel.PART_BRAND_SQL,
         "lineitem_top_per_order": rel.LINEITEM_TOP_SQL,
         "events_sessionize": rel.EVENTS_SESSIONIZE_SQL,
+        "events_session_pct": rel.EVENTS_SESSION_PCT_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "text_token_stats": text.TOKEN_STATS_SQL,
         "text_quality_score": text.QUALITY_SCORE_SQL,

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from onnxtr_spark.functions.hashing import round_half_up, round_half_up_sql
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -924,4 +926,70 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
 WHERE n_name = 'NATION_1'
 GROUP BY 1 ORDER BY numwait DESC, s_name
+"""
+
+
+def events_session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of session duration seconds (same 30-min-gap
+    sessionization as events_sessionize). Exact percentiles need the
+    sorted session relation — fine here because the percentile runs
+    over SESSIONS (orders of magnitude smaller than events; the events
+    themselves only flow through the per-user sessionize window). At
+    100 TB the same query swaps `percentile` for `approx_percentile`
+    on one line; the exact form is what the oracle can verify."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
+    sess = (
+        ev.withColumn("ts_s", ts_s)
+        .withColumn("new_sess", F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg((F.max("ts_s") - F.min("ts_s")).alias("dur"))
+    )
+    pct = F.percentile(F.col("dur"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return sess.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        round_half_up(F.element_at(pct, 1), 4).alias("p50_sec"),
+        round_half_up(F.element_at(pct, 2), 4).alias("p90_sec"),
+        round_half_up(F.element_at(pct, 3), 4).alias("p99_sec"),
+    )
+
+
+EVENTS_SESSION_PCT_SQL = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,  -- Spark cast-to-long truncates sub-second parts
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts_s,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+), per_sess AS (
+  SELECT user_id, session_id, max(ts_s) - min(ts_s) AS dur
+  FROM s GROUP BY 1, 2
+)
+-- Spark's exact `percentile` uses the type-7 definition rank =
+-- p*(n-1) over the 0-based sorted relation with linear interpolation;
+-- DuckDB's quantile_cont interpolates differently, so the oracle
+-- spells Spark's formula out (same double ops, bit-identical).
+, ranked AS (
+  SELECT dur::DOUBLE AS dur, row_number() OVER (ORDER BY dur) - 1 AS r FROM per_sess
+), c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_sess)
+SELECT (SELECT n FROM c) AS n_sessions,
+       (SELECT {round_half_up_sql(f"lo.dur + ((0.5 * ((SELECT n FROM c) - 1)) - floor((0.5 * ((SELECT n FROM c) - 1)))) * (coalesce(hi.dur, lo.dur) - lo.dur)", 4)}
+          FROM (SELECT dur FROM ranked WHERE r = CAST(floor((0.5 * ((SELECT n FROM c) - 1))) AS BIGINT)) lo
+          LEFT JOIN (SELECT dur FROM ranked WHERE r = CAST(floor((0.5 * ((SELECT n FROM c) - 1))) AS BIGINT) + 1) hi ON TRUE) AS p50_sec,
+       (SELECT {round_half_up_sql(f"lo.dur + ((0.9 * ((SELECT n FROM c) - 1)) - floor((0.9 * ((SELECT n FROM c) - 1)))) * (coalesce(hi.dur, lo.dur) - lo.dur)", 4)}
+          FROM (SELECT dur FROM ranked WHERE r = CAST(floor((0.9 * ((SELECT n FROM c) - 1))) AS BIGINT)) lo
+          LEFT JOIN (SELECT dur FROM ranked WHERE r = CAST(floor((0.9 * ((SELECT n FROM c) - 1))) AS BIGINT) + 1) hi ON TRUE) AS p90_sec,
+       (SELECT {round_half_up_sql(f"lo.dur + ((0.99 * ((SELECT n FROM c) - 1)) - floor((0.99 * ((SELECT n FROM c) - 1)))) * (coalesce(hi.dur, lo.dur) - lo.dur)", 4)}
+          FROM (SELECT dur FROM ranked WHERE r = CAST(floor((0.99 * ((SELECT n FROM c) - 1))) AS BIGINT)) lo
+          LEFT JOIN (SELECT dur FROM ranked WHERE r = CAST(floor((0.99 * ((SELECT n FROM c) - 1))) AS BIGINT) + 1) hi ON TRUE) AS p99_sec
 """
