@@ -648,7 +648,11 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     from onnxtr_spark.functions.hashing import round_half_up
 
     v = F.col("embedding")
-    scale = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))) / F.lit(127.0)
+    # the 1e-30 floor makes an all-zero vector quantize to zeros instead
+    # of dividing by zero (engines disagree on 0/0 semantics)
+    scale = F.greatest(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))), F.lit(1e-30)
+    ) / F.lit(127.0)
     return (
         embeddings.select(
             F.col("vec_id").cast("long").alias("vec_id"),
@@ -669,7 +673,7 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
 QUANTIZE_EMBEDDINGS_SQL = """
 WITH s AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding AS v,
-         (floor((list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0) * 1000000 + 0.5)
+         (floor((greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-30) / 127.0) * 1000000 + 0.5)
           / 1000000.0 + 0.0) AS scale
   FROM embeddings
 )
@@ -689,7 +693,9 @@ def cosine_topk_int8(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> D
     the vectors, so ranks can legitimately differ from the float index
     — the oracle replays the identical int8 definition."""
     v = F.col("embedding")
-    scale = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))) / F.lit(127.0)
+    scale = F.greatest(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))), F.lit(1e-30)
+    ) / F.lit(127.0)
     qz = embeddings.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.transform(v, lambda x: F.floor(x / scale + 0.5).cast("long")).alias("qv"),
@@ -723,7 +729,7 @@ def cosine_topk_int8_sql(n_queries: int = 8, k: int = 5) -> str:
     return f"""
 WITH s AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
-         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+         greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-30) / 127.0 AS scale
   FROM embeddings
 ), qz AS (
   SELECT vec_id,
