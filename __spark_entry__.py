@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from onnxtr_spark.corpus import WORDS_PER_PAGE
+from onnxtr_spark.functions import curate as _curate
 from onnxtr_spark.functions import dedup, evaluation, media, similarity, text
 from onnxtr_spark.queries import relational as rel
 from onnxtr_spark.stages.ingest import docs_from_documents, load_documents, media_from_documents
@@ -31,6 +32,14 @@ from onnxtr_spark.stages.pipeline import media_pages
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: OCR every media span at sf0.001, return ordered spans."""
     return extract_from_testdata(spark, "/root/testdata/sf0.001")
+
+
+def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline (exact-dedup, quality, lang-ID,
+    repetition, decontamination gates composed into one audited plan)
+    reduced to its per-gate funnel — the composed oracle embeds every
+    gate's own oracle SQL, so a green row proves the composition."""
+    return _curate.curation_funnel(_curate.curate(_documents(spark, sf_dir)))
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passages": lambda s, d: text.passage_dedup(_documents(s, d)),
         "docs_decontaminate": lambda s, d: text.contamination(_documents(s, d)),
         "text_unigram_nll": lambda s, d: text.unigram_nll(_documents(s, d)),
+        "curation_funnel": _curation_funnel,
         "dedup_exact": lambda s, d: dedup.exact_dedup(_documents(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_documents(s, d)),
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(_embeddings(s, d)),
@@ -505,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_passages": text.passage_dedup_sql(),
         "docs_decontaminate": text.contamination_sql(),
         "text_unigram_nll": text.UNIGRAM_NLL_SQL,
+        "curation_funnel": _curate.curation_funnel_sql(),
         "training_mix": text.training_mix_sql(),
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_minhash_bands": dedup.minhash_bands_sql(),

@@ -1,0 +1,160 @@
+"""End-to-end corpus curation: the training-data pipeline as ONE
+declarative plan.
+
+Composes the individual operators (exact dedup, quality score, model
+lang-ID, repetition filters, benchmark decontamination, PII scrub)
+into the materialization a pre-training run actually consumes, plus a
+per-stage funnel relation for lineage/metrics. Every stage is a
+doc_id equi-join against a scalar-per-doc relation — no operator is
+re-implemented here, and the composed plan stays one DAG Catalyst can
+optimize across stage boundaries (shared scans, pushed filters).
+
+Scale notes: each side relation is one map-side-combined aggregate or
+pure column algebra over the same documents scan; the joins are
+doc_id equi-joins AQE broadcasts while the survivor set is small and
+shuffles when it is not. The funnel counts reuse the SAME curated
+lineage (cached once) rather than re-running the pipeline per stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from onnxtr_spark.functions.dedup import exact_dedup
+from onnxtr_spark.functions.text import (
+    contamination,
+    lang_id,
+    pii_clean,
+    quality_score,
+    repetition_stats,
+)
+
+CURATE_DEFAULTS = {
+    "quality_min": 0.5,
+    "langs": ("en",),  # lang_id's ISO-ish short codes
+    "max_dup_word_frac": 0.95,
+    "max_top_bigram_char_frac": 0.2,
+    # decontamination gram width: wider than the analysis default (3)
+    # — as a drop gate, 3-gram collisions over a small shared
+    # vocabulary would evict half the corpus; production uses 8-13
+    "contaminate_n": 5,
+}
+
+
+def curate(
+    documents: DataFrame,
+    quality_min: float = CURATE_DEFAULTS["quality_min"],
+    langs: tuple[str, ...] = CURATE_DEFAULTS["langs"],
+    max_dup_word_frac: float = CURATE_DEFAULTS["max_dup_word_frac"],
+    max_top_bigram_char_frac: float = CURATE_DEFAULTS["max_top_bigram_char_frac"],
+    contaminate_n: int = CURATE_DEFAULTS["contaminate_n"],
+) -> DataFrame:
+    """Curated corpus: (doc_id, text, lang, quality, kept_by) where
+    ``text`` is PII-scrubbed and ``kept_by`` records the first gate a
+    dropped doc failed ('' = kept). Emitting DROPPED rows with their
+    reason keeps the relation auditable — the writer filters
+    ``kept_by = ''`` and the funnel aggregates the rest."""
+    base = documents.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    canon = exact_dedup(documents).select(
+        F.col("canonical_doc_id").alias("doc_id"), F.lit(True).alias("is_canonical")
+    )
+    q = quality_score(documents).select("doc_id", "quality")
+    lg = lang_id(documents).select("doc_id", F.col("pred_lang").alias("lang"))
+    rep = repetition_stats(documents)
+    cont = contamination(documents, n=contaminate_n).select("doc_id", "contaminated")
+
+    joined = (
+        base.join(canon, "doc_id", "left")
+        .join(q, "doc_id", "left")
+        .join(lg, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(cont, "doc_id", "left")  # eval-slice docs have no row -> null
+    )
+    kept_by = (
+        F.when(F.col("is_canonical").isNull(), F.lit("exact_dup"))
+        .when(F.col("contaminated").isNull(), F.lit("eval_holdout"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
+        .when(F.col("quality") < quality_min, F.lit("low_quality"))
+        .when(~F.col("lang").isin(*langs), F.lit("wrong_lang"))
+        .when(F.col("dup_word_frac") > max_dup_word_frac, F.lit("repetitive_words"))
+        .when(F.col("top_bigram_char_frac") > max_top_bigram_char_frac, F.lit("repetitive_bigram"))
+        .otherwise(F.lit(""))
+    )
+    return joined.select(
+        "doc_id",
+        pii_clean(F.col("text")).alias("text"),
+        "lang",
+        "quality",
+        kept_by.alias("kept_by"),
+    )
+
+
+def curation_funnel(curated: DataFrame) -> DataFrame:
+    """(stage, n_docs) funnel over the audited relation — one
+    aggregation, no pipeline re-run."""
+    return (
+        curated.groupBy(
+            F.when(F.col("kept_by") == "", F.lit("kept")).otherwise(F.col("kept_by")).alias("stage")
+        )
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("stage")
+    )
+
+
+def curation_funnel_sql(
+    quality_min: float = CURATE_DEFAULTS["quality_min"],
+    langs: tuple[str, ...] = CURATE_DEFAULTS["langs"],
+    max_dup_word_frac: float = CURATE_DEFAULTS["max_dup_word_frac"],
+    max_top_bigram_char_frac: float = CURATE_DEFAULTS["max_top_bigram_char_frac"],
+    contaminate_n: int = CURATE_DEFAULTS["contaminate_n"],
+) -> str:
+    """Composed oracle: every gate's own oracle SQL embedded as a
+    derived table, the same left joins and CASE ladder — a green row
+    proves the COMPOSITION, not just the parts (the training_mix
+    pattern)."""
+    from onnxtr_spark.functions.dedup import EXACT_DEDUP_SQL
+    from onnxtr_spark.functions.text import (
+        QUALITY_SCORE_SQL,
+        contamination_sql,
+        lang_id_sql,
+        repetition_stats_sql,
+    )
+
+    lang_list = ", ".join(f"'{lg}'" for lg in langs)
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+), canon AS (
+  SELECT canonical_doc_id AS doc_id, TRUE AS is_canonical FROM ({EXACT_DEDUP_SQL})
+), q AS (
+  SELECT doc_id, quality FROM ({QUALITY_SCORE_SQL})
+), lg AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_lang AS lang FROM ({lang_id_sql()})
+), rep AS (
+  SELECT * FROM ({repetition_stats_sql()})
+), cont AS (
+  SELECT doc_id, contaminated FROM ({contamination_sql(contaminate_n)})
+), j AS (
+  SELECT base.doc_id, is_canonical, quality, lang, dup_word_frac,
+         top_bigram_char_frac, contaminated
+  FROM base
+  LEFT JOIN canon USING (doc_id)
+  LEFT JOIN q USING (doc_id)
+  LEFT JOIN lg USING (doc_id)
+  LEFT JOIN rep USING (doc_id)
+  LEFT JOIN cont USING (doc_id)
+), staged AS (
+  SELECT CASE
+    WHEN is_canonical IS NULL THEN 'exact_dup'
+    WHEN contaminated IS NULL THEN 'eval_holdout'
+    WHEN contaminated THEN 'contaminated'
+    WHEN quality < {quality_min} THEN 'low_quality'
+    WHEN lang NOT IN ({lang_list}) THEN 'wrong_lang'
+    WHEN dup_word_frac > {max_dup_word_frac} THEN 'repetitive_words'
+    WHEN top_bigram_char_frac > {max_top_bigram_char_frac} THEN 'repetitive_bigram'
+    ELSE 'kept' END AS stage
+  FROM j
+)
+SELECT stage, count(*) AS n_docs FROM staged GROUP BY 1 ORDER BY 1
+"""

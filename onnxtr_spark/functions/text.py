@@ -698,19 +698,25 @@ _SEEDED_SQL = (
 )
 
 
+def pii_clean(col):
+    """The redaction expression itself (emails → <EMAIL>, IPv4 → <IP>,
+    phone runs → <PHONE>) — reused by the curation job on real text."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+
+
 def pii_scrub(documents: DataFrame) -> DataFrame:
     """Redact emails/IPv4s/phone runs: (doc_id, n_emails, n_ips,
     n_phones, clean_hash). clean_hash is md5 of the fully-redacted
     text — bit-exact replacement equality across engines without
     shipping the text back."""
     seeded = documents.select(F.col("doc_id").cast("long").alias("doc_id"), _seeded_text().alias("t"))
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"
-        ),
-        PII_PHONE_RE,
-        "<PHONE>",
-    )
+    clean = pii_clean(F.col("t"))
     return seeded.select(
         "doc_id",
         F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),

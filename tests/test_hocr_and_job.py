@@ -90,3 +90,31 @@ def test_extract_job_cli(spark, tmp_path):
     lin = spark.read.parquet(f"{out}/lineage")
     assert lin.agg(F.sum("n_docs")).collect()[0][0] == 2
     assert lin.agg(F.sum("n_words")).collect()[0][0] > 0
+
+
+def test_curate_job_cli(spark, tmp_path):
+    """The curation job end-to-end as a separate process: audit +
+    curated + funnel land; the funnel partitions the corpus exactly;
+    kept docs are PII-scrubbed and pass every gate."""
+    docs_path, out = str(tmp_path / "docs"), str(tmp_path / "cur")
+    sf_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sf_docs.write.parquet(docs_path)
+    n_docs = sf_docs.count()
+    import os
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2", PYTHONPATH=".")
+    res = subprocess.run(
+        [sys.executable, "jobs/curate_job.py", "--docs", docs_path, "--out", out],
+        capture_output=True, text=True, timeout=300, env=env, cwd=".",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    audit = spark.read.parquet(f"{out}/audit")
+    curated = spark.read.parquet(f"{out}/curated")
+    funnel = {r.stage: r.n_docs for r in spark.read.parquet(f"{out}/funnel").collect()}
+    assert audit.count() == n_docs
+    assert sum(funnel.values()) == n_docs
+    assert funnel.get("kept", 0) == curated.count() > 0
+    # the held-out eval slice is excluded from training output
+    assert curated.where(F.col("doc_id") % 97 == 0).count() == 0
+    # audit kept rows ≡ curated rows
+    assert audit.where(F.col("kept_by") == "").count() == curated.count()
