@@ -409,7 +409,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passages": lambda s, d: text.passage_dedup(_documents(s, d)),
         "docs_decontaminate": lambda s, d: text.contamination(_documents(s, d)),
         "text_unigram_nll": lambda s, d: text.unigram_nll(_documents(s, d)),
-        "curation_funnel": _curation_funnel,
         "dedup_exact": lambda s, d: dedup.exact_dedup(_documents(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_documents(s, d)),
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(_embeddings(s, d)),
@@ -450,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": lambda s, d: dedup.near_dup_groups(_documents(s, d)),
         "ann_lsh_near_pairs": lambda s, d: similarity.lsh_near_pairs(_embeddings(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_documents(s, d)),
+        "curation_funnel": _curation_funnel,
     }
 
 
