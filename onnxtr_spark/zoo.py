@@ -66,6 +66,29 @@ __all__ = [
 ]
 
 
+# Reference arch names → the stub that implements that family's
+# contract, used ONLY when no real factory is registered under the
+# exact name (a deployment's register_model('db_resnet50', ...) always
+# wins). DBNet stubs must be the float near-binary one: the affine
+# uint8 stub under DBNet's 0.3 bin threshold would silently lose
+# glyphs (see engine.DbFloatDetectionEngine).
+_REFERENCE_ARCH_STUBS = {
+    **{a: ("stub_db_float", "float_bhwc") for a in
+       ("db_resnet50", "db_resnet34", "db_mobilenet_v3_large")},
+    **{a: ("stub_fast", "uint8_bhwc") for a in
+       ("fast_tiny", "fast_small", "fast_base",
+        "linknet_resnet18", "linknet_resnet34", "linknet_resnet50")},
+    **{a: ("stub_crnn", "uint8_bhwc") for a in
+       ("crnn_vgg16_bn", "crnn_mobilenet_v3_small", "crnn_mobilenet_v3_large")},
+    "vitstr_small": ("stub_vitstr", "uint8_bhwc"),
+    "vitstr_base": ("stub_vitstr", "uint8_bhwc"),
+    "parseq": ("stub_parseq", "uint8_bhwc"),
+    "sar_resnet31": ("stub_sar", "uint8_bhwc"),
+    "master": ("stub_master", "uint8_bhwc"),
+    "viptr_tiny": ("stub_viptr", "uint8_bhwc"),
+}
+
+
 def _engine_of(arch, default_arch: str) -> EngineConfig:
     """arch string | EngineConfig | HubModel → EngineConfig."""
     if arch is None:
@@ -73,6 +96,11 @@ def _engine_of(arch, default_arch: str) -> EngineConfig:
     if isinstance(arch, EngineConfig):
         return arch
     if isinstance(arch, str):
+        from onnxtr_spark.engine import MODEL_REGISTRY
+
+        if arch not in MODEL_REGISTRY and arch in _REFERENCE_ARCH_STUBS:
+            stub, contract = _REFERENCE_ARCH_STUBS[arch]
+            return EngineConfig(arch=stub, input_contract=contract)
         # *_float stubs implement a real CNN's tensor contract; the
         # stage must run P1-P4 + a true forward for them instead of the
         # folded uint8 fast path

@@ -268,3 +268,32 @@ def test_standalone_predictor_factories(spark, corpus):
     assert set(orients.columns) == {"media_ref", "orientation_class", "orientation_deg"}
     assert (orients.orientation_class == 0).all()  # unrotated corpus
     assert ox.page_orientation_predictor().model_type == "page"
+
+
+def test_reference_arch_names_run_end_to_end(spark, corpus):
+    """The README's switch-over example is real: reference arch strings
+    resolve to the matching stub family (db -> the float near-binary
+    stub with bin 0.3, vitstr -> the attention engine) and the pipeline
+    is span-equal to the default; a registered real factory under the
+    exact name would win over the alias."""
+    docs, media = corpus
+    p = ocr_predictor("db_resnet50", "vitstr_small")
+    assert p.det_cfg.engine.arch == "stub_db_float"
+    assert p.det_cfg.bin_thresh == 0.3
+    assert p.reco_cfg.engine.arch == "stub_vitstr"
+    out = p(docs, media).toPandas()
+    want = golden_flat()
+    got = out.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    want = want.sort_values(["doc_id", "offset"]).reset_index(drop=True)
+    assert (
+        got[["doc_id", "offset", "kind", "text", "media_ref"]].astype(str).values.tolist()
+        == want.astype(str).values.tolist()
+    )
+    # registry always wins over the alias
+    from onnxtr_spark import engine as eng
+
+    eng.register_model("db_resnet50", lambda cfg: object())
+    try:
+        assert ocr_predictor(det_arch="db_resnet50").det_cfg.engine.arch == "db_resnet50"
+    finally:
+        eng.MODEL_REGISTRY.pop("db_resnet50", None)
