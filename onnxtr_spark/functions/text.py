@@ -881,12 +881,16 @@ CONTAM_EVAL_MOD = 97  # doc_id % mod == 0 -> held-out "benchmark" set
 
 
 def contamination(
-    documents: DataFrame, n: int = CONTAM_N, eval_mod: int = CONTAM_EVAL_MOD
+    documents: DataFrame,
+    n: int = CONTAM_N,
+    eval_mod: int = CONTAM_EVAL_MOD,
+    eval_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
-    word-n-gram with the held-out eval set (docs with
-    doc_id % eval_mod == 0 stand in for the benchmark table — a real
-    deployment joins an actual eval-set relation the same way).
+    word-n-gram with the held-out eval set. ``eval_docs`` (a
+    (doc_id[, text]) relation — the actual benchmark table) marks the
+    holdout by doc_id when given; otherwise docs with
+    doc_id % eval_mod == 0 stand in.
     Output: (doc_id, n_shared_grams, contaminated) for every TRAIN doc.
 
     Scale shape: eval n-grams are hashed to int64, deduplicated, and
@@ -895,11 +899,14 @@ def contamination(
     map-side-combined groupBy on the broadcast-join survivors."""
     d = F.col("doc_id").cast("long")
     toks = tokens()
-    base = spread(documents).select(
-        d.alias("doc_id"),
-        toks.alias("t"),
-        (d % eval_mod == 0).alias("is_eval"),
-    )
+    base = spread(documents).select(d.alias("doc_id"), toks.alias("t"))
+    if eval_docs is not None:
+        ev_ids = eval_docs.select(F.col("doc_id").cast("long").alias("doc_id")).distinct()
+        base = base.join(
+            F.broadcast(ev_ids.withColumn("is_eval", F.lit(True))), "doc_id", "left"
+        ).withColumn("is_eval", F.coalesce("is_eval", F.lit(False)))
+    else:
+        base = base.withColumn("is_eval", F.col("doc_id") % eval_mod == 0)
     grams = base.select(
         "doc_id",
         "is_eval",
