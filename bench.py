@@ -418,6 +418,87 @@ def scaling(levels=(8, 32)) -> None:
     )
 
 
+def scaling_curate(levels=(8, 32)) -> None:
+    """Corpus-side scaling evidence: the CURATION pipeline (exact
+    dedup, quality, lang-ID, repetition, decontamination, PII scrub
+    composed — jobs/curate_job.py's exact plan) at two parallelism
+    levels on an identical replicated documents table. Unlike the OCR
+    job this is pure-JVM shuffle/aggregation work — the other half of
+    the engine's scale profile (groupBys, broadcast joins, regex
+    column algebra; zero Python stages). Same protocol: pinned
+    process tree, interleaved levels, min-of-N disclosed, same-window
+    hardware control."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from onnxtr_spark.functions.curate import curate, curation_funnel
+    from onnxtr_spark.session import get_spark
+    from onnxtr_spark.stages.ingest import load_documents, replicate_documents
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cache",
+        f"curatedocs-{os.path.basename(SF_DIR.rstrip('/'))}-x{REPLICATE}",
+    )
+    docs_path = f"{cache_dir}/documents.parquet"
+    if not os.path.exists(docs_path):
+        spark = get_spark("bench-curate-ingest", cpus=max(levels))
+        replicate_documents(load_documents(spark, SF_DIR), REPLICATE).write.mode(
+            "overwrite"
+        ).parquet(docs_path)
+        spark.stop()
+
+    def measure(cpus: int) -> float:
+        import os as _os
+
+        full = _os.sched_getaffinity(0)
+        _os.sched_setaffinity(0, set(sorted(full)[-cpus:]))
+        try:
+            spark = get_spark(f"bench-curate-{cpus}", cpus=cpus, shuffle_partitions=max(32, 2 * cpus))
+            docs = spark.read.parquet(docs_path)
+            curation_funnel(curate(docs)).collect()  # warm-up
+            t0 = time.time()
+            curation_funnel(curate(docs)).collect()
+            sec = time.time() - t0
+            n = docs.count()
+            spark.stop()
+            return sec, n
+        finally:
+            _os.sched_setaffinity(0, full)
+
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+    samples: dict[int, list[float]] = {c: [] for c in levels}
+    n_docs = 0
+    for _ in range(repeats):
+        for cpus in levels:
+            sec, n_docs = measure(cpus)
+            samples[cpus].append(sec)
+    results = {}
+    for cpus in levels:
+        xs = sorted(samples[cpus])
+        results[cpus] = {
+            "sec": round(xs[0], 3),
+            "docs_per_sec": round(n_docs / xs[0], 2),
+            "samples_sec": [round(x, 2) for x in xs],
+        }
+    lo, hi = min(levels), max(levels)
+    eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
+    hw = _hardware_control(levels)
+    print(
+        json.dumps({
+            "metric": "curate_scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "levels": {str(k): v for k, v in results.items()},
+            "docs": int(n_docs),
+            "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            "pinned": True,
+            "hw_control_efficiency": hw,
+            "orchestration_efficiency": round(eff / hw, 3) if hw else None,
+        })
+    )
+
+
 def _hardware_control(levels) -> float:
     """N→4N efficiency of pure pinned multiprocessing FLOPs on this box —
     the single-machine ceiling that a real multi-node cluster (own memory
@@ -451,8 +532,10 @@ def _hardware_control(levels) -> float:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        levels_env = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32")
+    levels_env = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32")
+    if "--scaling-curate" in sys.argv:
+        scaling_curate(tuple(int(x) for x in levels_env.split(",")))
+    elif "--scaling" in sys.argv:
         scaling(tuple(int(x) for x in levels_env.split(",")))
     else:
         headline()

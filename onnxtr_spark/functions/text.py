@@ -313,16 +313,64 @@ def lang_id(documents: DataFrame, cast_id: bool = True) -> DataFrame:
         )
     )
     docs = documents.select(idc.alias("doc_id"), tris.alias("tris"))
-    counts = (
-        docs.select("doc_id", F.explode("tris").alias("trigram"))
-        .groupBy("doc_id", "trigram")
-        .agg(F.count("*").alias("n"))
+    # Per-ROW trigram counting: a document's trigram counts depend only
+    # on its own row, so the former explode → groupBy(doc_id, trigram)
+    # → row_number window — a full shuffle + sort of EVERY trigram
+    # occurrence (~1500 rows/doc; measured 43 s of a 60 s curation run
+    # at 320k docs, and memory-bandwidth-bound so it barely scaled
+    # 8→32 cores) — collapses into sorted-run detection inside the
+    # array: array_sort, run boundaries, (count desc, trigram asc)
+    # struct sort, slice. Identical total order ⇒ identical output;
+    # zero wide operators before the broadcast profile join.
+    # Each intermediate is ALIASED into its own projection so the HOF
+    # lambdas below capture ATTRIBUTES: an expression captured in a
+    # lambda re-evaluates PER ELEMENT (an inline array_sort here made
+    # the pass O(n² log n) per doc — measured 80× slower).
+    d_sorted = docs.select(
+        "doc_id", F.array_sort("tris").alias("ts"), F.size("tris").alias("n")
+    ).where(F.col("n") > 0)
+    d_starts = d_sorted.select(
+        "doc_id",
+        "ts",
+        "n",
+        F.filter(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda i: F.when(i == F.lit(1), F.lit(True)).otherwise(
+                F.element_at(F.col("ts"), i) != F.element_at(F.col("ts"), i - F.lit(1))
+            ),
+        ).alias("starts"),
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("trigram"))
-    top = (
-        counts.withColumn("drank", F.row_number().over(w))
-        .where(F.col("drank") <= DOC_TOP)
-        .withColumn("n_top", F.count("*").over(Window.partitionBy("doc_id")))
+    d_ends = d_starts.select(
+        "doc_id",
+        "ts",
+        "starts",
+        F.concat(
+            F.slice(F.col("starts"), 2, F.greatest(F.lit(0), F.size("starts") - 1)),
+            F.array(F.col("n") + 1),
+        ).alias("ends"),
+    )
+    d_runs = d_ends.select(
+        "doc_id",
+        F.zip_with(
+            F.col("starts"),
+            F.col("ends"),
+            lambda a, b: F.struct(
+                (a - b).alias("negcnt"), F.element_at(F.col("ts"), a).alias("trigram")
+            ),
+        ).alias("runs"),
+    )
+    # materialize the per-doc top array BEFORE the generator: Generate
+    # collapses the whole HOF chain into its input and re-evaluates it
+    # pathologically (measured 0.3 s -> 211 s for the same 500 docs
+    # without the barrier); the checkpointed relation is doc-level
+    # (≤ DOC_TOP structs per row) and also feeds per_doc below
+    docs_top = d_runs.select(
+        "doc_id", F.slice(F.array_sort("runs"), 1, DOC_TOP).alias("top")
+    ).localCheckpoint(eager=False)
+    top = docs_top.select(
+        "doc_id", F.size("top").alias("n_top"), F.posexplode("top").alias("pos", "s")
+    ).select(
+        "doc_id", "n_top", F.col("s.trigram").alias("trigram"), (F.col("pos") + 1).alias("drank")
     )
     matched = (
         top.join(profiles, "trigram")
@@ -332,7 +380,7 @@ def lang_id(documents: DataFrame, cast_id: bool = True) -> DataFrame:
             F.count("*").alias("n_hit"),
         )
     )
-    per_doc = top.groupBy("doc_id").agg(F.first("n_top").alias("n_top"))
+    per_doc = docs_top.select("doc_id", F.size("top").alias("n_top"))  # no re-aggregation
     scored = (
         per_doc.crossJoin(langs)
         .join(matched, ["doc_id", "lang"], "left")
