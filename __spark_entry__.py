@@ -387,6 +387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9_profit": rel.q9_profit_by_nation_year,
         "tpch_q17_small_qty": rel.q17_small_quantity_revenue,
         "tpch_q21_waiting_suppliers": rel.q21_waiting_suppliers,
+        "tpch_q2_min_cost_supplier": rel.q2_min_cost_supplier,
+        "tpch_q11_important_parts": rel.q11_important_parts,
+        "tpch_q20_excess_share": rel.q20_excess_share_suppliers,
         "events_distinct_users": rel.events_distinct_users,
         "top_customers": rel.top_customers,
         "order_priority_count": rel.order_priority_count,
@@ -493,6 +496,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q9_profit": rel.Q9_SQL,
         "tpch_q17_small_qty": rel.Q17_SQL,
         "tpch_q21_waiting_suppliers": rel.Q21_SQL,
+        "tpch_q2_min_cost_supplier": rel.Q2_SQL,
+        "tpch_q11_important_parts": rel.Q11_SQL,
+        "tpch_q20_excess_share": rel.Q20_SQL,
         "events_distinct_users": rel.EVENTS_DISTINCT_SQL,
         "events_top_users": rel.EVENTS_TOP_USERS_SQL,
         "events_funnel": rel.EVENTS_FUNNEL_SQL,

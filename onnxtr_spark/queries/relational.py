@@ -993,3 +993,183 @@ SELECT (SELECT n FROM c) AS n_sessions,
           FROM (SELECT dur FROM ranked WHERE r = CAST(floor((0.99 * ((SELECT n FROM c) - 1))) AS BIGINT)) lo
           LEFT JOIN (SELECT dur FROM ranked WHERE r = CAST(floor((0.99 * ((SELECT n FROM c) - 1))) AS BIGINT) + 1) hi ON TRUE) AS p99_sec
 """
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog (minimum-cost supplier): for every SMALL-type
+    part, the EUROPE supplier whose observed unit cost
+    (min l_extendedprice / l_quantity over that pair's lineitems — the
+    testdata has no partsupp, so lineitem is the supply relation) equals
+    the minimum unit cost any EUROPE supplier achieves for the part.
+    The spec's correlated MIN subquery becomes a per-part partial
+    aggregate joined back (part-cardinality, AQE-broadcast); all dims
+    broadcast. Unit costs are per-row double divisions, so MIN and the
+    equality join are bit-identical across engines — no rounding until
+    the output edge."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "SMALL")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    euro_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(euro_supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    minc = cost.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        cost.join(minc, (cost.l_partkey == F.col("m_partkey")) & (cost.unit_cost == F.col("min_cost")))
+        .join(F.broadcast(euro_supp), cost.l_suppkey == euro_supp.s_suppkey)
+        .join(F.broadcast(part.select("p_partkey", "p_name")), cost.l_partkey == F.col("p_partkey"))
+        .select(
+            round_half_up(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            "p_name",
+            round_half_up(F.col("unit_cost"), 4).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = f"""
+WITH euro_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), cost AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN (SELECT p_partkey FROM part WHERE p_type = 'SMALL') p ON l_partkey = p_partkey
+  JOIN euro_supp s ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+), minc AS (
+  SELECT l_partkey AS m_partkey, min(unit_cost) AS min_cost FROM cost GROUP BY 1
+)
+SELECT {round_half_up_sql('s_acctbal', 2)} AS s_acctbal, s_name, n_name,
+       CAST(l_partkey AS BIGINT) AS p_partkey, p_name,
+       {round_half_up_sql('unit_cost', 4)} AS unit_cost
+FROM cost
+JOIN minc ON l_partkey = m_partkey AND unit_cost = min_cost
+JOIN euro_supp ON l_suppkey = s_suppkey
+JOIN part ON l_partkey = p_partkey
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (important stock): parts whose traded value
+    through NATION_3 suppliers exceeds 1/1000 of the nation's total
+    traded value. The spec's HAVING > scalar-subquery becomes a
+    broadcast cross-join of a one-row aggregate. Values are per-row
+    integer cents summed as BIGINT, so the threshold comparison
+    1000 * value > total is exact integer math in both engines — a
+    double sum-then-compare would be summation-order-dependent at the
+    boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    value = (
+        li.join(F.broadcast(supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey).select("s_suppkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    total = value.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .where(F.lit(1000) * F.col("value_cents") > F.col("total_cents"))
+        .select(
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            (F.col("value_cents") / F.lit(100.0)).alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+Q11_SQL = """
+WITH value AS (
+  SELECT l_partkey, sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1
+)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey, value_cents / 100.0 AS value
+FROM value
+WHERE 1000 * value_cents > (SELECT sum(value_cents) FROM value)
+ORDER BY value DESC, p_partkey
+"""
+
+
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog (potential part promotion): EUROPE suppliers
+    who shipped more than 30% of some 'small*' part's total 1997
+    volume. The spec's nested IN/availqty-threshold chain becomes
+    per-(part,supplier) and per-part partial aggregates with an exact
+    integer share test (quantities are integral doubles; sums stay
+    below 2^53 so BIGINT casts are lossless), then a semi-join to the
+    supplier dim. No correlated per-row work, two aggregations total."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").startswith("small"))
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    small_li = li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    per_pair = small_li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sup_qty")
+    )
+    per_part = small_li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("tot_qty")
+    )
+    excess = (
+        per_pair.join(per_part, per_pair.l_partkey == F.col("t_partkey"))
+        .where(F.lit(10) * F.col("sup_qty") > F.lit(3) * F.col("tot_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        excess.join(F.broadcast(supp), excess.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name", "n_name")
+    )
+
+
+Q20_SQL = """
+WITH small_li AS (
+  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+), per_pair AS (
+  SELECT l_partkey, l_suppkey, sum(qty) AS sup_qty FROM small_li GROUP BY 1, 2
+), per_part AS (
+  SELECT l_partkey, sum(qty) AS tot_qty FROM small_li GROUP BY 1
+)
+SELECT DISTINCT s_name, n_name
+FROM per_pair
+JOIN per_part USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE 10 * sup_qty > 3 * tot_qty AND r_name = 'EUROPE'
+ORDER BY s_name, n_name
+"""
