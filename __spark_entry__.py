@@ -412,6 +412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passages": lambda s, d: text.passage_dedup(_documents(s, d)),
         "docs_decontaminate": lambda s, d: text.contamination(_documents(s, d)),
         "text_unigram_nll": lambda s, d: text.unigram_nll(_documents(s, d)),
+        "docs_ccnet_buckets": lambda s, d: text.ccnet_buckets(_documents(s, d)),
+        "dedup_winnow_pairs": lambda s, d: text.winnow_dup_pairs(_documents(s, d)),
         "dedup_exact": lambda s, d: dedup.exact_dedup(_documents(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_documents(s, d)),
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(_embeddings(s, d)),
@@ -521,6 +523,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_passages": text.passage_dedup_sql(),
         "docs_decontaminate": text.contamination_sql(),
         "text_unigram_nll": text.UNIGRAM_NLL_SQL,
+        "docs_ccnet_buckets": text.CCNET_BUCKETS_SQL,
+        "dedup_winnow_pairs": text.winnow_dup_pairs_sql(),
         "curation_funnel": _curate.curation_funnel_sql(),
         "training_mix": text.training_mix_sql(),
         "dedup_exact": dedup.EXACT_DEDUP_SQL,

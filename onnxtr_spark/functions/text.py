@@ -1066,8 +1066,8 @@ def unigram_nll(documents: DataFrame) -> DataFrame:
     )
 
 
-UNIGRAM_NLL_SQL = f"""
-WITH toks AS (
+_NLL_CTE = f"""
+toks AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
 ), counts AS (
   SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
@@ -1075,10 +1075,128 @@ WITH toks AS (
   SELECT sum(cnt) AS total FROM counts
 ), logp AS (
   SELECT tok, ln(cnt::DOUBLE / total) AS lp FROM counts, total
+), nll AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         {round_half_up_sql('-avg(lp)', 4)} AS nll
+  FROM toks JOIN logp USING (tok)
+  GROUP BY doc_id
+)"""
+
+UNIGRAM_NLL_SQL = f"WITH {_NLL_CTE} SELECT doc_id, n_tokens, nll FROM nll"
+
+
+# --- CCNet-style per-language quality buckets ------------------------------
+
+
+def ccnet_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet-style quality tertiles (Wenzek et al. 2020): within each
+    language, rank documents by their unigram-LM negative log
+    likelihood and split into head (best third), middle, tail (worst
+    third). Output: (doc_id, lang, nll, bucket).
+
+    Buckets are assigned by RANK, not by an interpolated percentile
+    value — `bucket = (3 * (rank-1)) div count` is pure integer math
+    over the already-edge-rounded nll with doc_id as the tiebreak, so
+    both engines partition identically with no float-interpolation
+    seam. The documents table's own lang column is the partition key
+    (ground-truth language, as CCNet buckets per language).
+
+    Scale shape: the NLL pass is the unigram_nll plan (map-side
+    combined counts + broadcast total); the tertile pass is one window
+    per language — a per-language distributed sort, the price of EXACT
+    tertiles. At 100 TB swap the window for approx_percentile
+    thresholds per language (two-pass, no global sort) and keep this
+    exact form as the oracle semantics."""
+    from pyspark.sql import Window
+
+    langs = documents.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+    scored = unigram_nll(documents).join(langs, "doc_id")
+    w = Window.partitionBy("lang").orderBy("nll", "doc_id")
+    idx = F.expr("(3 * (rn - 1)) div cnt")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(Window.partitionBy("lang")))
+        .select(
+            "doc_id",
+            "lang",
+            "nll",
+            F.when(idx == 0, "head").when(idx == 1, "middle").otherwise("tail").alias("bucket"),
+        )
+    )
+
+
+CCNET_BUCKETS_SQL = f"""
+WITH {_NLL_CTE}, scored AS (
+  SELECT n.doc_id, d.lang, n.nll
+  FROM nll n
+  JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM documents) d USING (doc_id)
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang ORDER BY nll, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM scored
 )
-SELECT doc_id,
-       count(*) AS n_tokens,
-       {round_half_up_sql('-avg(lp)', 4)} AS nll
-FROM toks JOIN logp USING (tok)
-GROUP BY doc_id
+SELECT doc_id, lang, nll,
+       CASE (3 * (rn - 1)) // cnt WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ranked
+"""
+
+
+# --- cross-document winnowing duplicate pairs ------------------------------
+
+WINNOW_PAIR_MAX_DF = 10  # fingerprints in more docs are boilerplate — dropped
+WINNOW_PAIR_MIN_SHARED = 3  # pairs must share this many fingerprints
+
+
+def winnow_dup_pairs(
+    documents: DataFrame,
+    max_df: int = WINNOW_PAIR_MAX_DF,
+    min_shared: int = WINNOW_PAIR_MIN_SHARED,
+) -> DataFrame:
+    """MOSS-style cross-document duplicate detection over winnowing
+    fingerprints (Schleimer et al. 2003 §4): documents sharing ≥
+    min_shared selected fingerprints contain near-identical substrings
+    of length ≥ k+w-1. Output: (doc_a, doc_b, n_shared).
+
+    Plan: the per-doc fingerprint table is materialized once
+    (localCheckpoint — it feeds both the document-frequency pass and
+    the pair join), fingerprints seen in more than max_df documents
+    are dropped BEFORE the self-join (boilerplate suppression, exactly
+    MOSS's `maxdf` knob — and the scale guard: it bounds the
+    equi-join's per-key fanout at max_df², so no hot fingerprint can
+    produce a quadratic bucket), then one banded self-equi-join on the
+    fingerprint + a pair groupBy. Same shape as the MinHash band join;
+    no all-pairs comparison anywhere."""
+    fps = winnow_fingerprints(documents).localCheckpoint(eager=False)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("fp")
+    )
+    kept = fps.join(rare, "fp")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_dup_pairs_sql(
+    max_df: int = WINNOW_PAIR_MAX_DF, min_shared: int = WINNOW_PAIR_MIN_SHARED
+) -> str:
+    return f"""
+WITH fps AS ({winnow_fingerprints_sql()}),
+keep AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND {max_df}
+), kept AS (
+  SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
 """

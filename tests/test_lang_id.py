@@ -133,3 +133,41 @@ def test_winnow_guarantee_and_density(spark):
     assert not (by_doc[1] & by_doc[3]), "disjoint text must not collide"
     n_grams_1 = len("prefix one " + shared + " suffix alpha") - T.WINNOW_K + 1
     assert len(by_doc[1]) < n_grams_1 / 2  # strong thinning vs all grams
+
+
+def test_winnow_dup_pairs_finds_planted_near_dup(spark):
+    """Two docs built around the same long passage pair up; the
+    unrelated doc pairs with nobody; boilerplate shared by EVERY doc is
+    suppressed by the max_df cap (no all-to-all clique)."""
+    import pandas as pd
+
+    passage = "shared analytics passage about partition pruning and shuffle joins repeated verbatim"
+    boiler = "copyright footer terms of service apply everywhere always"
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "intro one " + passage + " " + boiler,
+                "another lead " + passage + " closing words " + boiler,
+                "totally unrelated content about gardening tulips soil " + boiler,
+                "more unrelated prose discussing orbital mechanics " + boiler,
+                "fifth piece on sourdough fermentation timing notes " + boiler,
+            ],
+        })
+    )
+    pairs = T.winnow_dup_pairs(docs, max_df=2, min_shared=3).toPandas()
+    assert set(map(tuple, pairs[["doc_a", "doc_b"]].values.tolist())) == {(1, 2)}
+
+
+def test_ccnet_buckets_are_rank_tertiles(spark):
+    """Within each language the head/middle/tail split is by nll rank
+    into thirds: counts differ by at most 1, and every head doc's nll
+    <= every tail doc's nll."""
+    import pandas as pd
+
+    got = T.ccnet_buckets(spark.read.parquet("/root/testdata/sf0.001/documents.parquet")).toPandas()
+    for lang, g in got.groupby("lang"):
+        counts = g["bucket"].value_counts()
+        assert max(counts) - min(counts) <= 1, (lang, dict(counts))
+        if {"head", "tail"} <= set(counts.index):
+            assert g[g.bucket == "head"]["nll"].max() <= g[g.bucket == "tail"]["nll"].min()
