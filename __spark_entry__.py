@@ -413,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": lambda s, d: text.contamination(_documents(s, d)),
         "text_unigram_nll": lambda s, d: text.unigram_nll(_documents(s, d)),
         "docs_ccnet_buckets": lambda s, d: text.ccnet_buckets(_documents(s, d)),
+        "docs_pack_sequences": lambda s, d: text.pack_sequences(_documents(s, d)),
         "dedup_winnow_pairs": lambda s, d: text.winnow_dup_pairs(_documents(s, d)),
         "dedup_exact": lambda s, d: dedup.exact_dedup(_documents(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_documents(s, d)),
@@ -524,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontaminate": text.contamination_sql(),
         "text_unigram_nll": text.UNIGRAM_NLL_SQL,
         "docs_ccnet_buckets": text.CCNET_BUCKETS_SQL,
+        "docs_pack_sequences": text.pack_sequences_sql(),
         "dedup_winnow_pairs": text.winnow_dup_pairs_sql(),
         "curation_funnel": _curate.curation_funnel_sql(),
         "training_mix": text.training_mix_sql(),

@@ -1185,6 +1185,71 @@ def winnow_dup_pairs(
     )
 
 
+# --- sequence packing for training ----------------------------------------
+
+PACK_CTX = 1024  # tokens per training context window
+PACK_SHARD_DOCS = 128  # docs per packing shard (bounds window state)
+
+
+def pack_sequences(
+    documents: DataFrame, ctx: int = PACK_CTX, shard_docs: int = PACK_SHARD_DOCS
+) -> DataFrame:
+    """Deterministic concatenate-then-chunk sequence packing (the GPT
+    pretraining layout): within a shard, documents are laid end-to-end
+    in doc_id order as a BPE-token stream and cut into ctx-token bins.
+    Output per doc: (doc_id, shard, bin_in_shard, bin_offset,
+    n_bpe_tokens) — bin_in_shard/bin_offset locate the doc's first
+    token, n_bpe_tokens its length (a doc may spill into the next bin,
+    exactly as pretraining concatenation does).
+
+    The shard key `doc_id div shard_docs` makes this scale-correct: the
+    running sum is a window PER SHARD (bounded partitions, no global
+    single-partition sort), and shards pack independently — at 100 TB
+    the shard width is the only knob. All math is integer (token counts
+    summed as BIGINT), so both engines cut identical bins."""
+    from pyspark.sql import Window
+
+    n_bpe = F.size(F.regexp_extract_all(F.trim("text"), F.lit(BPE_RE), F.lit(0))).cast("long")
+    base = spread(documents).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(f"CAST(doc_id AS BIGINT) div {shard_docs}").alias("shard"),
+        n_bpe.alias("n_bpe_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_bpe_tokens").over(w) - F.col("n_bpe_tokens")).alias("start")
+    return base.select("doc_id", "shard", "n_bpe_tokens", start).select(
+        "doc_id",
+        "shard",
+        F.expr(f"start div {ctx}").alias("bin_in_shard"),
+        F.expr(f"start % {ctx}").alias("bin_offset"),
+        "n_bpe_tokens",
+    )
+
+
+def pack_sequences_sql(ctx: int = PACK_CTX, shard_docs: int = PACK_SHARD_DOCS) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id AS BIGINT) // {shard_docs} AS shard,
+         CAST(len(regexp_extract_all(trim(text), '{BPE_RE_SQL}')) AS BIGINT) AS n_bpe_tokens
+  FROM documents
+), cum AS (
+  -- sum() OVER on BIGINT widens to HUGEINT in DuckDB (floats in pandas);
+  -- cast back so both engines emit int64 columns
+  SELECT *,
+         CAST(sum(n_bpe_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_bpe_tokens AS BIGINT) AS start
+  FROM base
+)
+SELECT doc_id, shard, start // {ctx} AS bin_in_shard, start % {ctx} AS bin_offset, n_bpe_tokens
+FROM cum
+"""
+
+
 def winnow_dup_pairs_sql(
     max_df: int = WINNOW_PAIR_MAX_DF, min_shared: int = WINNOW_PAIR_MIN_SHARED
 ) -> str:

@@ -159,6 +159,35 @@ def test_winnow_dup_pairs_finds_planted_near_dup(spark):
     assert set(map(tuple, pairs[["doc_a", "doc_b"]].values.tolist())) == {(1, 2)}
 
 
+def test_pack_sequences_layout(spark):
+    """Concatenate-then-chunk invariants: within a shard, doc k starts
+    exactly where doc k-1 ended (start = cumsum of lengths), bins cut
+    every ctx tokens, and shards pack independently (first doc of every
+    shard starts at bin 0 offset 0)."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [0, 1, 2, 3, 128, 129],
+            "text": ["a b c", "d e f g", "h", "i j", "k l m", "n"],
+        })
+    )
+    got = (
+        T.pack_sequences(docs, ctx=4, shard_docs=128)
+        .toPandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    # shard 0: lengths 3,4,1,2 -> starts 0,3,7,8 -> (bin,off) (0,0)(0,3)(1,3)(2,0)
+    assert got.loc[0, ["bin_in_shard", "bin_offset"]].tolist() == [0, 0]
+    assert got.loc[1, ["bin_in_shard", "bin_offset"]].tolist() == [0, 3]
+    assert got.loc[2, ["bin_in_shard", "bin_offset"]].tolist() == [1, 3]
+    assert got.loc[3, ["bin_in_shard", "bin_offset"]].tolist() == [2, 0]
+    # shard 1 restarts at zero
+    assert got.loc[128, ["shard", "bin_in_shard", "bin_offset"]].tolist() == [1, 0, 0]
+    assert got.loc[129, ["shard", "bin_in_shard", "bin_offset"]].tolist() == [1, 0, 3]
+
+
 def test_ccnet_buckets_are_rank_tertiles(spark):
     """Within each language the head/middle/tail split is by nll rank
     into thirds: counts differ by at most 1, and every head doc's nll
