@@ -97,6 +97,107 @@ FROM m
 """
 
 
+# Gopher quality rules (Rae et al. 2021, Table A1): the published
+# document-level filter battery most pre-training pipelines start from.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+
+
+def gopher_rules(documents: DataFrame) -> DataFrame:
+    """Gopher's repetition-free quality gates as one column-algebra
+    pass: word count in [50, 100k], mean word length in [3, 10],
+    symbol-to-word ratio (# / ellipsis) <= 0.1, <=90% of lines
+    bullet-led, <=30% ellipsis-ended, >=80% of words containing a
+    letter, and >=2 distinct stopwords present. Emits every measured
+    ratio plus the conjunction, so downstream can re-threshold without
+    re-scanning. All per-row expressions — embarrassingly parallel at
+    any scale; thresholds compare UNROUNDED doubles whose fold order
+    is identical in both engines (sequential list fold), rounding only
+    in the output projection."""
+    toks = tokens()
+    n = F.size(toks).cast("long")
+    nd = n.cast("double")
+    mean_len = F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) / nd
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", r"#", ""))
+    n_dots = (F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", ""))) / F.lit(3)
+    n_hellip = F.length("text") - F.length(F.regexp_replace("text", r"…", ""))
+    symbol_ratio = (n_hash + n_dots + n_hellip).cast("double") / nd
+    lines = F.split(F.col("text"), "\n")
+    nl = F.size(lines).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-*•]"))).cast("double") / nl
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))).cast("double") / nl
+    )
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double") / nd
+    n_stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))
+    ).cast("long")
+    passes = (
+        (n >= 50) & (n <= 100_000)
+        & (mean_len >= 3.0) & (mean_len <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (n_stop_hits >= 2)
+    )
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.alias("n_words"),
+        round_half_up(mean_len, 4).alias("mean_word_len"),
+        round_half_up(symbol_ratio, 4).alias("symbol_ratio"),
+        round_half_up(bullet_frac, 4).alias("bullet_frac"),
+        round_half_up(ellipsis_frac, 4).alias("ellipsis_frac"),
+        round_half_up(alpha_frac, 4).alias("alpha_frac"),
+        n_stop_hits.alias("n_stop_hits"),
+        passes.alias("passes"),
+    )
+
+
+GOPHER_RULES_SQL = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         {_TOKENS_SQL} AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         list_sum([length(x)::DOUBLE for x in toks]) / len(toks)::DOUBLE AS mean_len,
+         ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) / 3
+          + (length(text) - length(replace(text, '…', ''))))::DOUBLE
+           / len(toks)::DOUBLE AS symbol_ratio,
+         len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))::DOUBLE
+           / len(lines)::DOUBLE AS bullet_frac,
+         len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))::DOUBLE
+           / len(lines)::DOUBLE AS ellipsis_frac,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+           / len(toks)::DOUBLE AS alpha_frac,
+         len(list_intersect(list_distinct(toks), {_GOPHER_STOP_SQL})) AS n_stop_hits
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       {round_half_up_sql('mean_len', 4)} AS mean_word_len,
+       {round_half_up_sql('symbol_ratio', 4)} AS symbol_ratio,
+       {round_half_up_sql('bullet_frac', 4)} AS bullet_frac,
+       {round_half_up_sql('ellipsis_frac', 4)} AS ellipsis_frac,
+       {round_half_up_sql('alpha_frac', 4)} AS alpha_frac,
+       CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+       (n_words BETWEEN 50 AND 100000)
+         AND (mean_len BETWEEN 3.0 AND 10.0)
+         AND (symbol_ratio <= 0.1)
+         AND (bullet_frac <= 0.9)
+         AND (ellipsis_frac <= 0.3)
+         AND (alpha_frac >= 0.8)
+         AND (n_stop_hits >= 2) AS passes
+FROM m
+"""
+
+
 def lang_id_stopword(documents: DataFrame) -> DataFrame:
     """The round-1 stopword heuristic, kept as the cheap baseline the
     n-gram model is accuracy-tested against (it only knows English)."""

@@ -159,6 +159,31 @@ def test_winnow_dup_pairs_finds_planted_near_dup(spark):
     assert set(map(tuple, pairs[["doc_a", "doc_b"]].values.tolist())) == {(1, 2)}
 
 
+def test_gopher_rules_gates(spark):
+    """Each Gopher gate trips on a doc crafted to violate only it."""
+    import pandas as pd
+
+    good = "the quick brown fox jumps over that lazy dog have with " * 6  # 60 words, stopwords
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                good,
+                "short text only",  # < 50 words
+                good + " ###### ###### ###### ######",  # symbol ratio
+                "\n".join("- bullet line " + str(i) for i in range(10)) + "\n" + good,  # >90% bullets? 10/11 lines
+                good.replace("fox", "1234"),  # alpha frac drops but stays >=0.8 -> still passes
+            ],
+        })
+    )
+    got = T.gopher_rules(docs).toPandas().set_index("doc_id")
+    assert bool(got.loc[0, "passes"])
+    assert not bool(got.loc[1, "passes"]) and got.loc[1, "n_words"] < 50
+    assert not bool(got.loc[2, "passes"]) and got.loc[2, "symbol_ratio"] > 0.1
+    assert not bool(got.loc[3, "passes"]) and got.loc[3, "bullet_frac"] > 0.9
+    assert bool(got.loc[4, "passes"]) and got.loc[4, "alpha_frac"] >= 0.8
+
+
 def test_pack_sequences_layout(spark):
     """Concatenate-then-chunk invariants: within a shard, doc k starts
     exactly where doc k-1 ended (start = cumsum of lengths), bins cut
