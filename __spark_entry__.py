@@ -405,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": lambda s, d: text.token_stats(_documents(s, d)),
         "text_quality_score": lambda s, d: text.quality_score(_documents(s, d)),
         "docs_gopher_rules": lambda s, d: text.gopher_rules(_documents(s, d)),
+        "docs_bm25_search": lambda s, d: text.bm25_search(_documents(s, d)),
         "doc_fingerprint": lambda s, d: text.fingerprint(_documents(s, d)),
         "doc_winnow_fingerprints": lambda s, d: text.winnow_fingerprints(_documents(s, d)),
         "docs_stratified_sample": lambda s, d: text.stratified_sample(_documents(s, d)),
@@ -517,6 +518,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": text.TOKEN_STATS_SQL,
         "text_quality_score": text.QUALITY_SCORE_SQL,
         "docs_gopher_rules": text.GOPHER_RULES_SQL,
+        "docs_bm25_search": text.bm25_search_sql(),
         "text_lang_id": text.lang_id_sql(),
         "doc_fingerprint": text.FINGERPRINT_SQL,
         "doc_winnow_fingerprints": text.winnow_fingerprints_sql(),

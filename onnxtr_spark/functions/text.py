@@ -1286,6 +1286,115 @@ def winnow_dup_pairs(
     )
 
 
+# --- BM25 retrieval scoring -------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("fast", "key", "order", "sort", "scan")
+BM25_TOPK = 20
+
+
+def bm25_search(
+    documents: DataFrame,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+) -> DataFrame:
+    """Okapi BM25 (Lucene IDF variant) ranking of the corpus against a
+    fixed term set: (doc_id, score, n_hits) for the top-k docs.
+
+    Per-term contributions are quantized to integer MICROS before the
+    per-doc sum — double addition is order-sensitive and a distributed
+    groupBy sums in nondeterministic order, so the engine-exact
+    contract is: round each term's (deterministic, per-row) double to
+    1e-6, then sum as BIGINT. Plan: one token explode filtered to the
+    term list (predicate-pushed before any shuffle: only rows touching
+    a query term survive), tf groupBy, df from the same relation,
+    avgdl/N as a broadcast 1-row aggregate — nothing scales with
+    corpus size except the initial scan."""
+    toks_e = spread(documents).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokens()).cast("double").alias("dl"),
+        F.explode(tokens()).alias("tok"),
+    )
+    # avgdl from an INTEGER length sum: long addition commutes, so the
+    # distributed aggregate is order-independent (a double avg is not)
+    stats = documents.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum(F.size(tokens()).cast("long")) / F.count("*")).alias("avgdl"),
+    )
+    hits = toks_e.where(F.col("tok").isin(*terms))
+    tf = hits.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl")
+    )
+    df_t = hits.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    contrib = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    micros = F.floor(contrib * 1_000_000 + F.lit(0.5)).cast("long")
+    return (
+        tf.join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(micros).alias("score_micros"),
+            F.count("*").cast("long").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            (F.col("score_micros") / F.lit(1_000_000.0)).alias("score"),
+            "n_hits",
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(topk)
+    )
+
+
+def bm25_search_sql(
+    terms: tuple[str, ...] = BM25_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+) -> str:
+    term_sql = "(" + ", ".join(f"'{t}'" for t in terms) + ")"
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         len({_TOKENS_SQL})::DOUBLE AS dl,
+         unnest({_TOKENS_SQL}) AS tok
+  FROM documents
+), stats AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         CAST(sum(len({_TOKENS_SQL})) AS BIGINT) / count(*)::DOUBLE AS avgdl
+  FROM documents
+), hits AS (
+  SELECT * FROM toks WHERE tok IN {term_sql}
+), tf AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS tf, any_value(dl) AS dl
+  FROM hits GROUP BY 1, 2
+), df_t AS (
+  SELECT tok, count(DISTINCT doc_id)::DOUBLE AS df FROM hits GROUP BY 1
+), scored AS (
+  SELECT doc_id,
+         CAST(floor(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * ({k1} + 1.0) / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)))
+           * 1000000 + 0.5) AS BIGINT) AS micros
+  FROM tf JOIN df_t USING (tok), stats
+)
+SELECT doc_id, sum(micros) / 1000000.0 AS score, count(*) AS n_hits
+FROM scored
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {topk}
+"""
+
+
 # --- sequence packing for training ----------------------------------------
 
 PACK_CTX = 1024  # tokens per training context window
