@@ -57,6 +57,10 @@ HEADLINE = [
     "events_funnel",
     "dedup_minhash_bands",
     "dedup_simhash",
+    "dedup_winnow_pairs",
+    "docs_ccnet_buckets",
+    "docs_pack_sequences",
+    "docs_bm25_search",
     "ann_cosine_topk",
     "ann_lsh_near_pairs",
     "embedding_centroids",
