@@ -391,6 +391,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11_important_parts": rel.q11_important_parts,
         "tpch_q20_excess_share": rel.q20_excess_share_suppliers,
         "events_distinct_users": rel.events_distinct_users,
+        "events_rolling_7d": rel.events_rolling_7d,
+        "events_pivot_types": rel.events_pivot_types,
+        "events_purchase_attribution": rel.events_purchase_attribution,
+        "orders_rollup": rel.orders_rollup,
         "top_customers": rel.top_customers,
         "order_priority_count": rel.order_priority_count,
         "part_brand_stats": rel.part_brand_stats,
@@ -505,6 +509,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q11_important_parts": rel.Q11_SQL,
         "tpch_q20_excess_share": rel.Q20_SQL,
         "events_distinct_users": rel.EVENTS_DISTINCT_SQL,
+        "events_rolling_7d": rel.EVENTS_ROLLING_7D_SQL,
+        "events_pivot_types": rel.EVENTS_PIVOT_SQL,
+        "events_purchase_attribution": rel.EVENTS_ASOF_SQL,
+        "orders_rollup": rel.ORDERS_ROLLUP_SQL,
         "events_top_users": rel.EVENTS_TOP_USERS_SQL,
         "events_funnel": rel.EVENTS_FUNNEL_SQL,
         "docs_lang_stats": rel.DOCS_LANG_SQL,

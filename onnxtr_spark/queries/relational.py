@@ -1173,3 +1173,142 @@ JOIN region   ON n_regionkey = r_regionkey
 WHERE 10 * sup_qty > 3 * tot_qty AND r_name = 'EUROPE'
 ORDER BY s_name, n_name
 """
+
+
+def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE rolling window: per event, the same user's event
+    count and spend over the trailing 7 days (inclusive). The frame is
+    a RANGE window over epoch MICROSECONDS (the events carry sub-second
+    timestamps; casting to seconds would silently widen the frame), so
+    ties share one frame and the window needs no secondary sort key.
+    Spend sums as integer cents inside the frame — a double running
+    sum's addition order within tied timestamps is engine-dependent.
+    Scale shape: one shuffle on user_id, per-user sorted ranges; skew
+    is bounded by per-user event volume, the natural key."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.count("*").over(w).cast("long").alias("n_7d"),
+        (F.sum(cents).over(w) / F.lit(100.0)).alias("spend_7d"),
+    )
+
+
+EVENTS_ROLLING_7D_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       count(*) OVER w AS n_7d,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT) / 100.0 AS spend_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets aggregation: order counts and total value by
+    (status, priority) with ROLLUP subtotals and a grand total, plus
+    the grouping bitmask so consumers can tell subtotal rows apart.
+    One pass — Spark expands grouping sets map-side, no extra scans."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("grouping_level"),
+            F.count("*").cast("long").alias("n_orders"),
+            (F.sum(cents) / F.lit(100.0)).alias("total_value"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "grouping_level", "n_orders", "total_value")
+    )
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grouping_level,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts, one column per event type. The
+    pivot value list is EXPLICIT — with an inferred list Spark runs an
+    extra distinct scan and the column order becomes data-dependent."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    # pivot leaves NULL for absent combinations; a count is 0
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in EVENT_TYPES]
+    )
+
+
+EVENTS_PIVOT_SQL = f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       {", ".join(f"count(*) FILTER (event_type = '{t}') AS n_{t}" for t in EVENT_TYPES)}
+FROM events
+GROUP BY user_id
+"""
+
+
+def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join inside the event stream: each purchase is attributed
+    to the same user's most recent click at-or-before it (last-touch
+    attribution). Spark has no ASOF JOIN operator; the scalable
+    re-expression is one pass — a per-user ordered window carrying
+    `last(click_ts, ignorenulls)` — instead of the naive
+    filter+argmax self-join, which would shuffle the stream twice.
+    Emits the click-to-purchase latency in whole seconds (integer
+    microsecond math; no float time arithmetic)."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_us = F.when(F.col("event_type") == "click", us)
+    return (
+        ev.withColumn("last_click_us", F.last(click_us, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("last_click_us").isNotNull().alias("attributed"),
+            F.expr("CASE WHEN last_click_us IS NOT NULL THEN (unix_micros(CAST(ts AS timestamp_ltz)) - last_click_us) div 1000000 END").alias("latency_sec"),
+        )
+    )
+
+
+EVENTS_ASOF_SQL = """
+WITH marked AS (
+  SELECT event_id, user_id, event_type, ts,
+         last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_click_us
+  FROM events
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       last_click_us IS NOT NULL AS attributed,
+       CASE WHEN last_click_us IS NOT NULL
+            THEN (epoch_us(ts) - last_click_us) // 1000000 END AS latency_sec
+FROM marked
+WHERE event_type = 'purchase'
+"""
