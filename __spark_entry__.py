@@ -440,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": lambda s, d: text.lang_id(_documents(s, d)),
         "training_mix": lambda s, d: text.training_mix(_documents(s, d)),
         "dedup_token_jaccard": lambda s, d: dedup.token_jaccard_pairs(_documents(s, d)),
+        "dedup_containment": lambda s, d: dedup.containment_pairs(_documents(s, d)),
         "html_main_content": _html_main_content,
         "pdf_extract_text": _pdf_extract_text,
         "artefact_detect": _artefact_detect,
@@ -544,6 +545,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_minhash_bands": dedup.minhash_bands_sql(),
         "dedup_token_jaccard": dedup.token_jaccard_pairs_sql(),
+        "dedup_containment": dedup.containment_pairs_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "dedup_simhash": dedup.simhash_sql(),
         "dedup_simhash_near_pairs": dedup.simhash_near_pairs_sql(),

@@ -549,3 +549,91 @@ SELECT doc_a, doc_b, {jac} AS jaccard
 FROM pairs
 WHERE 10000 * inter >= {num} * uni
 """
+
+
+# --- directional containment (partial-copy / quote detection) ---------------
+
+CONTAIN_THRESHOLD = 0.9
+
+
+def containment_pairs(
+    documents: DataFrame, threshold: float = CONTAIN_THRESHOLD, k: int = 3
+) -> DataFrame:
+    """Directional shingle-set containment: (doc_a, doc_b, containment)
+    with |A∩B|/|A| >= threshold over distinct k-word shingles — doc_a's
+    content is (mostly) inside doc_b. The asymmetric complement of
+    Jaccard: catches a short doc quoted or embedded in a long one,
+    which symmetric Jaccard misses because the union is dominated by
+    the long side. Word shingles (not tokens) are the unit — token
+    containment is vacuous on small vocabularies.
+
+    Exactness with a bounded index: a pair with C(A→B) ≥ t shares
+    ≥ ceil(t·|A|) shingles, so A's prefix (its |A|-ceil(t·|A|)+1
+    rarest-by-global-DF shingles) must hit SOME shingle of B. Only the
+    CONTAINED side is prefix-pruned; the container side indexes all
+    distinct shingles, and per-key fanout stays bounded because a
+    boilerplate shingle enters a prefix only for docs that are almost
+    entirely boilerplate. Shingles shuffle as int64 hashes (same
+    md5-derived hash in the oracle, so any collision is shared and the
+    row stays hash-exact). Threshold test in exact integer arithmetic
+    (10⁴·inter ≥ num·|A|); rounding is display-only."""
+    sh = shingles(documents, k).select(
+        F.col("doc_id").cast("long").alias("doc_id"), hash64(F.col("shingle"), 29).alias("h")
+    )
+    dfc = sh.groupBy("h").agg(F.count("*").alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "h")
+    wn = Window.partitionBy("doc_id")
+    num = int(round(threshold * 10000))
+    alpha = F.ceil((F.lit(num) * F.col("n")).cast("double") / F.lit(10000.0))
+    prefix = (
+        sh.join(dfc, "h")
+        .withColumn("pos", F.row_number().over(wdoc))
+        .withColumn("n", F.count("*").over(wn).cast("long"))
+        .where(F.col("pos") <= F.col("n") - alpha + 1)
+        .select("doc_id", "h", "n")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(sh.alias("b"), "h")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+        )
+        .distinct()
+    )
+    docsets = sh.groupBy("doc_id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    from onnxtr_spark.functions.hashing import round_half_up
+
+    return (
+        cands.join(docsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "ha"), "doc_a")
+        .join(docsets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hb"), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("ha", "hb")).cast("long"))
+        .where(F.lit(10000) * F.col("inter") >= F.lit(num) * F.col("na"))
+        .select("doc_a", "doc_b", round_half_up(F.col("inter") / F.col("na"), 4).alias("containment"))
+    )
+
+
+def containment_pairs_sql(threshold: float = CONTAIN_THRESHOLD, k: int = 3) -> str:
+    from onnxtr_spark.functions.hashing import round_half_up_sql
+
+    num = int(round(threshold * 10000))
+    cont = round_half_up_sql("inter::DOUBLE / sa.n", 4)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {hash64_sql('shingle', 29)} AS h
+  FROM ({_shingles_sql(k)})
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (h)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, {cont} AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+WHERE 10000 * inter >= {num} * sa.n
+"""

@@ -219,6 +219,35 @@ def test_token_jaccard_prefix_bounded(spark):
     assert bad == 0
 
 
+def test_containment_is_directional(spark):
+    """A short doc quoted inside a long one: A→B containment fires,
+    B→A does not (the long doc's extra shingles dilute it), and
+    symmetric docs with disjoint text produce nothing."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from onnxtr_spark.functions.dedup import containment_pairs
+
+    quote = "partition pruning beats full scans every single time honestly"
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                quote,
+                "long preamble about cluster sizing and shuffle tuning " + quote
+                + " followed by a long discussion of adaptive execution plans",
+                "completely different prose on sourdough hydration ratios",
+            ],
+        })
+    )
+    got = containment_pairs(docs, threshold=0.9).toPandas()
+    pairs = set(map(tuple, got[["doc_a", "doc_b"]].values.tolist()))
+    assert (1, 2) in pairs
+    assert (2, 1) not in pairs
+    assert not any(3 in p for p in pairs)
+
+
 def test_semi_anti_join_queries_shape(spark):
     """q4/q16/q22: EXISTS → LeftSemi, NOT-IN/NOT-EXISTS → LeftAnti,
     dims broadcast, one agg exchange each — never a row-duplicating
