@@ -219,6 +219,33 @@ def test_token_jaccard_prefix_bounded(spark):
     assert bad == 0
 
 
+def test_bm25_plan_shape(spark):
+    """BM25: term filter sits before the tf shuffle (only matching
+    tokens survive the explode), corpus stats broadcast (no
+    single-partition window), top-k is TakeOrderedAndProject (never a
+    global sort)."""
+    from onnxtr_spark.functions.text import bm25_search
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(bm25_search(docs))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p  # stats/df broadcast
+    assert "Window" not in p
+    assert "CartesianProduct" not in p or "BroadcastNestedLoop" in p
+
+
+def test_rolling_and_attribution_single_shuffle(spark):
+    """The RANGE rolling window and the as-of attribution each cost ONE
+    hash exchange on user_id — no self-join, no extra sort passes."""
+    p = plan(rel.events_rolling_7d(spark, SF_DIR))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Join" not in p
+
+    p2 = plan(rel.events_purchase_attribution(spark, SF_DIR))
+    assert p2.count("Exchange hashpartitioning") == 1, p2
+    assert "Join" not in p2
+
+
 def test_containment_is_directional(spark):
     """A short doc quoted inside a long one: A→B containment fires,
     B→A does not (the long doc's extra shingles dilute it), and
