@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20_excess_share": rel.q20_excess_share_suppliers,
         "events_distinct_users": rel.events_distinct_users,
         "events_rolling_7d": rel.events_rolling_7d,
+        "events_kmv_distinct": rel.events_kmv_distinct,
         "events_pivot_types": rel.events_pivot_types,
         "events_purchase_attribution": rel.events_purchase_attribution,
         "orders_rollup": rel.orders_rollup,
@@ -511,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q20_excess_share": rel.Q20_SQL,
         "events_distinct_users": rel.EVENTS_DISTINCT_SQL,
         "events_rolling_7d": rel.EVENTS_ROLLING_7D_SQL,
+        "events_kmv_distinct": rel.events_kmv_distinct_sql(),
         "events_pivot_types": rel.EVENTS_PIVOT_SQL,
         "events_purchase_attribution": rel.EVENTS_ASOF_SQL,
         "orders_rollup": rel.ORDERS_ROLLUP_SQL,

@@ -1312,3 +1312,69 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
 FROM marked
 WHERE event_type = 'purchase'
 """
+
+
+KMV_K = 32
+_KMV_SPACE = float(2**60)  # hash64 is 60-bit; exactly representable
+
+
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002)
+    per event type — the DETERMINISTIC cross-engine counterpart of
+    approx_count_distinct: both engines hash user_id with the same
+    md5-derived 60-bit hash, keep the k smallest distinct values, and
+    estimate D ≈ (k-1)·2⁶⁰/h_k, so the estimate (and its error) is
+    bit-identical everywhere. Exact count emitted alongside for error
+    visibility. Fallback: fewer than k distinct values → the sketch IS
+    exact. Scale note: the k-smallest pass here is a per-type window
+    over distinct hashes; at corpus scale pre-filter h below a keep
+    threshold chosen so p·D ≫ k survivors remain (both engines
+    applying the same filter preserves exactness), or fold the sketch
+    as a bounded array aggregate."""
+    from onnxtr_spark.functions.hashing import hash64
+
+    ev = _t(spark, sf_dir, "events")
+    h = hash64(F.col("user_id").cast("string"), 41)
+    distinct_h = ev.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kmins = distinct_h.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= KMV_K)
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    prod = float((KMV_K - 1) * 2**60)
+    est = F.when(
+        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
+    ).otherwise(F.lit(prod) / (F.col("hk") + F.lit(1)).cast("double"))
+    return (
+        kmins.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("k_used"), F.max("h").alias("hk"))
+        .join(exact, "event_type")
+        .select("event_type", "k_used", round_half_up(est, 2).alias("est_users"), "n_exact")
+        .orderBy("event_type")
+    )
+
+
+def events_kmv_distinct_sql() -> str:
+    from onnxtr_spark.functions.hashing import hash64_sql
+
+    prod = float((KMV_K - 1) * 2**60)
+    return f"""
+WITH dh AS (
+  SELECT DISTINCT event_type, {hash64_sql("CAST(user_id AS VARCHAR)", 41)} AS h
+  FROM events
+), kmins AS (
+  SELECT event_type, h
+  FROM (SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM dh)
+  WHERE rn <= {KMV_K}
+), sk AS (
+  SELECT event_type, count(*) AS k_used, max(h) AS hk FROM kmins GROUP BY 1
+), exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+)
+SELECT s.event_type,
+       CAST(k_used AS BIGINT) AS k_used,
+       {round_half_up_sql(f"CASE WHEN k_used < {KMV_K} THEN k_used::DOUBLE ELSE {prod!r} / (hk + 1)::DOUBLE END", 2)} AS est_users,
+       n_exact
+FROM sk s JOIN exact USING (event_type)
+ORDER BY event_type
+"""
