@@ -218,6 +218,16 @@ def _html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_extract_query(_documents(spark, sf_dir))
 
 
+def _html_block_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The readability-family SECOND stage: link-density block scoring
+    over pages whose content column is salted with link-farm <p> decoys
+    no container rule can remove. Oracle: same roundtrip — a wrongly
+    kept or dropped block breaks text equality."""
+    from onnxtr_spark.sources.html import html_block_extract_query
+
+    return html_block_extract_query(_documents(spark, sf_dir))
+
+
 def _pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 + north-rule PDF parse: build a REAL minimal PDF per doc
     (FlateDecode content streams, xref) and parse the text back via
@@ -443,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_token_jaccard": lambda s, d: dedup.token_jaccard_pairs(_documents(s, d)),
         "dedup_containment": lambda s, d: dedup.containment_pairs(_documents(s, d)),
         "html_main_content": _html_main_content,
+        "html_block_main_content": _html_block_main_content,
         "pdf_extract_text": _pdf_extract_text,
         "artefact_detect": _artefact_detect,
         # evaluation metrics (reference scripts/evaluate.py:20,92-95)
@@ -479,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
         # media_page_stats: image-typed, rows-only check (pytest covers it)
         "artefact_detect": ARTEFACT_DETECT_SQL,
         "html_main_content": _html_sql(),
+        "html_block_main_content": _html_sql(),
         "pdf_extract_text": _pdf_sql(),
         "pdf_scanned_ocr": _pdf_sql(),
         "html_render_ocr": _pdf_sql(),

@@ -61,6 +61,35 @@ def test_html_strip_boilerplate_and_entities(spark):
     assert got == "real & true <content> second block"
 
 
+def test_html_block_link_density_scoring(spark):
+    """The block stage keeps content blocks (zero or light links: a
+    citation link under a third of the text survives) and kills
+    link-farm paragraphs that no container rule can catch."""
+    html = (
+        "<html><body><main>"
+        "<p>genuine article paragraph with enough prose to matter here</p>"
+        '<p><a href="#">share this</a> <a href="#">related posts</a> <a href="#">more links</a> now</p>'
+        '<p>analysis citing one <a href="#">source</a> amid plenty of ordinary running text</p>'
+        "</main></body></html>"
+    )
+    df = spark.createDataFrame(pd.DataFrame({"html": [html]}))
+    got = df.select(H.html_block_main_text(F.col("html")).alias("t")).collect()[0].t
+    assert got == (
+        "genuine article paragraph with enough prose to matter here "
+        "analysis citing one source amid plenty of ordinary running text"
+    )
+
+
+def test_html_block_roundtrip_query(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["x"], "text": ["word soup & <tags> " + "pad " * 40]})
+    )
+    out = H.html_block_extract_query(docs).collect()[0]
+    import re
+
+    assert out.main_text == re.sub(r"\s+", " ", docs.collect()[0].text.strip())
+
+
 def test_html_roundtrip_query(spark):
     docs = spark.createDataFrame(
         pd.DataFrame({
