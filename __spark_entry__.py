@@ -228,6 +228,21 @@ def _html_block_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_block_extract_query(_documents(spark, sf_dir))
 
 
+def _pdf_layout_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule layout parse: two-column PDFs whose content streams
+    interleave the columns; reading order recovered from Tm/Td glyph
+    positions, never stream order. Oracle: roundtrip to doc text."""
+    from onnxtr_spark.sources.pdf import pdf_layout_extract_query
+
+    return pdf_layout_extract_query(_documents(spark, sf_dir))
+
+
+def _pdf_layout_sql() -> str:
+    from onnxtr_spark.sources.pdf import PDF_LAYOUT_SQL
+
+    return PDF_LAYOUT_SQL
+
+
 def _pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 + north-rule PDF parse: build a REAL minimal PDF per doc
     (FlateDecode content streams, xref) and parse the text back via
@@ -454,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": lambda s, d: dedup.containment_pairs(_documents(s, d)),
         "html_main_content": _html_main_content,
         "html_block_main_content": _html_block_main_content,
+        "pdf_layout_columns": _pdf_layout_columns,
         "pdf_extract_text": _pdf_extract_text,
         "artefact_detect": _artefact_detect,
         # evaluation metrics (reference scripts/evaluate.py:20,92-95)
@@ -491,6 +507,7 @@ def oracle_sql() -> dict[str, str]:
         "artefact_detect": ARTEFACT_DETECT_SQL,
         "html_main_content": _html_sql(),
         "html_block_main_content": _html_sql(),
+        "pdf_layout_columns": _pdf_layout_sql(),
         "pdf_extract_text": _pdf_sql(),
         "pdf_scanned_ocr": _pdf_sql(),
         "html_render_ocr": _pdf_sql(),

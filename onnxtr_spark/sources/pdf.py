@@ -81,8 +81,13 @@ def _content_stream(text: str) -> bytes:
 
 def encode_pdf(pages_text: list[str]) -> bytes:
     """Build a valid minimal PDF with one page per text."""
-    n = max(1, len(pages_text))
-    texts = pages_text or [""]
+    return _assemble_pdf([_content_stream(t) for t in (pages_text or [""])])
+
+
+def _assemble_pdf(streams: list[bytes]) -> bytes:
+    """Assemble deflated content streams into a valid one-page-per-stream
+    PDF (catalog/pages/font objects, xref, trailer)."""
+    n = len(streams)
     objects: list[bytes] = []
     # 1: catalog, 2: pages, 3: font; pages at 4..4+n-1, contents after
     kids = " ".join(f"{4 + i} 0 R" for i in range(n))
@@ -96,8 +101,7 @@ def encode_pdf(pages_text: list[str]) -> bytes:
                 f"/Resources << /Font << /F1 3 0 R >> >> /Contents {4 + n + i} 0 R >>"
             ).encode()
         )
-    for t in texts:
-        data = _content_stream(t)
+    for data in streams:
         objects.append(
             f"<< /Length {len(data)} /Filter /FlateDecode >>\nstream\n".encode() + data + b"\nendstream"
         )
@@ -473,4 +477,143 @@ WITH w AS (
 SELECT doc_id, CAST(p AS INT) AS page,
        array_to_string(words[p * {WORDS_PER_PAGE} + 1 : (p + 1) * {WORDS_PER_PAGE}], ' ') AS page_text
 FROM pages
+"""
+
+
+# --- layout parse: multi-column reading order ------------------------------
+# The north-rule's "PDF/layout parse" beyond stream order: real PDFs
+# interleave columns in the content stream; reading order must be
+# recovered from glyph POSITIONS, not operator order.
+
+LAYOUT_WORDS_PER_LINE = 6
+LAYOUT_COL_X = (72, 306)
+LAYOUT_TOP_Y = 720
+LAYOUT_LEADING = 14
+
+_TM_RE = re.compile(
+    rb"(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+"
+    rb"(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+Tm".decode()
+)
+_TD_RE = re.compile(r"(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s+T[dD]")
+
+
+def encode_pdf_columns(text: str, words_per_line: int = LAYOUT_WORDS_PER_LINE) -> bytes:
+    """Single-page TWO-COLUMN PDF whose content stream interleaves the
+    columns line-by-line (L1 R1 L2 R2 …) — stream order deliberately
+    differs from reading order (left column top-to-bottom, then right),
+    so only a position-aware parser extracts the text correctly."""
+    words = text.split()
+    lines = [
+        " ".join(words[i : i + words_per_line]) for i in range(0, len(words), words_per_line)
+    ] or [""]
+    half = (len(lines) + 1) // 2
+    cols = (lines[:half], lines[half:])
+    ops = []
+    for i in range(half):
+        for c in (0, 1):
+            if i < len(cols[c]):
+                x, y = LAYOUT_COL_X[c], LAYOUT_TOP_Y - i * LAYOUT_LEADING
+                ops.append(f"1 0 0 1 {x} {y} Tm ({_escape_pdf_string(cols[c][i])}) Tj")
+    body = "BT /F1 12 Tf " + " ".join(ops) + " ET"
+    return _assemble_pdf([zlib.compress(body.encode("latin-1"), 6)])
+
+
+def _show_text(sm: "re.Match") -> str:
+    if sm.group(1) is not None:
+        return _unescape_pdf_string(sm.group(1))
+    if sm.group(2) is not None:
+        return _hex_string(sm.group(2))
+    parts = []
+    for pm in _TJ_PART_RE.finditer(sm.group(3)):
+        parts.append(
+            _unescape_pdf_string(pm.group(1)) if pm.group(1) is not None else _hex_string(pm.group(2))
+        )
+    return "".join(parts)
+
+
+def decode_pdf_layout(blob: bytes) -> list[str]:
+    """Per-page text in READING order: track the text-space origin
+    through translation-only Tm and relative Td/TD operators, attach
+    (x, y) to every show operator, split spans into columns when the
+    x spread says there are two (boundary = x midrange), and emit
+    column-major top-down. Single-column pages (no x spread) reduce to
+    a pure top-down sort — stream order is never trusted. Shares the
+    stream iterator + filter-chain decode with ``decode_pdf_texts``
+    (same UnsupportedPdfError gates)."""
+    reason = pdf_unsupported_reason(blob)
+    if reason is not None:
+        raise UnsupportedPdfError(
+            f"PDF uses an unsupported feature ({reason}); see decode_pdf_texts"
+        )
+    pages: list[str] = []
+    for header, start in _iter_streams(blob):
+        length = _stream_length(header, blob)
+        if length is None:
+            continue
+        raw = blob[start : start + length]
+        filters = _stream_filters(header)
+        if filters:
+            content = _apply_filters(raw, filters).decode("latin-1")
+        else:
+            try:
+                content = zlib.decompress(raw).decode("latin-1")
+            except zlib.error:
+                content = raw.decode("latin-1")
+        events: list[tuple[int, str, object]] = []
+        for m in _TM_RE.finditer(content):
+            events.append((m.start(), "tm", (float(m.group(5)), float(m.group(6)))))
+        for m in _TD_RE.finditer(content):
+            events.append((m.start(), "td", (float(m.group(1)), float(m.group(2)))))
+        for m in _SHOW_RE.finditer(content):
+            events.append((m.start(), "show", m))
+        events.sort(key=lambda e: e[0])
+        x = y = 0.0
+        spans: list[tuple[float, float, str]] = []
+        for _, kind, payload in events:
+            if kind == "tm":
+                x, y = payload
+            elif kind == "td":
+                x, y = x + payload[0], y + payload[1]
+            else:
+                spans.append((x, y, _show_text(payload)))
+        if not spans:
+            pages.append("")
+            continue
+        xs = [s[0] for s in spans]
+        two_col = max(xs) - min(xs) > 100
+        boundary = (max(xs) + min(xs)) / 2 if two_col else float("inf")
+        ordered = sorted(spans, key=lambda s: (s[0] >= boundary, -s[1], s[0]))
+        pages.append(" ".join(t for _, _, t in ordered if t))
+    return pages
+
+
+PDF_LAYOUT_SCHEMA = "doc_id string, main_text string"
+
+
+def pdf_layout_extract_query(documents: DataFrame) -> DataFrame:
+    """Roundtrip layout query: build an interleaved two-column PDF per
+    doc, recover reading order from positions. Oracle: the doc's
+    normalized text — any ordering mistake breaks equality."""
+    base = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.trim("text").alias("text")
+    )
+    base = spread(base)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                blob = encode_pdf_columns(" ".join(text.split()))
+                rows.append({"doc_id": doc_id, "main_text": " ".join(decode_pdf_layout(blob))})
+            yield pd.DataFrame(rows, columns=["doc_id", "main_text"])
+
+    return base.mapInPandas(run, schema=PDF_LAYOUT_SCHEMA)
+
+
+PDF_LAYOUT_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       regexp_replace(trim(text), '\\s+', ' ', 'g') AS main_text
+FROM documents
 """

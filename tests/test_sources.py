@@ -514,3 +514,23 @@ def test_pdf_hex_strings_and_move_show_operators():
     )
     assert P.decode_pdf_texts(blob) == ["Hello world!mix ABCP"]
     assert P.pdf_unsupported_reason(b"%PDF /Encoding /Identity-H") == "cid-font:Identity-H"
+
+
+def test_pdf_layout_columns_reading_order():
+    """Stream order is interleaved L1 R1 L2 R2; the layout decoder must
+    emit left column top-down then right column — and the stream-order
+    decoder must NOT (proving the op earns its keep). Relative Td
+    tracking and single-column fallback also pinned."""
+    from onnxtr_spark.sources import pdf as P
+
+    text = " ".join(f"w{i:02d}" for i in range(24))  # 4 lines of 6 -> 2+2 columns
+    blob = P.encode_pdf_columns(text)
+    assert " ".join(P.decode_pdf_layout(blob)) == text
+    stream_order = P.decode_pdf_texts(blob)[0]
+    assert stream_order.replace("w", " w").split() != text.split()  # interleaved
+    # relative Td: second line positioned by offset from the first
+    import zlib
+
+    body = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (top line) Tj 0 -14 Td (next line) Tj ET"
+    one = P._assemble_pdf([zlib.compress(body)])
+    assert P.decode_pdf_layout(one) == ["top line next line"]
