@@ -292,3 +292,68 @@ def neardup_stream(docs_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming session windows ---------------------------------------------
+
+SESSION_INPUT_DDL = "user_id long, ts timestamp"
+SESSION_OUTPUT_DDL = "user_id long, start_us long, end_us long, n_events long"
+_SESSION_STATE_DDL = "start long, last long, n long"
+SESSION_GAP_US = 30 * 60 * 1_000_000  # same 30-min gap as the batch operator
+
+
+def _session_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    cols = ["user_id", "start_us", "end_us", "n_events"]
+    out: list[tuple] = []
+    if state.hasTimedOut:
+        s, last, n = state.get
+        out.append((int(key[0]), s, last, n))
+        state.remove()
+    else:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        ts = sorted(int(t) for t in rows["t_us"])
+        s = last = n = None
+        if state.exists:
+            s, last, n = state.get
+        for t in ts:
+            if s is None:
+                s, last, n = t, t, 1
+            elif t - last <= SESSION_GAP_US:
+                last, n = t, n + 1
+            else:
+                out.append((int(key[0]), s, last, n))
+                s, last, n = t, t, 1
+        if s is not None:
+            state.update((s, last, n))
+            # close the open session once the watermark passes its gap
+            # (must stay strictly ahead of the current watermark)
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(wm + 1, (last + SESSION_GAP_US) // 1000))
+    yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+
+def session_stream(events_stream: DataFrame, watermark: str = "1 minute") -> DataFrame:
+    """Streaming session windows: per user, events closer than the
+    30-min gap merge into one session; a session emits
+    (user_id, start_us, end_us, n_events) when it CLOSES — either
+    because a later event of the same user opens the next session
+    (cross-batch, via the 3-int state) or because the event-time
+    watermark passes session_end + gap (EventTimeTimeout, so idle
+    users' sessions drain without waiting for their next visit, and
+    state for dormant users is removed — bounded by ACTIVE users, the
+    scale requirement). The ingest-time twin of
+    queries/relational.events_sessionize."""
+    ev = events_stream.withWatermark("ts", watermark).select(
+        "ts",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("t_us"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_OUTPUT_DDL,
+        stateStructType=_SESSION_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -254,3 +254,47 @@ def test_neardup_stream_flags_cross_batch_near_duplicates(spark, tmp_path):
     # doc 3 collides in every band (identical signature) but the
     # distinct pair set above is what downstream consumes
     assert sum(1 for r in rows if r.doc_id == "3") >= 1
+
+
+def test_session_stream_gap_and_timeout_closure(spark, tmp_path):
+    """Both closure paths: u1's first session closes when a later event
+    opens the next one (cross-batch state), and the still-open second
+    session drains via EventTimeTimeout once other users' events push
+    the watermark past its gap."""
+    from onnxtr_spark.streaming.stateful import SESSION_INPUT_DDL, session_stream
+
+    src = str(tmp_path / "sess_src")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(user, minute):
+        return {"user_id": user, "ts": t0 + dt.timedelta(minutes=minute)}
+
+    us = lambda minute: int((t0 + dt.timedelta(minutes=minute)).timestamp() * 1_000_000)
+
+    # b1: u1 two events 5 min apart -> one building session
+    _write_batch(spark, src, [ev(1, 0), ev(1, 5)], SESSION_INPUT_DDL, "b1")
+    # b2: u1 returns after 95 min -> closes session 1, opens session 2
+    _write_batch(spark, src, [ev(1, 100)], SESSION_INPUT_DDL, "b2")
+    # b3+b4: u2 far in the future pushes the watermark past u1's
+    # session-2 gap; the next micro-batch fires the timeout
+    _write_batch(spark, src, [ev(2, 300)], SESSION_INPUT_DDL, "b3")
+    _write_batch(spark, src, [ev(2, 310)], SESSION_INPUT_DDL, "b4")
+
+    stream = (
+        spark.readStream.schema(SESSION_INPUT_DDL).format("parquet")
+        .option("path", src).option("maxFilesPerTrigger", "1").load()
+    )
+    q = (
+        session_stream(stream)
+        .writeStream.format("memory").queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess_out").toPandas().sort_values(["user_id", "start_us"])
+    u1 = got[got.user_id == 1]
+    assert len(u1) == 2
+    assert list(u1.iloc[0][["start_us", "end_us", "n_events"]]) == [us(0), us(5), 2]
+    assert list(u1.iloc[1][["start_us", "end_us", "n_events"]]) == [us(100), us(100), 1]
