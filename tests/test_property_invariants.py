@@ -66,3 +66,50 @@ def test_corpus_expected_spans_match_oracle_sql():
     )
     got["offset"] = got["offset"].astype(int)
     pd.testing.assert_frame_equal(got[["doc_id", "offset", "kind", "text", "media_ref"]], want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 80))
+def test_pdf_layout_roundtrip_random(seed, n_words):
+    """Layout decode recovers reading order for ANY word sequence,
+    including words with PDF-special characters, regardless of how the
+    interleaved column stream slices it."""
+    from onnxtr_spark.sources.pdf import decode_pdf_layout, encode_pdf_columns
+
+    rng = np.random.RandomState(seed)
+    alphabet = list("abcXYZ09()\\")
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8))) for _ in range(n_words)
+    ]
+    text = " ".join(words)
+    assert " ".join(decode_pdf_layout(encode_pdf_columns(text))).split() == words
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 60), st.integers(1, 12))
+def test_pack_sequences_invariants_random(spark, seed, n_docs, ctx):
+    """For random doc lengths: starts are the exact running sum per
+    shard, offsets < ctx, bins nonnegative and nondecreasing in doc
+    order within a shard. (Session-scoped fixture: each example is one
+    tiny local job.)"""
+    import pandas as pd
+
+    from onnxtr_spark.functions.text import pack_sequences
+
+    rng = np.random.RandomState(seed)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n_docs),
+        "text": [" ".join("w" for _ in range(rng.randint(1, 9))) for _ in range(n_docs)],
+    })
+    got = (
+        pack_sequences(spark.createDataFrame(docs), ctx=ctx, shard_docs=16)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (got["bin_offset"] < ctx).all() and (got["bin_in_shard"] >= 0).all()
+    for shard, g in got.groupby("shard"):
+        starts = (g["bin_in_shard"] * ctx + g["bin_offset"]).to_numpy()
+        lens = g["n_bpe_tokens"].to_numpy()
+        assert starts[0] == 0
+        assert (starts[1:] == np.cumsum(lens)[:-1]).all()
