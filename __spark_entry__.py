@@ -228,6 +228,21 @@ def _html_block_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_block_extract_query(_documents(spark, sf_dir))
 
 
+def _warc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-archive source: docs → multi-record gzip WARC files →
+    Content-Length-framed parse → URI attribution → JVM HTML strip.
+    Oracle: roundtrip to each doc's normalized text."""
+    from onnxtr_spark.sources.warc import warc_extract_query
+
+    return warc_extract_query(_documents(spark, sf_dir))
+
+
+def _warc_sql() -> str:
+    from onnxtr_spark.sources.html import HTML_EXTRACT_SQL
+
+    return HTML_EXTRACT_SQL
+
+
 def _pdf_layout_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule layout parse: two-column PDFs whose content streams
     interleave the columns; reading order recovered from Tm/Td glyph
@@ -470,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content": _html_main_content,
         "html_block_main_content": _html_block_main_content,
         "pdf_layout_columns": _pdf_layout_columns,
+        "warc_extract_text": _warc_extract_text,
         "pdf_extract_text": _pdf_extract_text,
         "artefact_detect": _artefact_detect,
         # evaluation metrics (reference scripts/evaluate.py:20,92-95)
@@ -508,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
         "html_main_content": _html_sql(),
         "html_block_main_content": _html_sql(),
         "pdf_layout_columns": _pdf_layout_sql(),
+        "warc_extract_text": _warc_sql(),
         "pdf_extract_text": _pdf_sql(),
         "pdf_scanned_ocr": _pdf_sql(),
         "html_render_ocr": _pdf_sql(),
