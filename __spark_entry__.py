@@ -281,10 +281,10 @@ def _pdf_sql() -> str:
 
 def _multisource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 multi-source facade: one mixed-kind corpus (html / pdf /
-    image / pdf_scanned by doc_id %% 4) routed through the per-kind
-    decode branches — boilerplate strip, content-stream parse, the full
-    OCR pipeline, and rasterize→OCR for scanned PDFs — into one
-    (doc_id, kind, page, text) relation."""
+    image / pdf_scanned / warc by doc_id %% 5) routed through the
+    per-kind decode branches — boilerplate strip, content-stream parse,
+    the full OCR pipeline, rasterize→OCR for scanned PDFs, and WARC
+    record framing — into one (doc_id, kind, page, text) relation."""
     from onnxtr_spark.sources.reader import mixed_corpus_from_documents, read_documents
 
     return read_documents(mixed_corpus_from_documents(_documents(spark, sf_dir)))

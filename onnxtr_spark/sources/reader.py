@@ -3,9 +3,9 @@
 choosing a decode path per input kind).
 
 Spark-first shape: ONE mixed-kind table (doc_id, kind, page, payload)
-fans out into four declarative branches — kind is a
-partition-predicate filter, never a per-row Python dispatch — and the
-branches union back into a single (doc_id, kind, page, text) relation:
+fans out into declarative branches — kind is a partition-predicate
+filter, never a per-row Python dispatch — and the branches union back
+into a single (doc_id, kind, page, text) relation:
 
 - ``html``  → JVM-side boilerplate strip (sources/html.py), page 0;
 - ``html_scanned`` → render HTML to PDF (sources/render.py, the
@@ -22,7 +22,9 @@ branches union back into a single (doc_id, kind, page, text) relation:
   the full OCR pipeline — the scanned-document path;
 - ``image`` → the full OCR pipeline (fused detect+recognize) with
   reading-order text assembly per page (a doc may span several page
-  images, keyed by the input ``page`` column).
+  images, keyed by the input ``page`` column);
+- ``warc`` → gzip web-archive record (sources/warc.py): Python-side
+  member/Content-Length framing, JVM-side boilerplate strip.
 
 At scale each branch prunes to its own partitions when the table is
 partitioned by ``kind`` (partition pruning is visible in the scan), so
@@ -122,25 +124,57 @@ def read_documents(
         F.lit(0).alias("width"),   # fused stage decodes them itself
     )
     image = assemble_page_text(detect_recognize_pages(image_pages), "image")
+
+    # warc: one crawl record per doc (gzip WARC member); parse the
+    # archive framing Python-side, strip the HTML payload JVM-side
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    def parse_warc_rows(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        from onnxtr_spark.sources.warc import parse_warc
+
+        for pdf_b in batches:
+            if pdf_b.empty:
+                continue
+            rows = []
+            for doc_id, blob in zip(pdf_b["doc_id"], pdf_b["payload"]):
+                recs = parse_warc(bytes(blob))
+                rows.append({"doc_id": doc_id, "html": recs[0][1] if recs else ""})
+            yield _pd.DataFrame(rows, columns=["doc_id", "html"])
+
+    warc = (
+        df.where(F.col("kind") == "warc")
+        .select("doc_id", "payload")
+        .mapInPandas(parse_warc_rows, "doc_id string, html string")
+        .select(
+            "doc_id",
+            F.lit("warc").alias("kind"),
+            F.lit(0).alias("page"),
+            html_main_text(F.col("html")).alias("text"),
+        )
+    )
     return (
         html.unionByName(pdf)
         .unionByName(html_scanned)
         .unionByName(scanned)
         .unionByName(image)
+        .unionByName(warc)
         .select(*READ_COLS)
     )
 
 
 def mixed_corpus_from_documents(documents: DataFrame) -> DataFrame:
     """Deterministic mixed-kind corpus: doc i is html / pdf / image /
-    pdf_scanned by ``doc_id % 4`` — html as one boilerplate page, pdf
-    (born-digital AND scanned payloads are the same bytes — the KIND
-    routes the decode path) as one file with WORDS_PER_PAGE-word pages,
-    image as one rendered page image per chunk. Output:
+    pdf_scanned / warc by ``doc_id % 5`` — html as one boilerplate
+    page, pdf (born-digital AND scanned payloads are the same bytes —
+    the KIND routes the decode path) as one file with
+    WORDS_PER_PAGE-word pages, image as one rendered page image per
+    chunk, warc as a single-record gzip crawl archive. Output:
     (doc_id, kind, page, payload binary)."""
     base = documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        (F.col("doc_id").cast("long") % 4).alias("k4"),
+        (F.col("doc_id").cast("long") % 5).alias("k4"),
         F.split(F.trim("text"), r"\s+").alias("words"),
     )
     html = (
@@ -204,21 +238,47 @@ def mixed_corpus_from_documents(documents: DataFrame) -> DataFrame:
         .transform(spread)
         .mapInPandas(build_images, "doc_id string, kind string, page int, payload binary")
     )
-    return html.unionByName(pdfs).unionByName(images)
+
+    def build_warcs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from onnxtr_spark.sources.warc import encode_warc
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, uri, html_s in zip(pdf["doc_id"], pdf["uri"], pdf["html"]):
+                rows.append({
+                    "doc_id": doc_id, "kind": "warc", "page": 0,
+                    "payload": encode_warc([(uri, html_s)]),
+                })
+            yield pd.DataFrame(rows, columns=["doc_id", "kind", "page", "payload"])
+
+    from onnxtr_spark.sources.warc import doc_uri
+
+    warcs = (
+        synthesize_html(documents)
+        .join(base.where(F.col("k4") == 4).select("doc_id"), "doc_id")
+        .select("doc_id", doc_uri(F.col("doc_id")).alias("uri"), "html")
+        .transform(spread)
+        .mapInPandas(build_warcs, "doc_id string, kind string, page int, payload binary")
+    )
+    return html.unionByName(pdfs).unionByName(images).unionByName(warcs)
 
 
 MULTISOURCE_READ_SQL = f"""
 WITH w AS (
-  SELECT CAST(doc_id AS VARCHAR) AS sid, doc_id % 4 AS k4,
+  SELECT CAST(doc_id AS VARCHAR) AS sid, doc_id % 5 AS k4,
          string_split_regex(trim(text), '\\s+') AS words,
          regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm
   FROM documents
 ), paged AS (
   SELECT sid, k4, words,
          unnest(generate_series(0, CAST(greatest(1, ceil(len(words) / {WORDS_PER_PAGE}.0)) AS INT) - 1)) AS p
-  FROM w WHERE k4 != 0
+  FROM w WHERE k4 NOT IN (0, 4)
 )
 SELECT sid AS doc_id, 'html' AS kind, 0 AS page, norm AS text FROM w WHERE k4 = 0
+UNION ALL
+SELECT sid, 'warc', 0, norm FROM w WHERE k4 = 4
 UNION ALL
 SELECT sid, CASE k4 WHEN 1 THEN 'pdf' WHEN 2 THEN 'image' ELSE 'pdf_scanned' END, CAST(p AS INT),
        array_to_string(words[p * {WORDS_PER_PAGE} + 1 : (p + 1) * {WORDS_PER_PAGE}], ' ')

@@ -18,12 +18,17 @@ def test_mixed_corpus_routes_per_kind(spark):
     img_payload = imaging.encode_image(img)
 
     img2 = imaging.render_page([["second", "page"]])
+    from onnxtr_spark.sources.warc import encode_warc
+
+    warc_payload = encode_warc([
+        ("https://s.example/doc/w1", "<html><body><main><p>crawled archive words</p></main></body></html>")
+    ])
     df = spark.createDataFrame(
         pd.DataFrame({
-            "doc_id": ["h1", "p1", "i1", "i1"],
-            "kind": ["html", "pdf", "image", "image"],
-            "page": [0, 0, 0, 1],
-            "payload": [html_payload, pdf_payload, img_payload, imaging.encode_image(img2)],
+            "doc_id": ["h1", "p1", "i1", "i1", "w1"],
+            "kind": ["html", "pdf", "image", "image", "warc"],
+            "page": [0, 0, 0, 1, 0],
+            "payload": [html_payload, pdf_payload, img_payload, imaging.encode_image(img2), warc_payload],
         })
     )
     out = read_documents(df).toPandas().sort_values(["doc_id", "page"]).reset_index(drop=True)
@@ -33,7 +38,8 @@ def test_mixed_corpus_routes_per_kind(spark):
     assert rows[("p1", 1)] == ("pdf", "pdf page two")
     assert rows[("i1", 0)] == ("image", "scanned words")
     assert rows[("i1", 1)] == ("image", "second page")
-    assert len(out) == 5
+    assert rows[("w1", 0)] == ("warc", "crawled archive words")
+    assert len(out) == 6
 
 
 def test_documentfile_from_pdfs_feeds_predictors(spark):
