@@ -39,7 +39,10 @@ HEADLINE = [
     "ocr_extract_spans_straightened",
     "artefact_detect",
     "html_main_content",
+    "html_block_main_content",
     "pdf_extract_text",
+    "pdf_layout_columns",
+    "warc_extract_text",
     "pdf_scanned_ocr",
     "html_render_ocr",
     "eval_ocr_metric",
