@@ -118,3 +118,37 @@ def test_curate_job_cli(spark, tmp_path):
     assert curated.where(F.col("doc_id") % 97 == 0).count() == 0
     # audit kept rows ≡ curated rows
     assert audit.where(F.col("kept_by") == "").count() == curated.count()
+
+
+def test_crawl_job_cli(spark, tmp_path):
+    """Crawl-to-training-data job end-to-end as a separate process:
+    WARC archives in → curated docs + funnel + packed sequences out,
+    with the WARC roundtrip feeding the same doc_ids the curation
+    audits."""
+    import os
+
+    from onnxtr_spark.sources.warc import synthesize_warcs
+
+    warcs_path, out = str(tmp_path / "warcs_parquet"), str(tmp_path / "train")
+    sf_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where(
+        "doc_id < 120"
+    )
+    synthesize_warcs(sf_docs).write.parquet(warcs_path)
+    n_docs = sf_docs.count()
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2", PYTHONPATH=".")
+    res = subprocess.run(
+        [sys.executable, "jobs/crawl_job.py", "--warcs", warcs_path, "--out", out, "--ctx", "64"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=".",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    audit = spark.read.parquet(f"{out}/audit")
+    kept = spark.read.parquet(f"{out}/docs")
+    packed = spark.read.parquet(f"{out}/packed")
+    funnel = {r.stage: r.n_docs for r in spark.read.parquet(f"{out}/funnel").collect()}
+    assert audit.count() == n_docs
+    assert sum(funnel.values()) == n_docs
+    assert funnel.get("kept", 0) == kept.count() > 0
+    # every kept doc is packed exactly once, offsets inside the ctx
+    assert packed.count() == kept.count()
+    assert packed.where("bin_offset >= 64 OR bin_offset < 0").count() == 0
