@@ -505,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_extract_spans_straightened": _ocr_spans_straightened,
         "dedup_groups": lambda s, d: dedup.near_dup_groups(_documents(s, d)),
         "ann_lsh_near_pairs": lambda s, d: similarity.lsh_near_pairs(_embeddings(s, d)),
+        "embedding_dup_groups": lambda s, d: similarity.embedding_dup_groups(_embeddings(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_documents(s, d)),
         "curation_funnel": _curation_funnel,
     }
@@ -602,6 +603,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": similarity.ivf_topk_sql(),
         "ann_lsh_buckets": similarity.lsh_buckets_sql(),
         "ann_lsh_near_pairs": similarity.lsh_near_pairs_sql(),
+        "embedding_dup_groups": similarity.embedding_dup_groups_sql(),
         "embedding_centroids": similarity.LABEL_CENTROIDS_SQL,
         "embedding_quantize": similarity.QUANTIZE_EMBEDDINGS_SQL,
         "ann_cosine_topk_int8": similarity.cosine_topk_int8_sql(),

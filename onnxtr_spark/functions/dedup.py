@@ -291,9 +291,20 @@ def near_dup_groups(documents: DataFrame, threshold: float = 0.9, max_iters: int
     """
     pairs = token_jaccard_pairs(documents, threshold).select("doc_a", "doc_b")
     nodes = documents.select(F.col("doc_id").cast("long").alias("node")).distinct()
+    return connected_components(nodes, pairs, max_iters).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("group_id")
+    )
+
+
+def connected_components(nodes: DataFrame, pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """(node, label) with label = min node id of the connected
+    component — the reusable core of near_dup_groups (hash-min label
+    propagation with pointer jumping; see that docstring for the
+    O(log diameter) argument). ``pairs`` is any (doc_a, doc_b) edge
+    relation; it is materialized once before the loop."""
     # materialize the edge list ONCE — every round's neighbor-min join
     # re-reads it, and without the checkpoint each iteration would
-    # re-run the entire SSJoin candidate pipeline from the raw text
+    # re-run the entire candidate pipeline from the raw input
     edges = (
         pairs.unionByName(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .withColumnsRenamed({"doc_a": "node", "doc_b": "peer"})
@@ -332,7 +343,7 @@ def near_dup_groups(documents: DataFrame, threshold: float = 0.9, max_iters: int
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
+    return labels
 
 
 def near_dup_groups_sql(threshold: float = 0.9) -> str:
@@ -340,9 +351,9 @@ def near_dup_groups_sql(threshold: float = 0.9) -> str:
     min reachable node per doc (fine at oracle scale; the Spark side is
     the log-round algorithm that survives web scale)."""
     return f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
   {token_jaccard_pairs_sql(threshold)}
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL
   SELECT doc_b, doc_a FROM pairs

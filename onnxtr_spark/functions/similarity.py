@@ -751,3 +751,43 @@ WITH s AS (
 )
 SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= {k}
 """
+
+
+def embedding_dup_groups(embeddings: DataFrame, threshold: float = 0.25) -> DataFrame:
+    """Semantic (embedding-cosine) deduplication GROUPS: every vector
+    labeled with the minimum vec_id of its connected component in the
+    cosine-near-dup graph — the step that picks which semantic copies
+    to keep, completing the embedding family (pairs alone don't
+    deduplicate). Edges come from ``lsh_near_pairs`` (banded LSH
+    candidates, exact-cosine verified); components run on the shared
+    pointer-jumping label propagation (functions/dedup.
+    connected_components, O(log diameter) rounds)."""
+    from onnxtr_spark.functions.dedup import connected_components
+
+    pairs = lsh_near_pairs(embeddings, threshold=threshold).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    nodes = embeddings.select(F.col("vec_id").cast("long").alias("node")).distinct()
+    return connected_components(nodes, pairs).select(
+        F.col("node").alias("vec_id"), F.col("label").alias("group_id")
+    )
+
+
+def embedding_dup_groups_sql(threshold: float = 0.25) -> str:
+    """Transitive closure over the SAME banded-LSH pair definition the
+    Spark side uses (so a green row proves both the pair set and the
+    component labeling)."""
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  {lsh_near_pairs_sql(threshold)}
+), edges AS MATERIALIZED (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION ALL
+  SELECT vec_b, vec_a FROM pairs
+), reach(node, other) AS (
+  SELECT CAST(vec_id AS BIGINT), CAST(vec_id AS BIGINT) FROM embeddings
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other
+)
+SELECT node AS vec_id, min(other) AS group_id FROM reach GROUP BY node
+"""
