@@ -1475,3 +1475,85 @@ FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
 """
+
+
+# --- BPE tokenization (apply a fixed merge table) ---------------------------
+# Byte-pair encoding APPLY as pure column algebra: the symbol sequence
+# is space-delimited with sentinel spaces (" t h e "), each merge
+# (a, b) -> ab is a replace of " a b " with " ab " applied in rank
+# order, and words are separated by a "¤" sentinel so merges never
+# cross word boundaries. The delimiting spaces prevent the classic
+# substring-merge bug (" e r" matching inside "the r"); each merge's
+# replace runs TWICE because adjacent occurrences share a delimiter
+# space — non-overlapping replace consumes it and skips every second
+# occurrence (" e r e r e r "), and one extra pass merges the skipped,
+# now-isolated pairs. With a != b in every merge (asserted — pattern
+# instances can never share a SYMBOL, only the delimiter) two passes
+# reproduce the textbook per-word algorithm exactly, proven against an
+# honest reference implementation by property test.
+BPE_MERGES = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "r"), ("r", "e"), ("s", "t"), ("o", "n"),
+    ("e", "n"), ("a", "t"), ("in", "g"), ("the", "r"),
+)
+
+
+def bpe_symbol_seq(col, merges: tuple = BPE_MERGES):
+    """Column: the final space-delimited BPE symbol sequence of a text
+    column (words separated by ¤)."""
+    words = F.split(F.trim(col), r"\s+")
+    seq = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.transform(words, lambda w: F.array_join(F.regexp_extract_all(w, F.lit("."), F.lit(0)), " ")),
+            " ¤ ",
+        ),
+        F.lit(" "),
+    )
+    for a, b in merges:
+        assert a != b, "BPE-as-replace requires a != b merges (see module comment)"
+        for _ in range(2):
+            seq = F.replace(seq, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    return seq
+
+
+def bpe_symbol_seq_sql(expr: str, merges: tuple = BPE_MERGES) -> str:
+    inner = (
+        "' ' || array_to_string(list_transform(string_split_regex(trim(" + expr + "), '\\s+'),"
+        " w -> array_to_string(regexp_extract_all(w, '.'), ' ')), ' ¤ ') || ' '"
+    )
+    out = inner
+    for a, b in merges:
+        for _ in range(2):
+            out = f"replace({out}, ' {a} {b} ', ' {a}{b} ')"
+    return out
+
+
+def bpe_encode(documents: DataFrame, merges: tuple = BPE_MERGES) -> DataFrame:
+    """(doc_id, n_bpe, sym_hash): BPE token count under the fixed merge
+    table and the md5 of the full symbol sequence — bit-exact symbol
+    equality across engines without shipping the sequence back.
+    Embarrassingly parallel per-row column algebra; a learned merge
+    table swaps in as a literal list (training the table is a
+    pair-count aggregate per rank — the kmeans-style control-plane
+    loop)."""
+    seq = bpe_symbol_seq(F.col("text"), merges)
+    syms = F.filter(F.split(F.trim(seq), " "), lambda s: (s != "¤") & (s != ""))
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(syms).cast("long").alias("n_bpe"),
+        F.md5(seq).alias("sym_hash"),
+    )
+
+
+def bpe_encode_sql(merges: tuple = BPE_MERGES) -> str:
+    seq = bpe_symbol_seq_sql("text", merges)
+    return f"""
+WITH s AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {seq} AS seq FROM documents
+)
+SELECT doc_id,
+       len(list_filter(string_split(trim(seq), ' '), x -> x != '¤' AND x != '')) AS n_bpe,
+       md5(seq) AS sym_hash
+FROM s
+"""

@@ -225,3 +225,43 @@ def test_ccnet_buckets_are_rank_tertiles(spark):
         assert max(counts) - min(counts) <= 1, (lang, dict(counts))
         if {"head", "tail"} <= set(counts.index):
             assert g[g.bucket == "head"]["nll"].max() <= g[g.bucket == "tail"]["nll"].min()
+
+
+def _ref_bpe(word: str, merges) -> list[str]:
+    """Honest reference BPE apply: per word, merge the ranked pair
+    wherever adjacent, scanning left to right, one merge rank at a
+    time (the textbook algorithm)."""
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_replace_chain_matches_reference(spark):
+    """The space-delimited replace chain IS the BPE merge step: equal
+    to the per-word reference on adversarial words (boundary bait like
+    'the r', repeats, single chars) and on random corpus text."""
+    import numpy as np
+    import pandas as pd
+
+    from onnxtr_spark.functions.text import BPE_MERGES, bpe_encode
+
+    rng = np.random.RandomState(7)
+    words = ["ther", "thermal", "ererer", "ananan", "t", "standing", "threre", "a", "inin"]
+    words += ["".join(rng.choice(list("theransdoi")) for _ in range(rng.randint(1, 10))) for _ in range(40)]
+    docs = pd.DataFrame({"doc_id": range(len(words)), "text": words})
+    got = bpe_encode(spark.createDataFrame(docs)).toPandas().set_index("doc_id")
+    for i, w in enumerate(words):
+        assert got.loc[i, "n_bpe"] == len(_ref_bpe(w, BPE_MERGES)), (w, _ref_bpe(w, BPE_MERGES))
+    # multi-word doc: no merges across the word boundary
+    two = pd.DataFrame({"doc_id": [0], "text": ["t h"]})  # 't'+'h' only merges INSIDE a word
+    got2 = bpe_encode(spark.createDataFrame(two)).toPandas()
+    assert got2.loc[0, "n_bpe"] == 2
