@@ -64,6 +64,8 @@ HEADLINE = [
     "docs_ccnet_buckets",
     "docs_pack_sequences",
     "docs_bm25_search",
+    "text_bpe_encode",
+    "dedup_containment",
     "ann_cosine_topk",
     "ann_lsh_near_pairs",
     "embedding_centroids",

@@ -113,3 +113,39 @@ def test_pack_sequences_invariants_random(spark, seed, n_docs, ctx):
         lens = g["n_bpe_tokens"].to_numpy()
         assert starts[0] == 0
         assert (starts[1:] == np.cumsum(lens)[:-1]).all()
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_containment_prefix_filter_is_exact(spark, seed):
+    """The prefix-pruned containment join returns EXACTLY the brute
+    force answer on random corpora with planted containments."""
+    import pandas as pd
+
+    from onnxtr_spark.functions.dedup import containment_pairs
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for _ in range(10):
+        texts.append(" ".join(rng.choice(vocab) for _ in range(rng.randint(6, 30))))
+    # plant: doc 10 embeds doc 0's text verbatim
+    texts.append(texts[0] + " extra tail words beyond")
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = containment_pairs(spark.createDataFrame(docs), threshold=0.8, k=3).toPandas()
+    got_pairs = set(map(tuple, got[["doc_a", "doc_b"]].values.tolist()))
+
+    # brute force over the same shingle definition
+    def shingle_set(t):
+        w = t.split()
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: shingle_set(t) for i, t in enumerate(texts)}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a != b and 10000 * len(sets[a] & sets[b]) >= 8000 * len(sets[a]):
+                want.add((a, b))
+    assert got_pairs == want
