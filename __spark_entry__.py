@@ -452,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_gopher_rules": lambda s, d: text.gopher_rules(_documents(s, d)),
         "docs_bm25_search": lambda s, d: text.bm25_search(_documents(s, d)),
         "text_bpe_encode": lambda s, d: text.bpe_encode(_documents(s, d)),
+        "docs_source_stats": lambda s, d: text.source_stats(_documents(s, d)),
         "doc_fingerprint": lambda s, d: text.fingerprint(_documents(s, d)),
         "doc_winnow_fingerprints": lambda s, d: text.winnow_fingerprints(_documents(s, d)),
         "docs_stratified_sample": lambda s, d: text.stratified_sample(_documents(s, d)),
@@ -579,6 +580,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_gopher_rules": text.GOPHER_RULES_SQL,
         "docs_bm25_search": text.bm25_search_sql(),
         "text_bpe_encode": text.bpe_encode_sql(),
+        "docs_source_stats": text.SOURCE_STATS_SQL,
         "text_lang_id": text.lang_id_sql(),
         "doc_fingerprint": text.FINGERPRINT_SQL,
         "doc_winnow_fingerprints": text.winnow_fingerprints_sql(),

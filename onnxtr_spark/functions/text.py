@@ -1557,3 +1557,63 @@ SELECT doc_id,
        md5(seq) AS sym_hash
 FROM s
 """
+
+
+# --- per-source corpus composition ------------------------------------------
+
+
+def source_stats(documents: DataFrame) -> DataFrame:
+    """Corpus composition by source: (source, n_docs, n_unique_texts,
+    dup_frac, total_chars, langs) — the dashboard a data-mix owner
+    reads before weighting sources. One map-side-combined groupBy over
+    (source, text-hash) then one over source; dup_frac is the exact
+    within-source duplicate fraction, langs the distinct ground-truth
+    language count. Integer math until the output edge."""
+    per_text = (
+        documents.select(
+            "source",
+            F.md5(F.regexp_replace(F.trim("text"), r"\s+", " ")).alias("h"),
+            F.length(F.trim("text")).cast("long").alias("n_chars"),
+        )
+        .groupBy("source", "h")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("n_chars").alias("chars"))
+    )
+    langs = documents.groupBy("source").agg(F.countDistinct("lang").cast("long").alias("langs"))
+    return (
+        per_text.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_unique_texts"),
+            F.sum("chars").cast("long").alias("total_chars"),
+        )
+        .join(langs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_unique_texts",
+            round_half_up((F.col("n_docs") - F.col("n_unique_texts")) / F.col("n_docs"), 4).alias("dup_frac"),
+            "total_chars",
+            "langs",
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_STATS_SQL = f"""
+WITH per_text AS (
+  SELECT source, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS h,
+         count(*) AS n, sum(length(trim(text))) AS chars
+  FROM documents GROUP BY 1, 2
+), langs AS (
+  SELECT source, count(DISTINCT lang) AS langs FROM documents GROUP BY 1
+)
+SELECT p.source,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       count(*) AS n_unique_texts,
+       {round_half_up_sql("(sum(n) - count(*))::DOUBLE / sum(n)::DOUBLE", 4)} AS dup_frac,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       CAST(any_value(langs) AS BIGINT) AS langs
+FROM per_text p JOIN langs l ON p.source = l.source
+GROUP BY 1
+ORDER BY 1
+"""
