@@ -42,6 +42,13 @@ def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _curate.curation_funnel(_curate.curate(_documents(spark, sf_dir)))
 
 
+def _curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v1 ladder plus the Gopher rule battery and the CCNet
+    perplexity-tail drop, each funnel stage attributable to one gate;
+    the composed oracle embeds all nine gates' SQL."""
+    return _curate.curation_funnel(_curate.curate_v2(_documents(spark, sf_dir)))
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -510,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_groups": lambda s, d: similarity.embedding_dup_groups(_embeddings(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_documents(s, d)),
         "curation_funnel": _curation_funnel,
+        "curation_funnel_v2": _curation_funnel_v2,
     }
 
 
@@ -594,6 +602,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_sequences": text.pack_sequences_sql(),
         "dedup_winnow_pairs": text.winnow_dup_pairs_sql(),
         "curation_funnel": _curate.curation_funnel_sql(),
+        "curation_funnel_v2": _curate.curation_funnel_v2_sql(),
         "training_mix": text.training_mix_sql(),
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_minhash_bands": dedup.minhash_bands_sql(),

@@ -39,6 +39,11 @@ CURATE_DEFAULTS = {
     # — as a drop gate, 3-gram collisions over a small shared
     # vocabulary would evict half the corpus; production uses 8-13
     "contaminate_n": 5,
+    # Gopher floors calibrated to the synthetic corpus (docs are 10-100
+    # words over a stopword-poor vocabulary; the published 50/2 floors
+    # would keep nothing — see curate_v2's docstring)
+    "gopher_min_words": 20,
+    "gopher_min_stop_hits": 1,
 }
 
 
@@ -153,6 +158,122 @@ WITH base AS (
     WHEN lang NOT IN ({lang_list}) THEN 'wrong_lang'
     WHEN dup_word_frac > {max_dup_word_frac} THEN 'repetitive_words'
     WHEN top_bigram_char_frac > {max_top_bigram_char_frac} THEN 'repetitive_bigram'
+    ELSE 'kept' END AS stage
+  FROM j
+)
+SELECT stage, count(*) AS n_docs FROM staged GROUP BY 1 ORDER BY 1
+"""
+
+
+def curate_v2(
+    documents: DataFrame,
+    quality_min: float = CURATE_DEFAULTS["quality_min"],
+    langs: tuple[str, ...] = CURATE_DEFAULTS["langs"],
+    max_dup_word_frac: float = CURATE_DEFAULTS["max_dup_word_frac"],
+    max_top_bigram_char_frac: float = CURATE_DEFAULTS["max_top_bigram_char_frac"],
+    contaminate_n: int = CURATE_DEFAULTS["contaminate_n"],
+    gopher_min_words: int = CURATE_DEFAULTS["gopher_min_words"],
+    gopher_min_stop_hits: int = CURATE_DEFAULTS["gopher_min_stop_hits"],
+) -> DataFrame:
+    """The v1 gate ladder plus the round's published-filter gates:
+    Gopher's rule battery (Rae et al. Table A1 conjunction) and CCNet's
+    perplexity tail (the worst per-language NLL tertile) — applied
+    AFTER every v1 gate so each funnel stage stays attributable to one
+    filter. The Gopher word/stopword floors are CALIBRATED to the
+    corpus (the published 50-word / 2-stopword values assume organic
+    English; every real pipeline re-tunes them per corpus — at the
+    defaults the synthetic corpus keeps zero docs, which is a
+    mis-configured gate, not a filter). Same shape: two more doc_id
+    equi-joins against scalar-per-doc relations, still one Catalyst
+    DAG."""
+    from onnxtr_spark.functions.text import ccnet_buckets, gopher_rules
+
+    v1 = curate(
+        documents,
+        quality_min=quality_min,
+        langs=langs,
+        max_dup_word_frac=max_dup_word_frac,
+        max_top_bigram_char_frac=max_top_bigram_char_frac,
+        contaminate_n=contaminate_n,
+    )
+    gop = gopher_rules(
+        documents, min_words=gopher_min_words, min_stop_hits=gopher_min_stop_hits
+    ).select("doc_id", F.col("passes").alias("gopher_ok"))
+    cc = ccnet_buckets(documents).select("doc_id", "bucket")
+    kept_by = (
+        F.when(F.col("kept_by") != "", F.col("kept_by"))
+        .when(~F.col("gopher_ok"), F.lit("gopher_fail"))
+        .when(F.col("bucket") == "tail", F.lit("ppl_tail"))
+        .otherwise(F.lit(""))
+    )
+    return (
+        v1.join(gop, "doc_id", "left")
+        .join(cc, "doc_id", "left")
+        .select("doc_id", "text", "lang", "quality", kept_by.alias("kept_by"))
+    )
+
+
+def curation_funnel_v2_sql(
+    quality_min: float = CURATE_DEFAULTS["quality_min"],
+    langs: tuple[str, ...] = CURATE_DEFAULTS["langs"],
+    max_dup_word_frac: float = CURATE_DEFAULTS["max_dup_word_frac"],
+    max_top_bigram_char_frac: float = CURATE_DEFAULTS["max_top_bigram_char_frac"],
+    contaminate_n: int = CURATE_DEFAULTS["contaminate_n"],
+    gopher_min_words: int = CURATE_DEFAULTS["gopher_min_words"],
+    gopher_min_stop_hits: int = CURATE_DEFAULTS["gopher_min_stop_hits"],
+) -> str:
+    """Composed oracle for the v2 ladder — the v1 gates' SQL plus the
+    Gopher and CCNet oracles embedded as derived tables."""
+    from onnxtr_spark.functions.dedup import EXACT_DEDUP_SQL
+    from onnxtr_spark.functions.text import (
+        CCNET_BUCKETS_SQL,
+        gopher_rules_sql,
+        QUALITY_SCORE_SQL,
+        contamination_sql,
+        lang_id_sql,
+        repetition_stats_sql,
+    )
+
+    lang_list = ", ".join(f"'{lg}'" for lg in langs)
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+), canon AS (
+  SELECT canonical_doc_id AS doc_id, TRUE AS is_canonical FROM ({EXACT_DEDUP_SQL})
+), q AS (
+  SELECT doc_id, quality FROM ({QUALITY_SCORE_SQL})
+), lg AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_lang AS lang FROM ({lang_id_sql()})
+), rep AS (
+  SELECT * FROM ({repetition_stats_sql()})
+), cont AS (
+  SELECT doc_id, contaminated FROM ({contamination_sql(contaminate_n)})
+), gop AS (
+  SELECT doc_id, passes AS gopher_ok FROM ({gopher_rules_sql(gopher_min_words, 100_000, gopher_min_stop_hits)})
+), cc AS (
+  SELECT doc_id, bucket FROM ({CCNET_BUCKETS_SQL})
+), j AS (
+  SELECT base.doc_id, is_canonical, quality, lang, dup_word_frac,
+         top_bigram_char_frac, contaminated, gopher_ok, bucket
+  FROM base
+  LEFT JOIN canon USING (doc_id)
+  LEFT JOIN q USING (doc_id)
+  LEFT JOIN lg USING (doc_id)
+  LEFT JOIN rep USING (doc_id)
+  LEFT JOIN cont USING (doc_id)
+  LEFT JOIN gop USING (doc_id)
+  LEFT JOIN cc USING (doc_id)
+), staged AS (
+  SELECT CASE
+    WHEN is_canonical IS NULL THEN 'exact_dup'
+    WHEN contaminated IS NULL THEN 'eval_holdout'
+    WHEN contaminated THEN 'contaminated'
+    WHEN quality < {quality_min} THEN 'low_quality'
+    WHEN lang NOT IN ({lang_list}) THEN 'wrong_lang'
+    WHEN dup_word_frac > {max_dup_word_frac} THEN 'repetitive_words'
+    WHEN top_bigram_char_frac > {max_top_bigram_char_frac} THEN 'repetitive_bigram'
+    WHEN NOT gopher_ok THEN 'gopher_fail'
+    WHEN bucket = 'tail' THEN 'ppl_tail'
     ELSE 'kept' END AS stage
   FROM j
 )

@@ -103,9 +103,15 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _GOPHER_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
 
 
-def gopher_rules(documents: DataFrame) -> DataFrame:
+def gopher_rules(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_hits: int = 2,
+) -> DataFrame:
     """Gopher's repetition-free quality gates as one column-algebra
-    pass: word count in [50, 100k], mean word length in [3, 10],
+    pass: word count in [min_words, max_words] (published: 50-100k),
+    mean word length in [3, 10],
     symbol-to-word ratio (# / ellipsis) <= 0.1, <=90% of lines
     bullet-led, <=30% ellipsis-ended, >=80% of words containing a
     letter, and >=2 distinct stopwords present. Emits every measured
@@ -135,13 +141,13 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
         F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))
     ).cast("long")
     passes = (
-        (n >= 50) & (n <= 100_000)
+        (n >= min_words) & (n <= max_words)
         & (mean_len >= 3.0) & (mean_len <= 10.0)
         & (symbol_ratio <= 0.1)
         & (bullet_frac <= 0.9)
         & (ellipsis_frac <= 0.3)
         & (alpha_frac >= 0.8)
-        & (n_stop_hits >= 2)
+        & (n_stop_hits >= min_stop_hits)
     )
     return documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -156,7 +162,10 @@ def gopher_rules(documents: DataFrame) -> DataFrame:
     )
 
 
-GOPHER_RULES_SQL = f"""
+def gopher_rules_sql(
+    min_words: int = 50, max_words: int = 100_000, min_stop_hits: int = 2
+) -> str:
+    return f"""
 WITH t AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
          {_TOKENS_SQL} AS toks,
@@ -187,15 +196,18 @@ SELECT doc_id,
        {round_half_up_sql('ellipsis_frac', 4)} AS ellipsis_frac,
        {round_half_up_sql('alpha_frac', 4)} AS alpha_frac,
        CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
-       (n_words BETWEEN 50 AND 100000)
+       (n_words BETWEEN {min_words} AND {max_words})
          AND (mean_len BETWEEN 3.0 AND 10.0)
          AND (symbol_ratio <= 0.1)
          AND (bullet_frac <= 0.9)
          AND (ellipsis_frac <= 0.3)
          AND (alpha_frac >= 0.8)
-         AND (n_stop_hits >= 2) AS passes
+         AND (n_stop_hits >= {min_stop_hits}) AS passes
 FROM m
 """
+
+
+GOPHER_RULES_SQL = gopher_rules_sql()
 
 
 def lang_id_stopword(documents: DataFrame) -> DataFrame:
