@@ -466,3 +466,30 @@ def test_new_pipeline_operators_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
     assert len(re.findall(r"\bWindow \[", p)) == 2  # partial + final row_number only
+
+
+def test_new_doc_ops_plan_shapes(spark):
+    """Scale-shape assertions for the round's doc-pipeline operators:
+    pack_sequences shuffles once on the shard key (never a global
+    sort); containment has no cartesian product; KMV's k-smallest pass
+    is one window after one distinct — no self-joins anywhere."""
+    from onnxtr_spark.functions.dedup import containment_pairs
+    from onnxtr_spark.functions.text import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    p = plan(pack_sequences(docs))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Sort [shard" in p or "Sort [" in p  # per-shard sort only
+    assert "Exchange rangepartitioning" not in p  # no global ordering
+
+    p2 = plan(containment_pairs(docs))
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" not in p2
+
+    p3 = plan(rel.events_kmv_distinct(spark, SF_DIR))
+    assert "CartesianProduct" not in p3
+    # exactly one row_number window; WindowGroupLimit (top-k pushdown,
+    # partial+final) is expected and welcome — count real Window nodes only
+    assert len(re.findall(r"\bWindow \[", p3)) == 1, p3
+    assert "WindowGroupLimit" in p3  # k-smallest never materializes full rank
