@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from onnxtr_spark.corpus import WORDS_PER_PAGE
 from onnxtr_spark.functions import curate as _curate
-from onnxtr_spark.functions import dedup, evaluation, media, similarity, text
+from onnxtr_spark.functions import dedup, evaluation, media, selection, similarity, text
 from onnxtr_spark.queries import relational as rel
 from onnxtr_spark.stages.ingest import docs_from_documents, load_documents, media_from_documents
 from onnxtr_spark.stages.pipeline import extract_from_testdata, extract_from_testdata_rotated
@@ -465,6 +465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": lambda s, d: text.stratified_sample(_documents(s, d)),
         "text_pii_scrub": lambda s, d: text.pii_scrub(_documents(s, d)),
         "text_repetition_stats": lambda s, d: text.repetition_stats(_documents(s, d)),
+        "docs_boilerplate_scrub": lambda s, d: selection.boilerplate_scrub(_documents(s, d)),
+        "docs_dsir_weights": lambda s, d: selection.dsir_weights(_documents(s, d)),
         "dedup_passages": lambda s, d: text.passage_dedup(_documents(s, d)),
         "docs_decontaminate": lambda s, d: text.contamination(_documents(s, d)),
         "text_unigram_nll": lambda s, d: text.unigram_nll(_documents(s, d)),
@@ -512,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_extract_spans_db": _ocr_spans_db,
         "ocr_extract_spans_rotated": _ocr_spans_rotated,
         "ocr_extract_spans_straightened": _ocr_spans_straightened,
+        "dedup_keep_best": lambda s, d: selection.keep_best(_documents(s, d)),
         "dedup_groups": lambda s, d: dedup.near_dup_groups(_documents(s, d)),
         "ann_lsh_near_pairs": lambda s, d: similarity.lsh_near_pairs(_embeddings(s, d)),
         "embedding_dup_groups": lambda s, d: similarity.embedding_dup_groups(_embeddings(s, d)),
@@ -595,6 +598,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_stratified_sample": text.stratified_sample_sql(),
         "text_pii_scrub": text.pii_scrub_sql(),
         "text_repetition_stats": text.repetition_stats_sql(),
+        "docs_boilerplate_scrub": selection.boilerplate_scrub_sql(),
+        "docs_dsir_weights": selection.dsir_weights_sql(),
+        "dedup_keep_best": selection.keep_best_sql(),
         "dedup_passages": text.passage_dedup_sql(),
         "docs_decontaminate": text.contamination_sql(),
         "text_unigram_nll": text.UNIGRAM_NLL_SQL,

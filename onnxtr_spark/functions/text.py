@@ -1613,7 +1613,7 @@ def source_stats(documents: DataFrame) -> DataFrame:
 
 SOURCE_STATS_SQL = f"""
 WITH per_text AS (
-  SELECT source, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS h,
+  SELECT source, md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS h,
          count(*) AS n, sum(length(trim(text))) AS chars
   FROM documents GROUP BY 1, 2
 ), langs AS (

@@ -1,0 +1,129 @@
+"""Unit semantics for functions/selection.py: boilerplate removal,
+DSIR importance weights, and keep-best representative selection."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from onnxtr_spark.functions.selection import (
+    boilerplate_scrub,
+    dsir_weights,
+    keep_best,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+BOILER = "nav home about contact login search help terms privacy copyright"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # three docs share the 10-word BOILER segment at position 0; each
+    # has distinct body segments after it
+    rows = [
+        (0, BOILER + " alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s0"),
+        (1, BOILER + " one two three four five six seven eight nine ten", "en", "s0"),
+        (2, BOILER + " red green blue cyan magenta yellow black white grey pink", "fr", "s1"),
+        (3, "unique text entirely its own words here nothing shared at all", "en", "s1"),
+    ]
+    return _docs(spark, rows)
+
+
+def test_boilerplate_drops_every_occurrence(spark, corpus):
+    out = {r["doc_id"]: r for r in boilerplate_scrub(corpus, width=10, min_docs=3).collect()}
+    # the shared segment is boilerplate: dropped from ALL three docs,
+    # including the first occurrence (contrast: passage_dedup keeps it)
+    for d in (0, 1, 2):
+        assert out[d]["n_segs"] == 2
+        assert out[d]["n_boiler"] == 1
+        assert out[d]["kept_words"] == 10
+    assert out[3]["n_boiler"] == 0
+    assert out[3]["kept_words"] == 11
+    # kept text preserves original order => doc 3's hash is md5 of its own text
+    import hashlib
+
+    assert out[3]["clean_hash"] == hashlib.md5(
+        "unique text entirely its own words here nothing shared at all".encode()
+    ).hexdigest()
+
+
+def test_boilerplate_all_boiler_doc_empties(spark):
+    rows = [(i, BOILER, "en", "s") for i in range(4)]
+    out = boilerplate_scrub(_docs(spark, rows), width=10, min_docs=3).collect()
+    import hashlib
+
+    empty = hashlib.md5(b"").hexdigest()
+    for r in out:
+        assert r["n_segs"] == 1 and r["n_boiler"] == 1
+        assert r["kept_words"] == 0
+        assert r["clean_hash"] == empty
+
+
+def test_boilerplate_threshold_respects_distinct_docs(spark):
+    # segment repeated TWICE in one doc counts as one distinct doc
+    seg = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        (0, seg + " " + seg, "en", "s"),
+        (1, "totally different body of ten words padding out the doc", "en", "s"),
+    ]
+    out = {r["doc_id"]: r for r in boilerplate_scrub(_docs(spark, rows), width=10, min_docs=2).collect()}
+    assert out[0]["n_boiler"] == 0  # only 1 distinct doc -> not boilerplate
+
+
+def test_dsir_top_quartile_and_determinism(spark):
+    rows = [
+        (i, ("english stopword heavy the and of to " if i % 2 == 0 else "mot francais ") * 5,
+         "en" if i % 2 == 0 else "fr", "s")
+        for i in range(8)
+    ]
+    out = dsir_weights(_docs(spark, rows), target_lang="en").collect()
+    assert len(out) == 8
+    kept = sorted(r["doc_id"] for r in out if r["keep"])
+    assert len(kept) == 2  # top quartile of 8
+    # en-feature docs carry the higher importance toward the en target
+    assert all(d % 2 == 0 for d in kept)
+    # run twice: integer-micros weights are bit-identical
+    again = {r["doc_id"]: r["weight_micros"] for r in dsir_weights(_docs(spark, rows)).collect()}
+    assert {r["doc_id"]: r["weight_micros"] for r in out} == again
+
+
+def test_keep_best_picks_highest_quality(spark):
+    # docs 0/1 identical text -> hamming 0 pair -> one group; quality
+    # ties exactly, so min doc_id (0) must win; doc 2 is its own group
+    shared = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, shared, "en", "s"),
+        (1, shared, "en", "s"),
+        (2, "small doc", "en", "s"),
+    ]
+    out = {r["group_id"]: r for r in keep_best(_docs(spark, rows)).collect()}
+    g = out[0]
+    assert g["group_size"] == 2 and g["rep_doc_id"] == 0
+    assert out[2]["group_size"] == 1 and out[2]["rep_doc_id"] == 2
+    # longer doc scores higher quality than the 2-word doc
+    assert g["rep_quality"] > out[2]["rep_quality"]
+
+
+def test_keep_best_quality_argmax_not_min_id(spark):
+    # near-identical pair where the HIGHER doc_id has better quality:
+    # doc 1 = doc 0 plus extra stopword-rich words (longer + more
+    # stopwords => higher quality_score); simhash over word features
+    # stays within hamming<=3 for a 1-word suffix change on 12 shared
+    # words -- verify via the returned group rather than assuming
+    base = "the quick brown fox jumps over the lazy dog and the cat sat on the mat"
+    rows = [
+        (0, base, "en", "s"),
+        (1, base + " with the and of to that have been more words", "en", "s"),
+    ]
+    out = keep_best(_docs(spark, rows)).collect()
+    if len(out) == 1:  # pair landed in one group: argmax must pick doc 1
+        assert out[0]["rep_doc_id"] == 1 and out[0]["group_size"] == 2
+    else:  # signature moved beyond the radius: both singleton groups
+        assert sorted(r["rep_doc_id"] for r in out) == [0, 1]
+
+
+def test_boilerplate_plan_broadcasts_segment_table(spark, corpus):
+    plan = boilerplate_scrub(corpus)._jdf.queryExecution().toString()
+    assert "broadcast" in plan.lower()
