@@ -49,6 +49,13 @@ def _curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _curate.curation_funnel(_curate.curate_v2(_documents(spark, sf_dir)))
 
 
+def _curation_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v2 ladder plus the selection gates (boilerplate dominance,
+    DSIR importance top-half); the composed oracle embeds all eleven
+    gates' SQL."""
+    return _curate.curation_funnel(_curate.curate_v3(_documents(spark, sf_dir)))
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -521,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_documents(s, d)),
         "curation_funnel": _curation_funnel,
         "curation_funnel_v2": _curation_funnel_v2,
+        "curation_funnel_v3": _curation_funnel_v3,
     }
 
 
@@ -609,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnow_pairs": text.winnow_dup_pairs_sql(),
         "curation_funnel": _curate.curation_funnel_sql(),
         "curation_funnel_v2": _curate.curation_funnel_v2_sql(),
+        "curation_funnel_v3": _curate.curation_funnel_v3_sql(),
         "training_mix": text.training_mix_sql(),
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_minhash_bands": dedup.minhash_bands_sql(),

@@ -279,3 +279,104 @@ WITH base AS (
 )
 SELECT stage, count(*) AS n_docs FROM staged GROUP BY 1 ORDER BY 1
 """
+
+
+CURATE_V3_DEFAULTS = {
+    # drop docs boilerplate-dominated after segment scrub (< half the
+    # words survive) — the RefinedWeb "mostly chrome" page drop
+    "min_kept_num": 1,
+    "min_kept_den": 2,
+    # DSIR selection keeps the top half by importance weight toward the
+    # en slice (quartile default is for standalone analysis; as the
+    # LAST ladder gate a 4x cut on already-curated docs over-prunes)
+    "dsir_top_denom": 2,
+}
+
+
+def curate_v3(
+    documents: DataFrame,
+    min_kept_num: int = CURATE_V3_DEFAULTS["min_kept_num"],
+    min_kept_den: int = CURATE_V3_DEFAULTS["min_kept_den"],
+    dsir_top_denom: int = CURATE_V3_DEFAULTS["dsir_top_denom"],
+    **v2_kwargs,
+) -> DataFrame:
+    """The v2 ladder plus the selection gates: boilerplate dominance
+    (functions/selection.boilerplate_scrub — docs where corpus-frequent
+    segments leave < min_kept_num/min_kept_den of the words) and DSIR
+    importance selection (top 1/dsir_top_denom by weight toward the en
+    slice). Both side relations are computed over the FULL corpus like
+    every other gate — each stage stays attributable to exactly one
+    filter and the whole ladder is still one Catalyst DAG of doc_id
+    equi-joins."""
+    from onnxtr_spark.functions.selection import boilerplate_scrub, dsir_weights
+    from onnxtr_spark.functions.text import token_stats
+
+    v2 = curate_v2(documents, **v2_kwargs)
+    kept = boilerplate_scrub(documents).select("doc_id", "kept_words")
+    ntok = token_stats(documents).select("doc_id", "n_tokens")
+    ds = dsir_weights(documents, top_denom=dsir_top_denom).select(
+        "doc_id", F.col("keep").alias("dsir_keep")
+    )
+    kept_by = (
+        F.when(F.col("kept_by") != "", F.col("kept_by"))
+        .when(
+            F.col("kept_words") * min_kept_den < F.col("n_tokens") * min_kept_num,
+            F.lit("boiler_heavy"),
+        )
+        .when(~F.col("dsir_keep"), F.lit("dsir_low"))
+        .otherwise(F.lit(""))
+    )
+    return (
+        v2.join(kept, "doc_id", "left")
+        .join(ntok, "doc_id", "left")
+        .join(ds, "doc_id", "left")
+        .select("doc_id", "text", "lang", "quality", kept_by.alias("kept_by"))
+    )
+
+
+def curation_funnel_v3_sql(
+    min_kept_num: int = CURATE_V3_DEFAULTS["min_kept_num"],
+    min_kept_den: int = CURATE_V3_DEFAULTS["min_kept_den"],
+    dsir_top_denom: int = CURATE_V3_DEFAULTS["dsir_top_denom"],
+) -> str:
+    """Composed oracle for the v3 ladder: the v2 funnel's staged CASE
+    re-derived with the two selection gates appended (boilerplate and
+    DSIR oracles embedded as derived tables)."""
+    from onnxtr_spark.functions.selection import boilerplate_scrub_sql, dsir_weights_sql
+
+    v2 = curation_funnel_v2_sql()
+    # reuse v2's WITH chain up to `staged` but extend the join set: cut
+    # at the staged CTE and rebuild it with the extra gates
+    head, _, _ = v2.partition("), staged AS (")
+    return f"""{head}), bsc AS (
+  SELECT doc_id, kept_words FROM ({boilerplate_scrub_sql()})
+), ntok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), ds AS (
+  SELECT doc_id, keep AS dsir_keep FROM ({dsir_weights_sql(top_denom=dsir_top_denom)})
+), j3 AS (
+  SELECT j.*, bsc.kept_words, ntok.n_tokens, ds.dsir_keep
+  FROM j
+  LEFT JOIN bsc USING (doc_id)
+  LEFT JOIN ntok USING (doc_id)
+  LEFT JOIN ds USING (doc_id)
+), staged AS (
+  SELECT CASE
+    WHEN is_canonical IS NULL THEN 'exact_dup'
+    WHEN contaminated IS NULL THEN 'eval_holdout'
+    WHEN contaminated THEN 'contaminated'
+    WHEN quality < {CURATE_DEFAULTS["quality_min"]} THEN 'low_quality'
+    WHEN lang NOT IN ({", ".join(f"'{lg}'" for lg in CURATE_DEFAULTS["langs"])}) THEN 'wrong_lang'
+    WHEN dup_word_frac > {CURATE_DEFAULTS["max_dup_word_frac"]} THEN 'repetitive_words'
+    WHEN top_bigram_char_frac > {CURATE_DEFAULTS["max_top_bigram_char_frac"]} THEN 'repetitive_bigram'
+    WHEN NOT gopher_ok THEN 'gopher_fail'
+    WHEN bucket = 'tail' THEN 'ppl_tail'
+    WHEN kept_words * {min_kept_den} < n_tokens * {min_kept_num} THEN 'boiler_heavy'
+    WHEN NOT dsir_keep THEN 'dsir_low'
+    ELSE 'kept' END AS stage
+  FROM j3
+)
+SELECT stage, count(*) AS n_docs FROM staged GROUP BY 1 ORDER BY 1
+"""

@@ -161,11 +161,14 @@ DSIR_TARGET_LANG = "en"
 
 
 def dsir_weights(
-    documents: DataFrame, target_lang: str = DSIR_TARGET_LANG, mod: int = DSIR_MOD
+    documents: DataFrame,
+    target_lang: str = DSIR_TARGET_LANG,
+    mod: int = DSIR_MOD,
+    top_denom: int = 4,
 ) -> DataFrame:
     """(doc_id, n_toks, weight_micros, keep): DSIR importance weight
     of each document toward the ``lang = target_lang`` slice; ``keep``
-    marks the top quartile by weight (DSIR resamples the highest
+    marks the top 1/``top_denom`` by weight (DSIR resamples the highest
     importance weights, not a sign test — smoothing mass shifts all
     weights by a constant, so an absolute threshold is meaningless).
 
@@ -224,7 +227,12 @@ def dsir_weights(
             F.sum(F.col("cnt") * F.col("contrib")).alias("weight_micros"),
         )
     )
-    w = Window.orderBy(F.col("weight_micros").desc(), "doc_id")
+    # rank by PER-TOKEN weight: the raw sum is length-dominated (every
+    # token's smoothed log-ratio is shifted negative by the smaller
+    # target mass), so ranking the sum selects short docs, not on-target
+    # docs. One exact double division of two BIGINTs is bit-identical
+    # in both engines, so the order (and the integer-rank cut) is too.
+    w = Window.orderBy((F.col("weight_micros") / F.col("n_toks")).desc(), "doc_id")
     return (
         weighted.withColumn("rn", F.row_number().over(w))
         .withColumn("cnt", F.count("*").over(Window.partitionBy()))
@@ -232,12 +240,14 @@ def dsir_weights(
             "doc_id",
             "n_toks",
             "weight_micros",
-            (F.expr("(4 * (rn - 1)) div cnt") == 0).alias("keep"),
+            (F.expr(f"({top_denom} * (rn - 1)) div cnt") == 0).alias("keep"),
         )
     )
 
 
-def dsir_weights_sql(target_lang: str = DSIR_TARGET_LANG, mod: int = DSIR_MOD) -> str:
+def dsir_weights_sql(
+    target_lang: str = DSIR_TARGET_LANG, mod: int = DSIR_MOD, top_denom: int = 4
+) -> str:
     return f"""
 WITH words AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, lang = '{target_lang}' AS is_target,
@@ -264,7 +274,7 @@ WITH words AS (
   GROUP BY d.doc_id
 )
 SELECT doc_id, n_toks, weight_micros,
-       (4 * (row_number() OVER (ORDER BY weight_micros DESC, doc_id) - 1))
+       ({top_denom} * (row_number() OVER (ORDER BY weight_micros / n_toks DESC, doc_id) - 1))
          // (count(*) OVER ()) = 0 AS keep
 FROM weighted
 """

@@ -127,3 +127,32 @@ def test_keep_best_quality_argmax_not_min_id(spark):
 def test_boilerplate_plan_broadcasts_segment_table(spark, corpus):
     plan = boilerplate_scrub(corpus)._jdf.queryExecution().toString()
     assert "broadcast" in plan.lower()
+
+
+def test_curate_v3_boiler_gate_and_partition(spark):
+    from onnxtr_spark.functions.curate import curate_v3, curation_funnel
+
+    # 3 docs that are pure boilerplate (same 10-word segment) + quality
+    # fillers; v3 must route the boiler docs through 'boiler_heavy'
+    # unless an earlier gate claims them, and the funnel must partition
+    # the corpus exactly
+    filler = (
+        "the quick brown fox jumps over the lazy dog and then the cat "
+        "sat on the mat with all of its nine lives intact today "
+        "while the sun was shining over the green hills far away "
+        "and every word here is part of one long english sentence that "
+        "keeps going to pass the quality length floor easily enough"
+    )
+    # ids avoid doc_id % 97 == 0 (the contamination eval holdout)
+    rows = [(1 + i, BOILER, "en", "s") for i in range(3)] + [
+        (10 + j, filler + f" tail{j}", "en", "s") for j in range(4)
+    ]
+    docs = _docs(spark, rows)
+    audited = curate_v3(docs, gopher_min_words=5, gopher_min_stop_hits=1)
+    stages = {r["stage"]: r["n_docs"] for r in curation_funnel(audited).collect()}
+    assert sum(stages.values()) == len(rows)
+    # the boiler docs fail SOME gate before reaching 'kept' — with the
+    # shared-text corpus they are exact dups first, then boiler_heavy
+    by_doc = {r["doc_id"]: r["kept_by"] for r in audited.collect()}
+    assert by_doc[2] == "exact_dup" and by_doc[3] == "exact_dup"
+    assert by_doc[1] in ("boiler_heavy", "low_quality")
