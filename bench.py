@@ -66,6 +66,9 @@ HEADLINE = [
     "docs_bm25_search",
     "text_bpe_encode",
     "dedup_containment",
+    "docs_boilerplate_scrub",
+    "docs_dsir_weights",
+    "curation_funnel_v3",
     "ann_cosine_topk",
     "ann_lsh_near_pairs",
     "embedding_centroids",
@@ -264,9 +267,11 @@ def headline() -> None:
     )
     docs, media_df = materialize_corpus(spark, SF_DIR, cache_dir)
     extract_spans(docs, media_df).count()  # warm
-    t0 = time.time()
-    extract_spans(docs, media_df).count()
-    extract_sec = time.time() - t0
+    extract_sec = float("inf")
+    for _ in range(REPEATS):  # min-of-N: a single noise burst on this
+        t0 = time.time()      # box can otherwise triple one sample
+        extract_spans(docs, media_df).count()
+        extract_sec = min(extract_sec, time.time() - t0)
 
     # float-contract path through the SAME fused plan (real-CNN drop-in
     # shape: P1-P4 + forward + prob-map postprocess inside one Arrow
@@ -281,9 +286,11 @@ def headline() -> None:
         reco_cfg=RecognizeConfig(engine=EngineConfig(arch="stub_crnn_float", input_contract="float_bchw")),
     )
     extract_spans(docs, media_df, **fcfg).count()  # warm
-    t0 = time.time()
-    extract_spans(docs, media_df, **fcfg).count()
-    extract_float_sec = time.time() - t0
+    extract_float_sec = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.time()
+        extract_spans(docs, media_df, **fcfg).count()
+        extract_float_sec = min(extract_float_sec, time.time() - t0)
 
     ab = _ab_fused(spark, docs, media_df) if os.environ.get("SPARK_GRAFT_AB", "1") != "0" else None
 

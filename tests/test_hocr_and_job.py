@@ -2,6 +2,7 @@
 
 import re
 import subprocess
+import pytest
 import sys
 
 from pyspark.sql import functions as F
@@ -92,10 +93,12 @@ def test_extract_job_cli(spark, tmp_path):
     assert lin.agg(F.sum("n_words")).collect()[0][0] > 0
 
 
-def test_curate_job_cli(spark, tmp_path):
+@pytest.mark.parametrize("ladder", ["v1", "v3"])
+def test_curate_job_cli(spark, tmp_path, ladder):
     """The curation job end-to-end as a separate process: audit +
     curated + funnel land; the funnel partitions the corpus exactly;
-    kept docs are PII-scrubbed and pass every gate."""
+    kept docs are PII-scrubbed and pass every gate. v3 exercises the
+    full eleven-gate ladder (Gopher/CCNet/boilerplate/DSIR included)."""
     docs_path, out = str(tmp_path / "docs"), str(tmp_path / "cur")
     sf_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     sf_docs.write.parquet(docs_path)
@@ -104,7 +107,8 @@ def test_curate_job_cli(spark, tmp_path):
 
     env = dict(os.environ, SPARK_GRAFT_CPUS="2", PYTHONPATH=".")
     res = subprocess.run(
-        [sys.executable, "jobs/curate_job.py", "--docs", docs_path, "--out", out],
+        [sys.executable, "jobs/curate_job.py", "--docs", docs_path, "--out", out,
+         "--ladder", ladder],
         capture_output=True, text=True, timeout=300, env=env, cwd=".",
     )
     assert res.returncode == 0, res.stderr[-2000:]
