@@ -181,11 +181,13 @@ def dsir_weights(
     assigned by integer rank with doc_id tie-break (same discipline as
     ccnet_buckets).
 
-    Plan: one explode -> groupBy(feature) with a conditional sum for
-    the target counts (one pass builds both models) -> the ≤ mod-row
-    feature table broadcast-joins back against per-doc feature counts.
-    At 100 TB the corpus shuffles once on (doc_id, feature); the model
-    is control-plane sized. The quartile rank is a global distributed
+    Plan: the exploded (doc, feature) stream is aggregated twice — once
+    keyed on feature (builds BOTH models in one pass via a conditional
+    sum; output ≤ mod rows) and once on (doc_id, feature) — both
+    map-side combinable, so each shuffle moves counts, not tokens, and
+    the scan+explode recompute down the two branches is narrow work
+    (cheaper at 100 TB than persisting the exploded stream). The model
+    table broadcast-joins back. The quartile rank is a global distributed
     sort — the price of EXACT selection; a cluster deployment swaps it
     for an approx-quantile weight threshold (two-pass, no global sort)
     and keeps this exact form as the oracle semantics.

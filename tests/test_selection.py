@@ -156,3 +156,35 @@ def test_curate_v3_boiler_gate_and_partition(spark):
     by_doc = {r["doc_id"]: r["kept_by"] for r in audited.collect()}
     assert by_doc[2] == "exact_dup" and by_doc[3] == "exact_dup"
     assert by_doc[1] in ("boiler_heavy", "low_quality")
+
+
+def test_dsir_plan_broadcasts_model_and_no_cartesian(spark, corpus):
+    plan = dsir_weights(corpus)._jdf.queryExecution().toString()
+    low = plan.lower()
+    assert "broadcast" in low  # contrib model table joins broadcast
+    assert "cartesianproduct" not in low
+
+
+def test_boilerplate_invariants_property(spark):
+    # random corpora: segment accounting must always balance
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 35))), "en", "s")
+        for i in range(30)
+    ]
+    docs = _docs(spark, rows)
+    width = 7
+    out = boilerplate_scrub(docs, width=width, min_docs=2).collect()
+    words = {r[0]: len(r[1].split()) for r in rows}
+    assert len(out) == len(rows)
+    for r in out:
+        n_words = words[r["doc_id"]]
+        assert r["n_segs"] == max(1, -(-n_words // width))
+        assert 0 <= r["n_boiler"] <= r["n_segs"]
+        # kept_words + words inside boiler segments == total words
+        assert r["kept_words"] <= n_words
+        if r["n_boiler"] == 0:
+            assert r["kept_words"] == n_words
