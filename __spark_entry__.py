@@ -480,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ccnet_buckets": lambda s, d: text.ccnet_buckets(_documents(s, d)),
         "docs_pack_sequences": lambda s, d: text.pack_sequences(_documents(s, d)),
         "dedup_winnow_pairs": lambda s, d: text.winnow_dup_pairs(_documents(s, d)),
+        "text_bpe_train": lambda s, d: text.bpe_train(_documents(s, d)),
         "dedup_exact": lambda s, d: dedup.exact_dedup(_documents(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_documents(s, d)),
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(_embeddings(s, d)),
@@ -615,6 +616,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_ccnet_buckets": text.CCNET_BUCKETS_SQL,
         "docs_pack_sequences": text.pack_sequences_sql(),
         "dedup_winnow_pairs": text.winnow_dup_pairs_sql(),
+        "text_bpe_train": text.bpe_train_sql(),
         "curation_funnel": _curate.curation_funnel_sql(),
         "curation_funnel_v2": _curate.curation_funnel_v2_sql(),
         "curation_funnel_v3": _curate.curation_funnel_v3_sql(),

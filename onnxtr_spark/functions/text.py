@@ -1571,6 +1571,118 @@ FROM s
 """
 
 
+BPE_TRAIN_MERGES = 10  # merge-table size learned by bpe_train
+
+
+def _bpe_adjacent_pairs(seq):
+    """Column: array<struct<a,b>> of adjacent symbol pairs of a
+    space-delimited sequence, word-sentinel (\u00a4) and empty symbols
+    excluded. Built from zip-of-slices so the symbol array is evaluated
+    once per row (an element_at-per-index form would re-evaluate the
+    sequence expression O(n) times)."""
+    syms = F.split(F.trim(seq), " ")
+    n = F.size(syms)
+    pairs = F.zip_with(
+        F.slice(syms, 1, n - 1),
+        F.slice(syms, 2, n - 1),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+    return F.filter(
+        pairs,
+        lambda p: (p["a"] != "\u00a4") & (p["b"] != "\u00a4") & (p["a"] != "") & (p["b"] != ""),
+    )
+
+
+def bpe_train(documents: DataFrame, n_merges: int = BPE_TRAIN_MERGES) -> DataFrame:
+    """Learn a BPE merge table from the corpus: (rank, a, b, pair_count).
+
+    The kmeans-style control-plane loop the bpe_encode docstring
+    promises: each round counts adjacent symbol pairs corpus-wide (one
+    map-side-combined groupBy; the argmax job is TakeOrderedAndProject,
+    no full sort), the driver picks the winning pair — ties broken by
+    (count desc, a, b) so both engines select identically — and the
+    ROUND'S ONE new merge is applied to the materialized symbol
+    sequences (2-pass replace, bpe_symbol_seq's contract) before the
+    next round. Candidates are restricted to a != b (the replace-chain
+    applier's contract; a==b pair counts differ by overlapping-
+    occurrence convention anyway).
+
+    Scale shape: the sequences materialize once up front and each round
+    is one narrow replace + one partial-aggregated pair count — the
+    corpus is never reprocessed from raw text (recomputing the full
+    merge chain per round nests the whole expression tree inside the
+    pair extractor and blows up planning). localCheckpoint bounds plan
+    growth exactly like connected_components; a cluster deployment
+    swaps it for reliable checkpoints every few rounds.
+    """
+    spark = documents.sparkSession
+    work = documents.select(
+        bpe_symbol_seq(F.col("text"), ()).alias("seq")
+    ).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    rows = []
+    for rank in range(1, n_merges + 1):
+        counts = (
+            work.select(F.explode(_bpe_adjacent_pairs(F.col("seq"))).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not counts:
+            break
+        r = counts[0]
+        merges.append((r["a"], r["b"]))
+        rows.append((rank, r["a"], r["b"], int(r["c"])))
+        seq = F.col("seq")
+        for _ in range(2):
+            seq = F.replace(
+                seq, F.lit(f" {r['a']} {r['b']} "), F.lit(f" {r['a']}{r['b']} ")
+            )
+        work = work.select(seq.alias("seq")).localCheckpoint()
+    return spark.createDataFrame(rows, "rank long, a string, b string, pair_count long")
+
+
+def bpe_train_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    """DuckDB oracle: the K rounds fully unrolled as CTE layers; each
+    round's argmax merge is a 1-row CTE whose (a, b) feed the next
+    round's replace() via scalar subqueries — no procedural loop, same
+    (count desc, a, b) tie-break."""
+    base = (
+        "' ' || array_to_string(list_transform(string_split_regex(trim(text), '\\s+'),"
+        " w -> array_to_string(regexp_extract_all(w, '.'), ' ')), ' \u00a4 ') || ' '"
+    )
+    ctes = [f"seq0 AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS doc_id, {base} AS seq FROM documents)"]
+    for r in range(1, n_merges + 1):
+        prev = f"seq{r - 1}"
+        ctes.append(f"""p{r} AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i + 1] AS b, count(*) AS c
+  FROM (SELECT string_split(trim(seq), ' ') AS syms FROM {prev}),
+       UNNEST(generate_series(1, len(syms) - 1)) AS u(i)
+  WHERE syms[i] NOT IN ('\u00a4', '') AND syms[i + 1] NOT IN ('\u00a4', '')
+        AND syms[i] != syms[i + 1]
+  GROUP BY 1, 2
+)""")
+        ctes.append(f"m{r} AS MATERIALIZED (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1)")
+        rep = (
+            f"replace(seq, ' ' || (SELECT a FROM m{r}) || ' ' || (SELECT b FROM m{r}) || ' ',"
+            f" ' ' || (SELECT a FROM m{r}) || (SELECT b FROM m{r}) || ' ')"
+        )
+        rep2 = (
+            f"replace({rep}, ' ' || (SELECT a FROM m{r}) || ' ' || (SELECT b FROM m{r}) || ' ',"
+            f" ' ' || (SELECT a FROM m{r}) || (SELECT b FROM m{r}) || ' ')"
+        )
+        ctes.append(f"seq{r} AS MATERIALIZED (SELECT doc_id, {rep2} AS seq FROM {prev})")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, a, b, CAST(c AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
 # --- per-source corpus composition ------------------------------------------
 
 

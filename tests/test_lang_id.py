@@ -265,3 +265,62 @@ def test_bpe_replace_chain_matches_reference(spark):
     two = pd.DataFrame({"doc_id": [0], "text": ["t h"]})  # 't'+'h' only merges INSIDE a word
     got2 = bpe_encode(spark.createDataFrame(two)).toPandas()
     assert got2.loc[0, "n_bpe"] == 2
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    """bpe_train's (merge, count) trajectory equals an honest textbook
+    trainer (count adjacent pairs over every word occurrence, argmax
+    with (count desc, pair lexicographic) tie-break, a != b candidates,
+    merge, repeat) on a random corpus."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from onnxtr_spark.functions.text import bpe_train
+
+    rng = np.random.RandomState(11)
+    texts = [
+        " ".join(
+            "".join(rng.choice(list("theransdoi")) for _ in range(rng.randint(1, 8)))
+            for _ in range(rng.randint(1, 12))
+        )
+        for _ in range(40)
+    ]
+    words = [list(w) for t in texts for w in t.split()]
+
+    def ref_train(words, k):
+        out = []
+        for _ in range(k):
+            c = Counter()
+            for syms in words:
+                for i in range(len(syms) - 1):
+                    if syms[i] != syms[i + 1]:
+                        c[(syms[i], syms[i + 1])] += 1
+            if not c:
+                break
+            (a, b), n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((a, b, n))
+            nxt = []
+            for syms in words:
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                nxt.append(merged)
+            words = nxt
+        return out
+
+    expected = ref_train(words, 8)
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts,
+                         "lang": "en", "source": "s"})
+    got = [
+        (r["a"], r["b"], r["pair_count"])
+        for r in bpe_train(spark.createDataFrame(docs), n_merges=8)
+        .orderBy("rank").collect()
+    ]
+    assert got == expected, (got, expected)
