@@ -448,9 +448,15 @@ def scaling_curate(levels=(8, 32)) -> None:
 
     from pyspark.sql import functions as F
 
-    from onnxtr_spark.functions.curate import curate, curation_funnel
+    from onnxtr_spark.functions.curate import curate, curate_v2, curate_v3, curation_funnel
     from onnxtr_spark.session import get_spark
     from onnxtr_spark.stages.ingest import load_documents, replicate_documents
+
+    # SPARK_GRAFT_CURATE_LADDER=v1|v2|v3 (default v1 keeps the series
+    # comparable across rounds; v3 adds the selection gates incl.
+    # DSIR's global rank window — the anti-scale element worth testing)
+    ladder_name = os.environ.get("SPARK_GRAFT_CURATE_LADDER", "v1")
+    ladder = {"v1": curate, "v2": curate_v2, "v3": curate_v3}[ladder_name]
 
     cache_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".cache",
@@ -472,9 +478,9 @@ def scaling_curate(levels=(8, 32)) -> None:
         try:
             spark = get_spark(f"bench-curate-{cpus}", cpus=cpus, shuffle_partitions=max(32, 2 * cpus))
             docs = spark.read.parquet(docs_path)
-            curation_funnel(curate(docs)).collect()  # warm-up
+            curation_funnel(ladder(docs)).collect()  # warm-up
             t0 = time.time()
-            curation_funnel(curate(docs)).collect()
+            curation_funnel(ladder(docs)).collect()
             sec = time.time() - t0
             n = docs.count()
             spark.stop()
@@ -503,6 +509,7 @@ def scaling_curate(levels=(8, 32)) -> None:
     print(
         json.dumps({
             "metric": "curate_scaling_efficiency",
+            "ladder": ladder_name,
             "value": round(eff, 3),
             "unit": "ratio",
             "levels": {str(k): v for k, v in results.items()},
