@@ -434,6 +434,101 @@ def scaling(levels=(8, 32)) -> None:
     )
 
 
+def scaling_cluster(execs=(1, 4), cores: int = 8) -> None:
+    """The north rule's two-cluster-size criterion with real separate
+    executor JVMs: the same OCR extraction on Spark's local-cluster
+    master at N and 4N EXECUTORS (each its own JVM + python worker
+    pool + heap/GC), identical materialized input, same pinned/
+    interleaved/min-of-N protocol and same-window hardware control.
+    local[N] thread-scaling remains the headline series (comparable
+    across rounds); this mode adds the multi-process shape a real
+    cluster has — shuffles cross process boundaries through the
+    shuffle service path instead of in-heap."""
+    import time
+
+    from onnxtr_spark.session import get_spark
+    from onnxtr_spark.stages.ingest import (
+        docs_from_documents,
+        load_documents,
+        materialize_corpus,
+        media_from_documents,
+        replicate_documents,
+    )
+    from onnxtr_spark.stages.pipeline import extract_spans
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".cache",
+        f"corpus-{os.path.basename(SF_DIR.rstrip('/'))}-x{REPLICATE}",
+    )
+    spark = get_spark("bench-cluster-ingest", cpus=max(execs) * cores)
+    if REPLICATE > 1:
+        docs_path, media_path = f"{cache_dir}/docs.parquet", f"{cache_dir}/media.parquet"
+        documents = replicate_documents(load_documents(spark, SF_DIR), REPLICATE)
+        if not os.path.exists(docs_path):
+            docs_from_documents(documents).write.mode("overwrite").parquet(docs_path)
+        if not os.path.exists(media_path):
+            media_from_documents(documents).write.mode("overwrite").parquet(media_path)
+    else:
+        materialize_corpus(spark, SF_DIR, cache_dir)
+    pages = _count_pages(spark) * REPLICATE
+    spark.stop()
+
+    def measure(n_exec: int) -> float:
+        full = os.sched_getaffinity(0)
+        os.sched_setaffinity(0, set(sorted(full)[-(n_exec * cores):]))
+        try:
+            spark = get_spark(
+                f"bench-cluster-{n_exec}x{cores}",
+                cpus=n_exec * cores,
+                shuffle_partitions=max(32, 2 * n_exec * cores),
+                master=f"local-cluster[{n_exec},{cores},10240]",
+            )
+            docs, media = (
+                spark.read.parquet(f"{cache_dir}/docs.parquet"),
+                spark.read.parquet(f"{cache_dir}/media.parquet"),
+            )
+            extract_spans(docs, media).count()  # warm-up
+            t0 = time.time()
+            extract_spans(docs, media).count()
+            sec = time.time() - t0
+            spark.stop()
+            return sec
+        finally:
+            os.sched_setaffinity(0, full)
+
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+    samples: dict[int, list[float]] = {e: [] for e in execs}
+    for _ in range(repeats):
+        for e in execs:
+            samples[e].append(measure(e))
+    results = {}
+    for e in execs:
+        xs = sorted(samples[e])
+        results[e] = {
+            "sec": round(xs[0], 3),
+            "pages_per_sec": round(pages / xs[0], 2),
+            "samples_sec": [round(x, 2) for x in xs],
+        }
+    lo, hi = min(execs), max(execs)
+    eff = (results[hi]["pages_per_sec"] / results[lo]["pages_per_sec"]) / (hi / lo)
+    hw = _hardware_control((lo * cores, hi * cores))
+    print(
+        json.dumps({
+            "metric": "ocr_cluster_scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "executors": {str(k): v for k, v in results.items()},
+            "cores_per_executor": cores,
+            "pages": int(pages),
+            "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            "pinned": True,
+            "hw_control_efficiency": hw,
+            "orchestration_efficiency": round(eff / hw, 3) if hw else None,
+        })
+    )
+
+
 def scaling_curate(levels=(8, 32)) -> None:
     """Corpus-side scaling evidence: the CURATION pipeline (exact
     dedup, quality, lang-ID, repetition, decontamination, PII scrub
@@ -556,6 +651,9 @@ def _hardware_control(levels) -> float:
 
 if __name__ == "__main__":
     levels_env = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32")
+    if "--scaling-cluster" in sys.argv:
+        scaling_cluster()
+        sys.exit(0)
     if "--scaling-curate" in sys.argv:
         scaling_curate(tuple(int(x) for x in levels_env.split(",")))
     elif "--scaling" in sys.argv:

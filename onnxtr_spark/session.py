@@ -7,7 +7,12 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "onnxtr_spark", cpus: int | None = None, shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "onnxtr_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    master: str | None = None,
+) -> SparkSession:
     """Local session mirroring the cluster config we'd ship with spark-submit.
 
     - AQE on: runtime coalescing of the small final assembly shuffle and
@@ -23,9 +28,21 @@ def get_spark(app_name: str = "onnxtr_spark", cpus: int | None = None, shuffle_p
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(32, cpus)
+    builder = SparkSession.builder.master(master or f"local[{cpus}]").appName(app_name)
+    if master and master.startswith("local-cluster"):
+        # the bracket arg is WORKER capacity; executors still launch at
+        # the 1g default unless spark.executor.memory is set explicitly
+        builder = builder.config(
+            "spark.executor.memory", os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "8g")
+        )
+        # executor python workers are fresh processes: module-level
+        # mapInPandas functions pickle BY REFERENCE, so the package
+        # must be importable there (local[*] shares the driver process
+        # and hides this)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = builder.config("spark.executorEnv.PYTHONPATH", repo_root)
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
