@@ -32,8 +32,12 @@ def get_spark(
     if master and master.startswith("local-cluster"):
         # the bracket arg is WORKER capacity; executors still launch at
         # the 1g default unless spark.executor.memory is set explicitly
+        # default executor memory to the bracket's worker capacity (an
+        # executor asking for more than its worker is unschedulable)
+        cap_mb = master.rstrip("]").split(",")[-1].strip()
+        default_mem = f"{cap_mb}m" if cap_mb.isdigit() else "8g"
         builder = builder.config(
-            "spark.executor.memory", os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "8g")
+            "spark.executor.memory", os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", default_mem)
         )
         # executor python workers are fresh processes: module-level
         # mapInPandas functions pickle BY REFERENCE, so the package
