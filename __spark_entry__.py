@@ -449,6 +449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_distinct": rel.events_kmv_distinct,
         "events_pivot_types": rel.events_pivot_types,
         "events_purchase_attribution": rel.events_purchase_attribution,
+        "events_range_join": rel.events_range_join,
+        "events_value_histogram": rel.events_value_histogram,
         "orders_rollup": rel.orders_rollup,
         "top_customers": rel.top_customers,
         "order_priority_count": rel.order_priority_count,
@@ -470,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": lambda s, d: text.fingerprint(_documents(s, d)),
         "doc_winnow_fingerprints": lambda s, d: text.winnow_fingerprints(_documents(s, d)),
         "docs_stratified_sample": lambda s, d: text.stratified_sample(_documents(s, d)),
+        "docs_weighted_sample": lambda s, d: selection.weighted_sample(_documents(s, d)),
         "text_pii_scrub": lambda s, d: text.pii_scrub(_documents(s, d)),
         "text_repetition_stats": lambda s, d: text.repetition_stats(_documents(s, d)),
         "docs_boilerplate_scrub": lambda s, d: selection.boilerplate_scrub(_documents(s, d)),
@@ -584,6 +587,8 @@ def oracle_sql() -> dict[str, str]:
         "events_kmv_distinct": rel.events_kmv_distinct_sql(),
         "events_pivot_types": rel.EVENTS_PIVOT_SQL,
         "events_purchase_attribution": rel.EVENTS_ASOF_SQL,
+        "events_range_join": rel.EVENTS_RANGE_JOIN_SQL,
+        "events_value_histogram": rel.EVENTS_HISTOGRAM_SQL,
         "orders_rollup": rel.ORDERS_ROLLUP_SQL,
         "events_top_users": rel.EVENTS_TOP_USERS_SQL,
         "events_funnel": rel.EVENTS_FUNNEL_SQL,
@@ -605,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": text.FINGERPRINT_SQL,
         "doc_winnow_fingerprints": text.winnow_fingerprints_sql(),
         "docs_stratified_sample": text.stratified_sample_sql(),
+        "docs_weighted_sample": selection.weighted_sample_sql(),
         "text_pii_scrub": text.pii_scrub_sql(),
         "text_repetition_stats": text.repetition_stats_sql(),
         "docs_boilerplate_scrub": selection.boilerplate_scrub_sql(),

@@ -353,3 +353,51 @@ SELECT group_id,
 FROM cc JOIN q USING (doc_id)
 GROUP BY group_id
 """
+
+
+WSAMPLE_K = 100
+WSAMPLE_SEED = 77
+_WSPACE = float(2**60)  # hash64 is 60-bit; 2^60 is exactly representable
+
+
+def weighted_sample(documents: DataFrame, k: int = WSAMPLE_K, seed: int = WSAMPLE_SEED) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis
+    2006, A-ES): draw ``k`` documents with inclusion probability
+    proportional to weight (here ``n_chars`` — longer documents carry
+    more training tokens, the weighting real mixture samplers use).
+    Each doc gets key u_i^(1/w_i) with u_i uniform; the k largest keys
+    ARE a weighted sample without replacement — one pass, no
+    sequential reservoir.
+
+    Determinism: u_i = (hash64(doc_id)+1)/2^60 replaces the RNG, and
+    ranking uses ln(u)/w (same order as u^(1/w), better conditioned)
+    quantized half-up to integer micros with doc_id tie-break, so both
+    engines select the identical set. Scale: the top-k is
+    ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject (per-
+    partition heap + driver merge of k·P rows), never a full sort; no
+    shuffle of the corpus at any width."""
+    u = (hash64(F.col("doc_id").cast("string"), seed) + F.lit(1)) / F.lit(_WSPACE)
+    key = F.floor(F.log(u) / F.col("n_chars").cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        documents.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_chars").cast("long").alias("weight"),
+            key.alias("key_micros"),
+        )
+        .orderBy(F.col("key_micros").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(k: int = WSAMPLE_K, seed: int = WSAMPLE_SEED) -> str:
+    """Oracle: the definition verbatim — same hash, same ln/quantize,
+    ORDER BY key DESC LIMIT k."""
+    u = f"(({hash64_sql('CAST(doc_id AS VARCHAR)', seed)} + 1) / {_WSPACE!r})"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS weight,
+       CAST(floor(ln({u}) / CAST(n_chars AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS key_micros
+FROM documents
+ORDER BY key_micros DESC, doc_id
+LIMIT {k}
+"""

@@ -1378,3 +1378,104 @@ SELECT s.event_type,
 FROM sk s JOIN exact USING (event_type)
 ORDER BY event_type
 """
+
+
+RANGE_JOIN_US = 3_600_000_000  # 1-hour attribution window, integer micros
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: for every purchase, how many clicks the
+    same user made in the preceding hour (purchase−1h < click ≤
+    purchase). A raw time-inequality join is a theta-join — Spark
+    plans it as a per-user nested loop, quadratic in events-per-user.
+    The scalable re-expression buckets both sides by hour and probes
+    exactly TWO buckets per purchase: an equi-join on
+    (user_id, bucket) with fanout bounded by the window width, then
+    the exact range filter. Any click inside (p−1h, p] lies in the
+    purchase's bucket or the previous one — and in exactly one of
+    them — so the two-key probe is lossless and duplicate-free.
+    Purchases with no click survive via the final left join (count 0).
+    All time math is integer microseconds."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        us.alias("pus"),
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(F.col("user_id").cast("long").alias("user_id"), us.alias("cus"))
+        .withColumn("bucket", F.expr(f"cus div {RANGE_JOIN_US}"))
+    )
+    probes = purchases.withColumn(
+        "bucket",
+        F.explode(F.expr(f"array(pus div {RANGE_JOIN_US}, pus div {RANGE_JOIN_US} - 1)")),
+    )
+    matched = (
+        probes.join(clicks, ["user_id", "bucket"])
+        .where((F.col("cus") > F.col("pus") - RANGE_JOIN_US) & (F.col("cus") <= F.col("pus")))
+        .groupBy("event_id")
+        .agg(F.count("*").cast("long").alias("clicks_1h"))
+    )
+    return purchases.join(matched, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("clicks_1h", F.lit(0)).cast("long").alias("clicks_1h"),
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = f"""
+SELECT CAST(p.event_id AS BIGINT) AS event_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       count(c.user_id) AS clicks_1h
+FROM events p
+LEFT JOIN events c
+  ON c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND epoch_us(c.ts) > epoch_us(p.ts) - {RANGE_JOIN_US}
+ AND epoch_us(c.ts) <= epoch_us(p.ts)
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
+HIST_BUCKET_CENTS = 2000  # $20-wide value buckets
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-width histogram of event value per type — the data-
+    profiling primitive behind quantile sketches and skew detection.
+    Per-row integer cents (floor(v*100+0.5)) then bucket floor-division
+    keeps every compared value integral, so the histogram is bit-equal
+    across engines. Pure partial-aggregable column algebra: one
+    map-side-combined groupBy, no window, no shuffle beyond the one
+    agg exchange."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        ev.select("event_type", cents.alias("cents"))
+        .withColumn("bucket", F.floor(F.col("cents") / F.lit(float(HIST_BUCKET_CENTS))).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+EVENTS_HISTOGRAM_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+)
+SELECT event_type,
+       CAST(floor(cents / {float(HIST_BUCKET_CENTS)!r}) AS BIGINT) AS bucket,
+       count(*) AS n,
+       min(cents) AS min_cents,
+       max(cents) AS max_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM c
+GROUP BY 1, 2
+"""

@@ -97,3 +97,34 @@ def test_kmeans_converges_on_separated_clusters(spark):
     c0, c1 = cents[0], cents[1]
     lows = sorted([c0[0], c1[0]])
     assert lows[0] < 1.0 and lows[1] > 9.0  # one centroid per cluster
+
+
+def test_range_join_window_boundaries(spark, tmp_path):
+    """Bucketed range join vs hand-computed truth on edge cases: a
+    click exactly at the purchase timestamp (counted), exactly one
+    hour before (NOT counted — window is open on the left), one
+    microsecond inside the window but in the PREVIOUS hour bucket
+    (counted via the second probe key), and another user's click
+    (never counted)."""
+    import datetime as dt
+
+    from onnxtr_spark.queries.relational import events_range_join
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # event_id, ts, user_id, event_type, value, props
+        (1, base, 10, "purchase", 1.0, ""),
+        (2, base, 10, "click", 0.0, ""),  # same instant: counted
+        (3, base - dt.timedelta(hours=1), 10, "click", 0.0, ""),  # exactly -1h: excluded
+        (4, base - dt.timedelta(minutes=59, seconds=59, microseconds=999999), 10, "click", 0.0, ""),
+        # ^ 1 us inside the window AND in the 11:00 bucket: needs probe key b-1
+        (5, base - dt.timedelta(minutes=30), 99, "click", 0.0, ""),  # other user
+        (6, base, 20, "purchase", 1.0, ""),  # no clicks at all -> 0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["event_id"]: r["clicks_1h"] for r in events_range_join(spark, d).collect()}
+    assert out == {1: 2, 6: 0}

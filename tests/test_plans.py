@@ -493,3 +493,32 @@ def test_new_doc_ops_plan_shapes(spark):
     # partial+final) is expected and welcome — count real Window nodes only
     assert len(re.findall(r"\bWindow \[", p3)) == 1, p3
     assert "WindowGroupLimit" in p3  # k-smallest never materializes full rank
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    """The 1-hour range join must plan as a hash equi-join on
+    (user_id, bucket) — never the nested-loop/cartesian a raw
+    inequality join would produce."""
+    p = plan(rel.events_range_join(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashJoin" in p  # sort-merge or broadcast-hash, either is fine
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """A-ES top-k must be TakeOrderedAndProject (per-partition heap),
+    never a global Sort + Limit."""
+    from onnxtr_spark.functions import selection
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(selection.weighted_sample(docs))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p  # no shuffle: heaps merge on the driver
+
+
+def test_histogram_is_partial_agg(spark):
+    """One aggregate exchange, map-side partial aggregation, no window."""
+    p = plan(rel.events_value_histogram(spark, SF_DIR))
+    assert p.count("Exchange") == 1
+    assert "partial_count" in p or "HashAggregate" in p
+    assert "Window" not in p

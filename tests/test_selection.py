@@ -188,3 +188,52 @@ def test_boilerplate_invariants_property(spark):
         assert r["kept_words"] <= n_words
         if r["n_boiler"] == 0:
             assert r["kept_words"] == n_words
+
+
+def test_weighted_sample_semantics(spark):
+    """A-ES invariants: exactly k rows, distinct docs, and the selected
+    set IS the top-k of the full keyed ranking (recomputed brute-force
+    over every doc, same hash/quantization)."""
+    import math
+
+    from onnxtr_spark.functions.hashing import hash64
+    from onnxtr_spark.functions.selection import WSAMPLE_SEED, weighted_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    k = 20
+    got = weighted_sample(docs, k=k).collect()
+    assert len(got) == k
+    assert len({r["doc_id"] for r in got}) == k
+
+    # brute-force reference ranking in pure python
+    all_rows = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("w"),
+        hash64(F.col("doc_id").cast("string"), WSAMPLE_SEED).alias("h"),
+    ).collect()
+    keyed = sorted(
+        (
+            (-math.floor(math.log((r["h"] + 1) / float(2**60)) / r["w"] * 1e6 + 0.5), r["doc_id"])
+            for r in all_rows
+        ),
+    )[:k]
+    expect = {d for _, d in keyed}
+    assert {r["doc_id"] for r in got} == expect
+    # weights surfaced for downstream Horvitz-Thompson correction
+    assert all(r["weight"] > 0 for r in got)
+
+
+def test_weighted_sample_weight_monotonicity(spark):
+    """With equal hashes impossible, heavier docs must win strictly
+    more often: compare inclusion rate of the top-weight quartile vs
+    the bottom quartile on the real corpus."""
+    from onnxtr_spark.functions.selection import weighted_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    chosen = {r["doc_id"] for r in weighted_sample(docs, k=n // 2).collect()}
+    rows = sorted(docs.select("doc_id", "n_chars").collect(), key=lambda r: r["n_chars"])
+    q = len(rows) // 4
+    lo = sum(1 for r in rows[:q] if r["doc_id"] in chosen) / q
+    hi = sum(1 for r in rows[-q:] if r["doc_id"] in chosen) / q
+    assert hi > lo
