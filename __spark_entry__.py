@@ -478,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_boilerplate_scrub": lambda s, d: selection.boilerplate_scrub(_documents(s, d)),
         "docs_dsir_weights": lambda s, d: selection.dsir_weights(_documents(s, d)),
         "dedup_passages": lambda s, d: text.passage_dedup(_documents(s, d)),
+        "dedup_substring_coverage": lambda s, d: dedup.substring_dup_coverage(_documents(s, d)),
         "docs_decontaminate": lambda s, d: text.contamination(_documents(s, d)),
         "text_unigram_nll": lambda s, d: text.unigram_nll(_documents(s, d)),
         "docs_ccnet_buckets": lambda s, d: text.ccnet_buckets(_documents(s, d)),
@@ -617,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dsir_weights": selection.dsir_weights_sql(),
         "dedup_keep_best": selection.keep_best_sql(),
         "dedup_passages": text.passage_dedup_sql(),
+        "dedup_substring_coverage": dedup.substring_dup_coverage_sql(),
         "docs_decontaminate": text.contamination_sql(),
         "text_unigram_nll": text.UNIGRAM_NLL_SQL,
         "docs_ccnet_buckets": text.CCNET_BUCKETS_SQL,

@@ -58,9 +58,12 @@ HEADLINE = [
     "audio_features",
     "video_frame_meta",
     "events_funnel",
+    "events_range_join",
+    "docs_weighted_sample",
     "dedup_minhash_bands",
     "dedup_simhash",
     "dedup_winnow_pairs",
+    "dedup_substring_coverage",
     "docs_ccnet_buckets",
     "docs_pack_sequences",
     "docs_bm25_search",

@@ -648,3 +648,119 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 WHERE 10000 * inter >= {num} * sa.n
 """
+
+
+SUBSTR_L = 40  # ExactSubstr window width, characters
+
+
+def substring_dup_coverage(documents: DataFrame, length: int = SUBSTR_L) -> DataFrame:
+    """ExactSubstr duplicated-substring coverage (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, how many character positions sit inside a
+    ``length``-char substring that occurs at least twice ANYWHERE in
+    the corpus (other docs or a repeat within the same doc). This is
+    the substring-granular member of the dedup family — it catches
+    verbatim passage reuse that set-level Jaccard/MinHash dilute and
+    winnowing only samples. Emits (doc_id, n_grams, n_dup_pos,
+    covered_chars, dup_frac); ``covered_chars`` merges overlapping
+    duplicated windows exactly (union of intervals, not
+    n_dup_pos·length).
+
+    Lee et al. build a monolithic suffix array; the Spark-scale
+    re-expression is windowed hashing — every position's
+    ``length``-gram is xxhash64'd BEFORE any shuffle (the suffix
+    array's "find repeats" reduces to equality on fixed-width windows,
+    so only 8-byte hashes move; raw text never shuffles), one
+    map-side-combined count finds repeated windows, a semi-join marks
+    their positions, and interval union is a per-doc bounded window
+    (lead over positions: each consecutive pair contributes
+    min(gap, length)). The position table is materialized once and
+    feeds both the count and the join back. The oracle groups RAW
+    substrings — a different algorithm, so a green row proves the
+    hashed path loses nothing."""
+    pos = (
+        spread(documents)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.length("text").alias("n"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.when(
+                    F.col("n") >= length,
+                    F.sequence(F.lit(1), F.col("n") - length + 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+            F.col("text"),
+        )
+        .select("doc_id", "n", "pos", F.xxhash64(F.expr(f"substring(text, pos, {length})")).alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    dup = pos.groupBy("h").agg(F.count("*").alias("cnt")).where(F.col("cnt") >= 2).select("h")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = (
+        pos.join(dup, "h")
+        .select("doc_id", "pos")
+        .withColumn("nxt", F.lead("pos").over(w))
+    )
+    cov = marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_pos"),
+        F.sum(
+            F.when(F.col("nxt").isNull(), F.lit(length)).otherwise(
+                F.least(F.col("nxt") - F.col("pos"), F.lit(length))
+            )
+        )
+        .cast("long")
+        .alias("covered_chars"),
+    )
+    from onnxtr_spark.functions.hashing import round_half_up
+
+    base = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("text").alias("n"),
+        F.greatest(F.length("text") - length + 1, F.lit(0)).cast("long").alias("n_grams"),
+    )
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_dup_pos", F.lit(0)).cast("long").alias("n_dup_pos"),
+        F.coalesce("covered_chars", F.lit(0)).cast("long").alias("covered_chars"),
+        round_half_up(
+            F.coalesce("covered_chars", F.lit(0)).cast("double") / F.col("n").cast("double"), 4
+        ).alias("dup_frac"),
+    )
+
+
+def substring_dup_coverage_sql(length: int = SUBSTR_L) -> str:
+    """Oracle: the definition over raw substrings (no hashing), same
+    interval-union arithmetic."""
+    from onnxtr_spark.functions.hashing import round_half_up_sql
+
+    frac = round_half_up_sql("COALESCE(covered_chars, 0)::DOUBLE / length(d.text)::DOUBLE", 4)
+    return f"""
+WITH pos AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, i AS pos, substring(text, i, {length}) AS g
+  FROM documents, UNNEST(generate_series(1, length(text) - {length} + 1)) AS u(i)
+  WHERE length(text) >= {length}
+), dup AS MATERIALIZED (
+  SELECT g FROM pos GROUP BY g HAVING count(*) >= 2
+), marked AS MATERIALIZED (
+  SELECT p.doc_id, p.pos,
+         lead(p.pos) OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS nxt
+  FROM pos p JOIN dup USING (g)
+), cov AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n_dup_pos,
+         CAST(sum(CASE WHEN nxt IS NULL THEN {length}
+                       ELSE least(nxt - pos, {length}) END) AS BIGINT) AS covered_chars
+  FROM marked GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(greatest(length(d.text) - {length} + 1, 0) AS BIGINT) AS n_grams,
+       COALESCE(n_dup_pos, 0) AS n_dup_pos,
+       COALESCE(covered_chars, 0) AS covered_chars,
+       {frac} AS dup_frac
+FROM documents d LEFT JOIN cov ON cov.doc_id = CAST(d.doc_id AS BIGINT)
+"""

@@ -128,3 +128,46 @@ def test_range_join_window_boundaries(spark, tmp_path):
     df.write.mode("overwrite").parquet(f"{d}/events.parquet")
     out = {r["event_id"]: r["clicks_1h"] for r in events_range_join(spark, d).collect()}
     assert out == {1: 2, 6: 0}
+
+
+def test_substring_dup_coverage_intervals(spark):
+    """ExactSubstr coverage on a constructed corpus: two docs share an
+    80-char passage -> exactly the 41 fully-interior 40-grams are
+    duplicated and their interval union is the 80 shared chars (not
+    41*40); a unique doc and a too-short doc get zeros; two identical
+    docs are covered end-to-end."""
+    import hashlib
+
+    from onnxtr_spark.functions.dedup import substring_dup_coverage
+
+    def u(tag, n):  # deterministic unique gibberish, no repeated windows
+        out = ""
+        i = 0
+        while len(out) < n:
+            out += hashlib.md5(f"{tag}:{i}".encode()).hexdigest()
+            i += 1
+        return out[:n]
+
+    shared = u("shared", 80)
+    twin = u("twin", 60)
+    rows = [
+        (0, u("a", 50) + shared + u("a2", 50)),
+        (1, u("b", 50) + shared + u("b2", 50)),
+        (2, u("c", 120)),
+        (3, u("d", 20)),
+        (4, twin),
+        (5, twin),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_dup_coverage(docs, length=40).collect()}
+    assert len(out) == 6
+    for d in (0, 1):
+        assert out[d]["n_grams"] == 141
+        assert out[d]["n_dup_pos"] == 41  # windows fully inside the shared span
+        assert out[d]["covered_chars"] == 80  # merged, not 41*40
+        assert abs(out[d]["dup_frac"] - round(80 / 180, 4)) < 1e-9
+    assert out[2]["n_grams"] == 81 and out[2]["covered_chars"] == 0
+    assert out[3]["n_grams"] == 0 and out[3]["n_dup_pos"] == 0
+    for d in (4, 5):
+        assert out[d]["n_dup_pos"] == 21 and out[d]["covered_chars"] == 60
+        assert out[d]["dup_frac"] == 1.0
