@@ -357,3 +357,48 @@ def session_stream(events_stream: DataFrame, watermark: str = "1 minute") -> Dat
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+ATTR_JOIN_INPUT_DDL = "event_id long, ts timestamp, user_id long, event_type string"
+ATTR_JOIN_OUTPUT_DDL = "event_id long, user_id long, purchase_ts timestamp, click_ts timestamp"
+
+
+def attributed_purchases_stream(
+    events_stream: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: every purchase paired with each
+    click by the same user inside the preceding ``window`` — the
+    ingest-time twin of ``queries.relational.events_range_join``
+    (there: two-probe-key bucketed equi-join; here: Spark's native
+    watermarked stream-stream join). Both sides carry event-time
+    watermarks and the join predicate bounds click age relative to the
+    purchase, which is what lets Spark EVICT buffered click state once
+    the watermark passes click_ts + window — state is bounded by
+    rate x (watermark + window), never by stream length. Inner join:
+    pairs emit as soon as both sides arrive (no watermark latency);
+    swap to leftOuter for the zero-click rows at the cost of emitting
+    them only after the watermark closes the purchase's window."""
+    clicks = (
+        events_stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events_stream.where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            user_id = c_user_id
+            AND click_ts <= purchase_ts
+            AND click_ts > purchase_ts - INTERVAL {window}
+            """
+        ),
+        "inner",
+    ).select("event_id", "user_id", "purchase_ts", "click_ts")

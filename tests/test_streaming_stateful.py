@@ -298,3 +298,77 @@ def test_session_stream_gap_and_timeout_closure(spark, tmp_path):
     assert len(u1) == 2
     assert list(u1.iloc[0][["start_us", "end_us", "n_events"]]) == [us(0), us(5), 2]
     assert list(u1.iloc[1][["start_us", "end_us", "n_events"]]) == [us(100), us(100), 1]
+
+
+def test_interval_join_stream_pairs_and_window_bounds(spark, tmp_path):
+    """Stream-stream interval join: purchases pair with same-user
+    clicks in the preceding hour, across microbatches; clicks outside
+    the window, clicks after the purchase, and other users' clicks
+    never pair."""
+    from onnxtr_spark.streaming.stateful import (
+        ATTR_JOIN_INPUT_DDL,
+        attributed_purchases_stream,
+    )
+
+    src = str(tmp_path / "ev_src")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, minute, uid, etype):
+        return {
+            "event_id": eid,
+            "ts": t0 + dt.timedelta(minutes=minute),
+            "user_id": uid,
+            "event_type": etype,
+        }
+
+    # b1: u1 click @12:10; u2 click @10:00 (will be out of window);
+    #     u3 purchase @11:50 (precedes u3's click -> never pairs)
+    _write_batch(
+        spark,
+        src,
+        [ev(1, 10, 1, "click"), ev(2, -120, 2, "click"), ev(3, -10, 3, "purchase")],
+        ATTR_JOIN_INPUT_DDL,
+        "b1",
+    )
+    # b2: u1 purchase @12:30 (pairs with the b1 click cross-batch);
+    #     u2 purchase @11:30 (click was 90 min earlier: no pair);
+    #     u3 click @12:00 (after u3's purchase: no pair)
+    _write_batch(
+        spark,
+        src,
+        [ev(4, 30, 1, "purchase"), ev(5, -30, 2, "purchase"), ev(6, 0, 3, "click")],
+        ATTR_JOIN_INPUT_DDL,
+        "b2",
+    )
+    # b3: u1 purchase @13:05 — 55 min after the click, still in window;
+    #     plus a second u1 click @13:00 so this purchase pairs TWICE
+    _write_batch(
+        spark,
+        src,
+        [ev(7, 60, 1, "click"), ev(8, 65, 1, "purchase")],
+        ATTR_JOIN_INPUT_DDL,
+        "b3",
+    )
+    stream = (
+        spark.readStream.schema(ATTR_JOIN_INPUT_DDL)
+        .format("parquet")
+        .option("path", src)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+    )
+    q = (
+        attributed_purchases_stream(stream)
+        .writeStream.format("memory")
+        .queryName("attr_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id, click_ts FROM attr_pairs").toPandas()
+    pairs = sorted(
+        (int(r.event_id), (r.click_ts - t0).total_seconds() / 60) for r in got.itertuples()
+    )
+    # purchase 4 <- click @12:10; purchase 8 <- clicks @12:10 and @13:00
+    assert pairs == [(4, 10.0), (8, 10.0), (8, 60.0)]
