@@ -56,6 +56,13 @@ def _curation_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _curate.curation_funnel(_curate.curate_v3(_documents(spark, sf_dir)))
 
 
+def _curation_funnel_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v3 ladder plus the ExactSubstr gate (docs mostly covered by
+    corpus-duplicated 40-char substrings drop as substr_heavy); the
+    composed oracle embeds all twelve gates' SQL."""
+    return _curate.curation_funnel(_curate.curate_v4(_documents(spark, sf_dir)))
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -534,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": _curation_funnel,
         "curation_funnel_v2": _curation_funnel_v2,
         "curation_funnel_v3": _curation_funnel_v3,
+        "curation_funnel_v4": _curation_funnel_v4,
     }
 
 
@@ -628,6 +636,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_funnel": _curate.curation_funnel_sql(),
         "curation_funnel_v2": _curate.curation_funnel_v2_sql(),
         "curation_funnel_v3": _curate.curation_funnel_v3_sql(),
+        "curation_funnel_v4": _curate.curation_funnel_v4_sql(),
         "training_mix": text.training_mix_sql(),
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_minhash_bands": dedup.minhash_bands_sql(),

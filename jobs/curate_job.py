@@ -7,11 +7,12 @@ Usage (the sibling of jobs/extract_job.py for the corpus side):
         jobs/curate_job.py \
         --docs s3://bucket/documents \
         --out  s3://bucket/curated \
-        [--quality-min 0.5] [--langs english,french] [--ladder v1|v2|v3]
+        [--quality-min 0.5] [--langs english,french] [--ladder v1|v2|v3|v4]
 
 ``--ladder`` picks the gate battery: v1 (dedup/quality/lang/
 repetition/decontamination/PII), v2 (+ Gopher rules + CCNet
-perplexity tail), v3 (+ boilerplate dominance + DSIR selection).
+perplexity tail), v3 (+ boilerplate dominance + DSIR selection),
+v4 (+ ExactSubstr duplicated-substring dominance).
 
 Writes:
     <out>/curated   — kept docs only: (doc_id, text PII-scrubbed, lang, quality)
@@ -25,7 +26,7 @@ import argparse
 
 from pyspark.sql import functions as F
 
-from onnxtr_spark.functions.curate import curate, curate_v2, curate_v3, curation_funnel
+from onnxtr_spark.functions.curate import curate, curate_v2, curate_v3, curate_v4, curation_funnel
 from onnxtr_spark.session import get_spark
 
 
@@ -38,12 +39,12 @@ def main() -> None:
     ap.add_argument("--max-dup-word-frac", type=float, default=0.95)
     ap.add_argument("--max-top-bigram-char-frac", type=float, default=0.2)
     ap.add_argument("--contaminate-n", type=int, default=5)
-    ap.add_argument("--ladder", choices=["v1", "v2", "v3"], default="v1")
+    ap.add_argument("--ladder", choices=["v1", "v2", "v3", "v4"], default="v1")
     args = ap.parse_args()
 
     spark = get_spark("curate_job")
     docs = spark.read.parquet(args.docs)
-    ladder = {"v1": curate, "v2": curate_v2, "v3": curate_v3}[args.ladder]
+    ladder = {"v1": curate, "v2": curate_v2, "v3": curate_v3, "v4": curate_v4}[args.ladder]
     audited = ladder(
         docs,
         quality_min=args.quality_min,

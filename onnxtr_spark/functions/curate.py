@@ -380,3 +380,70 @@ def curation_funnel_v3_sql(
 )
 SELECT stage, count(*) AS n_docs FROM staged GROUP BY 1 ORDER BY 1
 """
+
+
+CURATE_V4_DEFAULTS = {
+    # drop docs more than half of whose characters sit inside a
+    # 40-char substring duplicated somewhere in the corpus — the
+    # RefinedWeb duplicate-fraction drop at substring granularity.
+    # Deliberately ALSO catches the canonical copy of an exact-dup
+    # group (exact-dedup keeps one copy; a doc that is mostly verbatim
+    # boilerplate is dropped even as the "original").
+    "max_substr_dup_frac": 0.5,
+}
+
+
+def curate_v4(
+    documents: DataFrame,
+    max_substr_dup_frac: float = CURATE_V4_DEFAULTS["max_substr_dup_frac"],
+    **v3_kwargs,
+) -> DataFrame:
+    """The v3 ladder plus the ExactSubstr gate: docs whose duplicated-
+    substring coverage (dedup.substring_dup_coverage, Lee et al. 2021)
+    exceeds ``max_substr_dup_frac`` are dropped as ``substr_heavy``.
+    ``dup_frac`` compares as the 4-decimal half-up-rounded double both
+    engines emit, so the gate is bit-deterministic. Still one Catalyst
+    DAG of doc_id equi-joins; twelve attributable gates."""
+    from onnxtr_spark.functions.dedup import substring_dup_coverage
+
+    v3 = curate_v3(documents, **v3_kwargs)
+    sc = substring_dup_coverage(documents).select("doc_id", "dup_frac")
+    kept_by = (
+        F.when(F.col("kept_by") != "", F.col("kept_by"))
+        .when(F.col("dup_frac") > max_substr_dup_frac, F.lit("substr_heavy"))
+        .otherwise(F.lit(""))
+    )
+    return (
+        v3.join(sc, "doc_id", "left")
+        .select("doc_id", "text", "lang", "quality", kept_by.alias("kept_by"))
+    )
+
+
+def curation_funnel_v4_sql(
+    max_substr_dup_frac: float = CURATE_V4_DEFAULTS["max_substr_dup_frac"],
+    **v3_kwargs,
+) -> str:
+    """Composed oracle for the v4 ladder: the v3 funnel's staged CASE
+    with the ExactSubstr gate appended before 'kept' (the coverage
+    oracle embedded as a derived table)."""
+    from onnxtr_spark.functions.dedup import substring_dup_coverage_sql
+
+    v3 = curation_funnel_v3_sql(**v3_kwargs)
+    head, _, tail = v3.partition("), staged AS (")
+    # v3's staged CASE reads FROM j3; splice the coverage join in and
+    # widen the CASE with the new gate just before ELSE 'kept'
+    case_block, _, _ = tail.partition("FROM j3")
+    case_block = case_block.replace(
+        "ELSE 'kept' END AS stage",
+        f"WHEN dup_frac > {max_substr_dup_frac!r} THEN 'substr_heavy'\n    ELSE 'kept' END AS stage",
+    )
+    return f"""{head}), ssc AS (
+  SELECT doc_id, dup_frac FROM ({substring_dup_coverage_sql()})
+), j4 AS (
+  SELECT j3.*, ssc.dup_frac FROM j3 LEFT JOIN ssc USING (doc_id)
+), staged AS (
+  {case_block.strip()}
+  FROM j4
+)
+SELECT stage, count(*) AS n_docs FROM staged GROUP BY 1 ORDER BY 1
+"""

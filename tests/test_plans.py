@@ -341,6 +341,11 @@ def test_aqe_splits_skewed_join(spark):
         for k, v in prev.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                # a key with no pre-test value must be UNSET, not skipped —
+                # leaving e.g. adaptive.autoBroadcastJoinThreshold=-1 leaks
+                # a no-broadcast regime into every later test
+                spark.conf.unset(k)
 
 
 def test_bucketed_media_join_shuffle_free(spark):
@@ -502,7 +507,8 @@ def test_range_join_is_bucketed_equi_join(spark):
     p = plan(rel.events_range_join(spark, SF_DIR))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert "HashJoin" in p  # sort-merge or broadcast-hash, either is fine
+    # any equi-join strategy is fine; the point is it's never a nested loop
+    assert "HashJoin" in p or "SortMergeJoin" in p
 
 
 def test_weighted_sample_is_take_ordered(spark):

@@ -237,3 +237,33 @@ def test_weighted_sample_weight_monotonicity(spark):
     lo = sum(1 for r in rows[:q] if r["doc_id"] in chosen) / q
     hi = sum(1 for r in rows[-q:] if r["doc_id"] in chosen) / q
     assert hi > lo
+
+
+def test_curate_v4_substr_gate_and_partition(spark):
+    """v4 routes a doc dominated by a corpus-duplicated passage through
+    'substr_heavy' (even though unique tails make it escape exact-dedup)
+    and the funnel still partitions the corpus exactly."""
+    from onnxtr_spark.functions.curate import curate_v4, curation_funnel
+
+    passage = (
+        "the quick brown fox jumps over the lazy dog and then the cat "
+        "sat on the mat with all of its nine lives intact today while "
+        "the sun was shining over the green hills far away in peace"
+    )
+    rows = [
+        (1, passage + " unique ending one", "en", "s"),
+        (2, passage + " another ending two", "en", "s"),
+        (10, "every word of this document is its own and it is long "
+             "enough to pass the simple quality floor with some margin "
+             "because it keeps adding fresh english words to the text", "en", "s"),
+    ]
+    docs = _docs(spark, rows)
+    audited = curate_v4(docs, gopher_min_words=5, gopher_min_stop_hits=1)
+    by_doc = {r["doc_id"]: r["kept_by"] for r in audited.collect()}
+    # docs 1/2 share >90% of their characters verbatim but are NOT
+    # byte-equal: exact-dedup keeps both, every earlier gate passes
+    # them, and the ExactSubstr gate claims BOTH copies
+    assert by_doc[1] == "substr_heavy" and by_doc[2] == "substr_heavy"
+    assert by_doc[10] != "substr_heavy"
+    stages = {r["stage"]: r["n_docs"] for r in curation_funnel(audited).collect()}
+    assert sum(stages.values()) == len(rows)
