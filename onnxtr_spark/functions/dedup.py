@@ -675,9 +675,18 @@ def substring_dup_coverage(documents: DataFrame, length: int = SUBSTR_L) -> Data
     their positions, and interval union is a per-doc bounded window
     (lead over positions: each consecutive pair contributes
     min(gap, length)). The position table is materialized once and
-    feeds both the count and the join back. The oracle groups RAW
-    substrings — a different algorithm, so a green row proves the
-    hashed path loses nothing."""
+    feeds both the count and the join back; the duplicated-hash set is
+    small and broadcasts back (AQE), and the per-doc groupBy reuses
+    the window's doc_id partitioning — one exchange per key, checked
+    with .explain. The oracle groups RAW substrings — a different
+    algorithm, so a green row proves the hashed path loses nothing.
+
+    Cost honesty at corpus scale: every position ships an 8-byte hash,
+    so the repeat-count shuffle moves ~8x the corpus bytes. That is
+    the exact form; at petabyte scale run the sampled pre-filter first
+    (``winnow_fingerprints`` — winnowing guarantees windows at or
+    above the guarantee length still collide) to shortlist candidate
+    docs, then run this operator exactly on the shortlist."""
     pos = (
         spread(documents)
         .select(
