@@ -347,7 +347,8 @@ def curation_funnel_v3_sql(
     v2 = curation_funnel_v2_sql()
     # reuse v2's WITH chain up to `staged` but extend the join set: cut
     # at the staged CTE and rebuild it with the extra gates
-    head, _, _ = v2.partition("), staged AS (")
+    head, sep, _ = v2.partition("), staged AS (")
+    assert sep, "v2 funnel SQL lost its '), staged AS (' marker — fix the splice"
     return f"""{head}), bsc AS (
   SELECT doc_id, kept_words FROM ({boilerplate_scrub_sql()})
 ), ntok AS (
@@ -429,13 +430,17 @@ def curation_funnel_v4_sql(
     from onnxtr_spark.functions.dedup import substring_dup_coverage_sql
 
     v3 = curation_funnel_v3_sql(**v3_kwargs)
-    head, _, tail = v3.partition("), staged AS (")
+    head, sep, tail = v3.partition("), staged AS (")
+    assert sep, "v3 funnel SQL lost its '), staged AS (' marker — fix the splice"
     # v3's staged CASE reads FROM j3; splice the coverage join in and
     # widen the CASE with the new gate just before ELSE 'kept'
-    case_block, _, _ = tail.partition("FROM j3")
+    case_block, sep, _ = tail.partition("FROM j3")
+    assert sep, "v3 staged CASE no longer reads FROM j3 — fix the splice"
+    kept_marker = "ELSE 'kept' END AS stage"
+    assert kept_marker in case_block, "v3 staged CASE tail drifted — fix the splice"
     case_block = case_block.replace(
-        "ELSE 'kept' END AS stage",
-        f"WHEN dup_frac > {max_substr_dup_frac!r} THEN 'substr_heavy'\n    ELSE 'kept' END AS stage",
+        kept_marker,
+        f"WHEN dup_frac > {max_substr_dup_frac!r} THEN 'substr_heavy'\n    {kept_marker}",
     )
     return f"""{head}), ssc AS (
   SELECT doc_id, dup_frac FROM ({substring_dup_coverage_sql()})

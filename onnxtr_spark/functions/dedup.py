@@ -651,6 +651,7 @@ WHERE 10000 * inter >= {num} * sa.n
 
 
 SUBSTR_L = 40  # ExactSubstr window width, characters
+_SUBSTR_CHUNK = 1 << 16  # position-generation chunk: bounds per-row array size
 
 
 def substring_dup_coverage(documents: DataFrame, length: int = SUBSTR_L) -> DataFrame:
@@ -679,7 +680,13 @@ def substring_dup_coverage(documents: DataFrame, length: int = SUBSTR_L) -> Data
     small and broadcasts back (AQE), and the per-doc groupBy reuses
     the window's doc_id partitioning — one exchange per key, checked
     with .explain. The oracle groups RAW substrings — a different
-    algorithm, so a green row proves the hashed path loses nothing.
+    algorithm, so a green row proves the hashed path loses nothing at
+    oracle scale. At corpus scale a 64-bit collision can only mark
+    EXTRA positions as duplicated (never miss one) — birthday bound
+    ~p²/2⁶⁵ for p positions, material past ~10¹⁰ positions; as a drop
+    gate that errs toward removing a document whose hash collided, and
+    a deployment needing certainty groups on (h, gram) for the ≥2
+    verification at the cost of shuffling the colliding grams' text.
 
     Cost honesty at corpus scale: every position ships an 8-byte hash,
     so the repeat-count shuffle moves ~8x the corpus bytes. That is
@@ -697,11 +704,27 @@ def substring_dup_coverage(documents: DataFrame, length: int = SUBSTR_L) -> Data
         .select(
             "doc_id",
             "n",
+            # two-level position generation: one huge document must not
+            # materialize its whole position array in a single row, so
+            # explode chunk STARTS first (n/64Ki elements), then the
+            # bounded within-chunk range — peak per-row array is 64Ki
+            # regardless of document size
             F.explode(
                 F.when(
                     F.col("n") >= length,
-                    F.sequence(F.lit(1), F.col("n") - length + 1),
+                    F.sequence(F.lit(1), F.col("n") - length + 1, F.lit(_SUBSTR_CHUNK)),
                 ).otherwise(F.array().cast("array<int>"))
+            ).alias("cs"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.sequence(
+                    F.col("cs"),
+                    F.least(F.col("cs") + (_SUBSTR_CHUNK - 1), F.col("n") - length + 1),
+                )
             ).alias("pos"),
             F.col("text"),
         )
@@ -738,8 +761,10 @@ def substring_dup_coverage(documents: DataFrame, length: int = SUBSTR_L) -> Data
         F.coalesce("n_dup_pos", F.lit(0)).cast("long").alias("n_dup_pos"),
         F.coalesce("covered_chars", F.lit(0)).cast("long").alias("covered_chars"),
         round_half_up(
-            F.coalesce("covered_chars", F.lit(0)).cast("double") / F.col("n").cast("double"), 4
-        ).alias("dup_frac"),
+            F.coalesce("covered_chars", F.lit(0)).cast("double")
+            / F.greatest(F.col("n"), F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_frac"),  # greatest(n,1): empty doc -> 0.0 in BOTH engines (x/0 is NULL in Spark, NaN in DuckDB)
     )
 
 
@@ -748,7 +773,9 @@ def substring_dup_coverage_sql(length: int = SUBSTR_L) -> str:
     interval-union arithmetic."""
     from onnxtr_spark.functions.hashing import round_half_up_sql
 
-    frac = round_half_up_sql("COALESCE(covered_chars, 0)::DOUBLE / length(d.text)::DOUBLE", 4)
+    frac = round_half_up_sql(
+        "COALESCE(covered_chars, 0)::DOUBLE / greatest(length(d.text), 1)::DOUBLE", 4
+    )
     return f"""
 WITH pos AS MATERIALIZED (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, i AS pos, substring(text, i, {length}) AS g

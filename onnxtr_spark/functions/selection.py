@@ -375,11 +375,17 @@ def weighted_sample(documents: DataFrame, k: int = WSAMPLE_K, seed: int = WSAMPL
     engines select the identical set. Scale: the top-k is
     ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject (per-
     partition heap + driver merge of k·P rows), never a full sort; no
-    shuffle of the corpus at any width."""
+    shuffle of the corpus at any width.
+
+    Zero-weight docs are excluded up front: A-ES gives them inclusion
+    probability 0 anyway, and the guard keeps the engines aligned on
+    an edge where their division semantics differ (Spark x/0 -> NULL,
+    DuckDB -> -inf, whose BIGINT cast errors)."""
     u = (hash64(F.col("doc_id").cast("string"), seed) + F.lit(1)) / F.lit(_WSPACE)
     key = F.floor(F.log(u) / F.col("n_chars").cast("double") * 1e6 + F.lit(0.5)).cast("long")
     return (
-        documents.select(
+        documents.where(F.col("n_chars") > 0)
+        .select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("n_chars").cast("long").alias("weight"),
             key.alias("key_micros"),
@@ -398,6 +404,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(n_chars AS BIGINT) AS weight,
        CAST(floor(ln({u}) / CAST(n_chars AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS key_micros
 FROM documents
+WHERE n_chars > 0
 ORDER BY key_micros DESC, doc_id
 LIMIT {k}
 """

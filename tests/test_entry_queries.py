@@ -171,3 +171,51 @@ def test_substring_dup_coverage_intervals(spark):
     for d in (4, 5):
         assert out[d]["n_dup_pos"] == 21 and out[d]["covered_chars"] == 60
         assert out[d]["dup_frac"] == 1.0
+
+
+def test_substring_coverage_and_weighted_sample_empty_doc_edges(spark, tmp_path):
+    """Edge parity on degenerate docs (absent from the driver corpus):
+    an empty doc gets dup_frac 0.0 (not NULL/NaN) in BOTH engines, a
+    zero-weight doc is excluded from the weighted sample in BOTH, and
+    the chunked position generation is seamless across the 64Ki chunk
+    boundary (a dup window straddling it is still found)."""
+    import duckdb as ddb
+    from pyspark.sql import functions as F
+
+    from onnxtr_spark.functions.dedup import substring_dup_coverage, substring_dup_coverage_sql
+    from onnxtr_spark.functions.selection import weighted_sample, weighted_sample_sql
+
+    chunk = 1 << 16
+    filler_a = "".join(chr(97 + (i * 7 + i // 26) % 26) for i in range(chunk - 20))
+    shared = "Z" * 0  # built below: a 40-char window placed to straddle the boundary
+    shared = "qwertyuiopasdfghjklzxcvbnm0123456789abcd"  # 40 chars
+    big = filler_a + shared + filler_a[::-1]  # shared spans positions around the chunk edge
+    rows = [
+        (1, "", "en", "s"),
+        (2, big, "en", "s"),
+        (3, "prefix one " + shared + " suffix one padding words", "en", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {r["doc_id"]: r for r in substring_dup_coverage(docs).collect()}
+    assert got[1]["dup_frac"] == 0.0 and got[1]["n_grams"] == 0
+    assert got[2]["n_dup_pos"] >= 1 and got[3]["n_dup_pos"] >= 1  # straddling window found
+
+    # cross-engine parity incl. the empty doc
+    d = str(tmp_path)
+    docs.withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    con = ddb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'")
+    want = con.sql(substring_dup_coverage_sql()).df().sort_values("doc_id")
+    got_df = substring_dup_coverage(docs).toPandas().sort_values("doc_id")
+    assert got_df.reset_index(drop=True).equals(
+        want[got_df.columns].reset_index(drop=True).astype(got_df.dtypes.to_dict())
+    )
+
+    # weighted sample: the empty (weight-0) doc never appears, engines agree
+    docs_n = docs.withColumn("n_chars", F.length("text"))
+    ws = weighted_sample(docs_n, k=5).toPandas()
+    assert 1 not in set(ws["doc_id"])
+    ws_want = con.sql(weighted_sample_sql(k=5)).df()
+    assert sorted(ws["doc_id"]) == sorted(ws_want["doc_id"])

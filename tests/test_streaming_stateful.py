@@ -366,6 +366,17 @@ def test_interval_join_stream_pairs_and_window_bounds(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
+    # the declared output contract must match the join's actual schema
+    from pyspark.sql.types import StructType
+
+    from onnxtr_spark.streaming.stateful import ATTR_JOIN_OUTPUT_DDL
+
+    # names + types must match the declared contract (the memory sink
+    # tightens nullability, so compare the type signature, not equality)
+    assert (
+        spark.table("attr_pairs").schema.simpleString()
+        == StructType.fromDDL(ATTR_JOIN_OUTPUT_DDL).simpleString()
+    )
     got = spark.sql("SELECT event_id, click_ts FROM attr_pairs").toPandas()
     pairs = sorted(
         (int(r.event_id), (r.click_ts - t0).total_seconds() / 60) for r in got.itertuples()
