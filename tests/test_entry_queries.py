@@ -219,3 +219,40 @@ def test_substring_coverage_and_weighted_sample_empty_doc_edges(spark, tmp_path)
     assert 1 not in set(ws["doc_id"])
     ws_want = con.sql(weighted_sample_sql(k=5)).df()
     assert sorted(ws["doc_id"]) == sorted(ws_want["doc_id"])
+
+
+def test_substring_coverage_random_property(spark):
+    """Property check on adversarially dense corpora: 120 random docs
+    over a 2-letter alphabet (dup 8-grams everywhere, intervals merge
+    constantly) + short docs below the window — the full Spark output
+    must equal an independent pure-python brute force, doc by doc."""
+    import math
+    import random
+
+    from onnxtr_spark.functions.dedup import substring_dup_coverage
+
+    L = 8
+    rng = random.Random(20260817)
+    docs = [(i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 120)))) for i in range(120)]
+
+    from collections import Counter
+
+    cnt = Counter()
+    for _, t in docs:
+        for i in range(len(t) - L + 1):
+            cnt[t[i : i + L]] += 1
+    expect = {}
+    for d, t in docs:
+        poss = [i for i in range(len(t) - L + 1) if cnt[t[i : i + L]] >= 2]
+        covered = sum(
+            L if j == len(poss) - 1 else min(poss[j + 1] - p, L) for j, p in enumerate(poss)
+        )
+        frac = math.floor(covered / max(len(t), 1) * 10000 + 0.5) / 10000 + 0.0
+        expect[d] = (max(len(t) - L + 1, 0), len(poss), covered, frac)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_pos"], r["covered_chars"], r["dup_frac"])
+        for r in substring_dup_coverage(df, length=L).collect()
+    }
+    assert got == expect
