@@ -28,7 +28,19 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(32, cpus)
-    builder = SparkSession.builder.master(master or f"local[{cpus}]").appName(app_name)
+    # Under spark-submit the master arrives via the submitted conf
+    # (spark.master); code must NOT override it, or `spark-submit
+    # --master <cluster>` silently runs local[32] on the driver — the
+    # deployment shape the north rule names would never engage. Only
+    # set a master when neither the caller nor spark-submit chose one.
+    submitted = None
+    if master is None:
+        from pyspark import SparkConf
+
+        submitted = SparkConf().get("spark.master", None)
+    builder = SparkSession.builder.appName(app_name)
+    if submitted is None:
+        builder = builder.master(master or f"local[{cpus}]")
     if master and master.startswith("local-cluster"):
         # the bracket arg is WORKER capacity; executors still launch at
         # the 1g default unless spark.executor.memory is set explicitly
