@@ -508,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_bands": lambda s, d: dedup.minhash_bands(_documents(s, d)),
         "dedup_simhash_near_pairs": lambda s, d: dedup.simhash_near_pairs(_documents(s, d)),
         "kmeans_centroids": lambda s, d: similarity.kmeans_centroids(_embeddings(s, d)),
+        "dedup_semdedup": lambda s, d: similarity.semdedup(_embeddings(s, d)),
         "text_lang_id": lambda s, d: text.lang_id(_documents(s, d)),
         "training_mix": lambda s, d: text.training_mix(_documents(s, d)),
         "dedup_token_jaccard": lambda s, d: dedup.token_jaccard_pairs(_documents(s, d)),
@@ -655,4 +656,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": similarity.QUANTIZE_EMBEDDINGS_SQL,
         "ann_cosine_topk_int8": similarity.cosine_topk_int8_sql(),
         "kmeans_centroids": similarity.kmeans_centroids_sql(),
+        "dedup_semdedup": similarity.semdedup_sql(),
     }

@@ -791,3 +791,122 @@ WITH RECURSIVE pairs AS MATERIALIZED (
 )
 SELECT node AS vec_id, min(other) AS group_id FROM reach GROUP BY node
 """
+
+
+# --- SemDeDup (cluster-then-dedup semantic pruning) -------------------------
+
+SEMDEDUP_T = 0.25  # cosine at/above this to a lower-id cluster-mate => drop
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    threshold: float = SEMDEDUP_T,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster
+    the embedding space, then inside each cluster drop every vector
+    whose cosine to a LOWER-id cluster-mate reaches the threshold —
+    the released implementation's upper-triangular pairwise rule, made
+    deterministic by the id ordering. Complements the LSH family:
+    ``embedding_dup_groups`` finds near-exact copies anywhere;
+    SemDeDup prunes *semantic* redundancy but only pays the quadratic
+    cost within clusters.
+
+    Returns (vec_id, cell, max_prior_sim, kept): the assigned cluster,
+    the max cosine to any lower-id cluster-mate (-1.0 when the vector
+    is its cluster's id-minimum), and the keep decision.
+
+    Scale shape: centroids are the k-means broadcast control plane
+    (k x dim literals); assignment is one narrow map + one window
+    keyed by vec_id; the pairwise stage is an equi-join on cell — ONE
+    shuffle, quadratic only within a cluster, so at 10^12 vectors k
+    grows ~N/target_cluster_size and per-task work stays bounded. The
+    assignment is localCheckpointed once and feeds both join sides and
+    the final projection (three consumers, one computation).
+    """
+    cents = kmeans_centroids(embeddings, k, iters)
+    cent_vec = (
+        cents.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("cv"))
+        .select("cell", F.transform("cv", lambda s: s["centroid"]).alias("centroid_vec"))
+    )
+    emb = embeddings.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+    scored = emb.crossJoin(F.broadcast(cent_vec)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        _sq_dist(F.col("embedding"), F.col("centroid_vec")).alias("d"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cell")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell", "embedding", _norm(F.col("embedding")).alias("nm"))
+        .localCheckpoint(eager=False)
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"), "cell",
+        F.col("embedding").alias("a_emb"), F.col("nm").alias("a_nm"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"), "cell",
+        F.col("embedding").alias("b_emb"), F.col("nm").alias("b_nm"),
+    )
+    prior = (
+        a.join(b, "cell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            F.col("b_id").alias("vec_id"),
+            round_half_up(
+                _dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nm") * F.col("b_nm")), ROUND
+            ).alias("sim"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("mps"))
+    )
+    return (
+        assigned.join(prior, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("mps", F.lit(-1.0)).alias("max_prior_sim"),
+            (F.coalesce("mps", F.lit(-1.0)) < F.lit(float(threshold))).alias("kept"),
+        )
+    )
+
+
+def semdedup_sql(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, threshold: float = SEMDEDUP_T
+) -> str:
+    """DuckDB oracle: the same Lloyd rounds (reused verbatim from
+    ``kmeans_centroids_sql``, already oracle-green), the same argmin
+    assignment with ties to the smaller cell, the same upper-triangular
+    max-prior-cosine rounded to ROUND before the threshold test."""
+    sqd = (
+        "list_sum(list_transform(list_zip(e.embedding, c.centroid_vec), "
+        "p -> (p[1]::DOUBLE - p[2]) * (p[1]::DOUBLE - p[2])))"
+    )
+    dote = "list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    return f"""
+WITH kc AS MATERIALIZED (
+  SELECT * FROM ({kmeans_centroids_sql(k, iters)})
+), cvec AS MATERIALIZED (
+  SELECT cell, list(centroid ORDER BY dim) AS centroid_vec FROM kc GROUP BY cell
+), assigned AS MATERIALIZED (
+  SELECT vec_id, cell, embedding,
+         sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS nm
+  FROM (
+    SELECT CAST(e.vec_id AS BIGINT) AS vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {sqd}, c.cell) AS rn
+    FROM embeddings e CROSS JOIN cvec c
+  ) WHERE rn = 1
+), prior AS MATERIALIZED (
+  SELECT b.vec_id, max({round_half_up_sql('(' + dote + ') / (a.nm * b.nm)', ROUND)}) AS mps
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cell, coalesce(p.mps, -1.0) AS max_prior_sim,
+       coalesce(p.mps, -1.0) < {threshold} AS kept
+FROM assigned s LEFT JOIN prior p ON p.vec_id = s.vec_id
+"""

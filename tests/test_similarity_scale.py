@@ -193,3 +193,47 @@ def test_lsh_near_pairs_recall_vs_bruteforce(spark):
     assert recall >= 0.8, f"recall {recall:.2f} over {len(truth)} true pairs"
     # no false accepts: every emitted pair really is >= threshold
     assert got <= truth
+
+
+# --- SemDeDup ---------------------------------------------------------------
+
+
+def _semdedup_fixture(spark):
+    """16 integer-valued vectors in 2 obvious clusters (x-axis-ish vs
+    y-axis-ish) with planted near-copies; integer coords make every
+    dot/norm engine-exact."""
+    rows = []
+    for i in range(8):  # cluster around (10, jitter): ids 0..7
+        rows.append((i, 0, [10.0, float(i % 3)]))
+    for i in range(8, 16):  # cluster around (jitter, 10): ids 8..15
+        rows.append((i, 1, [float(i % 3), 10.0]))
+    return spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+
+
+def test_semdedup_min_id_always_kept_per_cell(spark):
+    out = sim.semdedup(_semdedup_fixture(spark), k=2, iters=1, threshold=0.9).toPandas()
+    assert len(out) == 16
+    for _, grp in out.groupby("cell"):
+        first = grp.loc[grp["vec_id"].idxmin()]
+        assert first["max_prior_sim"] == -1.0 and bool(first["kept"])
+
+
+def test_semdedup_drops_exact_copies_keeps_distinct(spark):
+    df = _semdedup_fixture(spark)
+    out = sim.semdedup(df, k=2, iters=1, threshold=0.999).toPandas().set_index("vec_id")
+    # ids 0 and 3 and 6 share embedding [10,0]: lowest (0) kept, 3 & 6 dropped
+    assert bool(out.loc[0, "kept"]) and not bool(out.loc[3, "kept"]) and not bool(out.loc[6, "kept"])
+    # id 1 ([10,1]) is not an exact copy of any lower id: cos < 0.999 -> kept
+    assert bool(out.loc[1, "kept"])
+
+
+def test_semdedup_quadratic_confined_to_cells(spark):
+    # the pairwise stage joins on cell: no cross-cell pair may influence
+    # the decision — a vector identical to one in the OTHER cell stays kept
+    rows = [(0, 0, [10.0, 0.0]), (1, 0, [0.0, 10.0]),
+            (2, 1, [0.1, 10.0]), (3, 1, [10.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = sim.semdedup(df, k=2, iters=1, threshold=0.999).toPandas().set_index("vec_id")
+    # 0 and 3 are identical but land in different k-means cells (seeds 0,1)
+    if out.loc[0, "cell"] != out.loc[3, "cell"]:
+        assert bool(out.loc[3, "kept"])
