@@ -264,6 +264,21 @@ def _warc_sql() -> str:
     return HTML_EXTRACT_SQL
 
 
+def _warc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level crawl curation: per-host doc counts + extracted-text
+    volume, host parsed from each record's WARC-Target-URI. Oracle
+    rebuilds hosts from the synthetic crawl namespace."""
+    from onnxtr_spark.sources.warc import warc_domain_stats_query
+
+    return warc_domain_stats_query(_documents(spark, sf_dir))
+
+
+def _warc_domain_stats_sql() -> str:
+    from onnxtr_spark.sources.warc import warc_domain_stats_sql
+
+    return warc_domain_stats_sql()
+
+
 def _pdf_layout_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule layout parse: two-column PDFs whose content streams
     interleave the columns; reading order recovered from Tm/Td glyph
@@ -517,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_block_main_content": _html_block_main_content,
         "pdf_layout_columns": _pdf_layout_columns,
         "warc_extract_text": _warc_extract_text,
+        "warc_domain_stats": _warc_domain_stats,
         "pdf_extract_text": _pdf_extract_text,
         "artefact_detect": _artefact_detect,
         # evaluation metrics (reference scripts/evaluate.py:20,92-95)
@@ -561,6 +577,7 @@ def oracle_sql() -> dict[str, str]:
         "html_block_main_content": _html_sql(),
         "pdf_layout_columns": _pdf_layout_sql(),
         "warc_extract_text": _warc_sql(),
+        "warc_domain_stats": _warc_domain_stats_sql(),
         "pdf_extract_text": _pdf_sql(),
         "pdf_scanned_ocr": _pdf_sql(),
         "html_render_ocr": _pdf_sql(),

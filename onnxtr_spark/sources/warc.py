@@ -155,3 +155,68 @@ def warc_extract_query(documents: DataFrame) -> DataFrame:
     return warc_pages(synthesize_warcs(documents)).select(
         "doc_id", html_main_text(F.col("html")).alias("main_text")
     )
+
+
+WARC_RECORD_SCHEMA = "doc_id string, uri string, html string"
+
+
+def warc_records(warcs: DataFrame) -> DataFrame:
+    """(doc_id, uri, html) rows parsed out of (warc_key, warc) archives —
+    like ``warc_pages`` but keeping the record's WARC-Target-URI, the
+    attribution column domain-level curation keys on."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for blob in pdf["warc"]:
+                for uri, html in parse_warc(bytes(blob)):
+                    rows.append({"doc_id": uri.rsplit("/", 1)[-1], "uri": uri, "html": html})
+            yield pd.DataFrame(rows, columns=["doc_id", "uri", "html"])
+
+    return warcs.mapInPandas(parse, schema=WARC_RECORD_SCHEMA)
+
+
+def warc_domain_stats_query(documents: DataFrame) -> DataFrame:
+    """Per-host crawl statistics — the domain-level aggregation that
+    feeds blocklists and per-domain caps in C4/Dolma-style curation.
+
+    The host comes ONLY from parsing each record's WARC-Target-URI
+    (scheme strip -> authority -> port strip, all JVM ``split_part``),
+    never from doc metadata, so the oracle's host derived from the
+    synthetic crawl namespace verifies URI attribution end-to-end.
+    Scale: one partial-aggregated exchange keyed by host; host
+    cardinality is bounded (registered domains), and the heavy
+    per-record work (gzip split + HTML strip) happens map-side before
+    the shuffle carries only (host, chars).
+    """
+    recs = warc_records(synthesize_warcs(documents))
+    authority = F.split_part(F.split_part(F.col("uri"), F.lit("://"), F.lit(2)), F.lit("/"), F.lit(1))
+    host = F.split_part(authority, F.lit(":"), F.lit(1))
+    return (
+        recs.select(
+            host.alias("host"),
+            F.length(html_main_text(F.col("html"))).alias("chars"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("chars").cast("long").alias("text_chars"),
+        )
+    )
+
+
+def warc_domain_stats_sql() -> str:
+    """DuckDB oracle: hosts rebuilt from the synthetic namespace
+    (site-<doc_id %% 50>.example), text lengths from the same
+    normalized-strip the roundtrip oracle uses."""
+    from onnxtr_spark.sources.html import HTML_EXTRACT_SQL
+
+    return f"""
+WITH ext AS ({HTML_EXTRACT_SQL})
+SELECT 'site-' || CAST(CAST(doc_id AS BIGINT) % 50 AS VARCHAR) || '.example' AS host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(main_text)) AS BIGINT) AS text_chars
+FROM ext GROUP BY host
+"""

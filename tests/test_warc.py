@@ -48,3 +48,35 @@ def test_warc_spark_roundtrip_groups_docs_per_archive(spark):
 
     want = re.sub(r"\s+", " ", f"doc 7 body words here padding " + "w " * 30).strip()
     assert row.main_text == want
+
+
+def test_warc_records_keeps_uri_and_strips_port(spark):
+    blob = W.encode_warc([
+        ("https://a.example:8443/doc/1", "<p>one</p>"),
+        ("https://b.example/doc/2", "<p>two</p>"),
+    ])
+    warcs = spark.createDataFrame(pd.DataFrame({"warc_key": [0], "warc": [blob]}), W.WARC_SCHEMA)
+    recs = W.warc_records(warcs).toPandas().sort_values("doc_id")
+    assert list(recs["uri"]) == ["https://a.example:8443/doc/1", "https://b.example/doc/2"]
+    from pyspark.sql import functions as F
+
+    host = F.split_part(
+        F.split_part(F.split_part(F.col("uri"), F.lit("://"), F.lit(2)), F.lit("/"), F.lit(1)),
+        F.lit(":"), F.lit(1),
+    )
+    hosts = W.warc_records(warcs).select(host.alias("h")).toPandas()
+    assert sorted(hosts["h"]) == ["a.example", "b.example"]
+
+
+def test_warc_domain_stats_aggregates_per_host(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": list(range(100)),  # ids 0..99 -> hosts site-0..site-49, 2 docs each
+            "text": [f"doc {i} " + "w " * 10 for i in range(100)],
+        })
+    )
+    out = W.warc_domain_stats_query(docs).toPandas()
+    assert len(out) == 50
+    assert (out["n_docs"] == 2).all()
+    assert (out["text_chars"] > 0).all()
+    assert set(out["host"]) == {f"site-{i}.example" for i in range(50)}
