@@ -524,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_near_pairs": lambda s, d: dedup.simhash_near_pairs(_documents(s, d)),
         "kmeans_centroids": lambda s, d: similarity.kmeans_centroids(_embeddings(s, d)),
         "dedup_semdedup": lambda s, d: similarity.semdedup(_embeddings(s, d)),
+        "text_bigram_nll": lambda s, d: text.bigram_nll(_documents(s, d)),
         "text_lang_id": lambda s, d: text.lang_id(_documents(s, d)),
         "training_mix": lambda s, d: text.training_mix(_documents(s, d)),
         "dedup_token_jaccard": lambda s, d: dedup.token_jaccard_pairs(_documents(s, d)),
@@ -674,4 +675,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk_int8": similarity.cosine_topk_int8_sql(),
         "kmeans_centroids": similarity.kmeans_centroids_sql(),
         "dedup_semdedup": similarity.semdedup_sql(),
+        "text_bigram_nll": text.bigram_nll_sql(),
     }

@@ -1306,6 +1306,120 @@ toks AS (
 UNIGRAM_NLL_SQL = f"WITH {_NLL_CTE} SELECT doc_id, n_tokens, nll FROM nll"
 
 
+# --- interpolated bigram LM scoring (KenLM-style perplexity filter) ---------
+
+BIGRAM_LAM = 0.7  # Jelinek-Mercer interpolation weight on the bigram term
+
+
+def bigram_nll(documents: DataFrame, lam: float = BIGRAM_LAM) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM over the corpus's own
+    counts — the KenLM-shaped perplexity filter CCNet runs where the
+    unigram proxy is too blunt (word salad with common words scores
+    LOW on unigram NLL but high here, because its transitions are
+    rare). Per token i>0:  p = lam*P(w_i|w_{i-1}) + (1-lam)*P(w_i);
+    the first token backs off to its unigram probability. Output:
+    (doc_id, n_tokens, nll) with nll = -mean ln p, edge-rounded to 4.
+
+    Scale shape: bigram counts are ONE map-side-combined groupBy over
+    exploded adjacent pairs (built by zip_with on the token array — no
+    self-join on position); context totals reuse those counts (sum by
+    left token, never a second corpus pass); both probability tables
+    join back by equi-join, AQE-broadcast while the vocabulary fits.
+    At 100 TB, hash64 the (prev, cur) pair before the shuffle (the
+    ngram-Jaccard recipe) so the exchange carries int64s, and prune
+    singleton bigrams with a HAVING count > 1 + backoff.
+    """
+    base = (
+        spread(documents)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), tokens().alias("t"))
+        .where(F.size("t") >= 1)
+        .localCheckpoint(eager=False)
+    )
+    toks_e = base.select("doc_id", F.explode("t").alias("tok"))
+    uni = toks_e.groupBy("tok").agg(F.count("*").alias("ucnt"))
+    total = uni.agg(F.sum("ucnt").alias("total"))
+    uni_p = uni.crossJoin(F.broadcast(total)).select(
+        "tok", (F.col("ucnt").cast("double") / F.col("total").cast("double")).alias("pu")
+    )
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> struct(a AS prev, b AS cur))"
+            )
+        ).alias("pr"),
+    ).select("doc_id", F.col("pr.prev").alias("prev"), F.col("pr.cur").alias("cur"))
+    bi = pairs.groupBy("prev", "cur").agg(F.count("*").alias("bcnt"))
+    ctx = bi.groupBy("prev").agg(F.sum("bcnt").alias("ccnt"))
+    bi_p = bi.join(ctx, "prev").select(
+        "prev", "cur", (F.col("bcnt").cast("double") / F.col("ccnt").cast("double")).alias("pb")
+    )
+    lam, one_m = float(lam), 1.0 - float(lam)
+    bsum = (
+        pairs.join(bi_p, ["prev", "cur"])
+        .join(uni_p.withColumnRenamed("tok", "cur"), "cur")
+        .select("doc_id", F.log(F.lit(lam) * F.col("pb") + F.lit(one_m) * F.col("pu")).alias("lp"))
+        .groupBy("doc_id")
+        .agg(F.sum("lp").alias("bs"))
+    )
+    first = (
+        base.select("doc_id", F.element_at("t", 1).alias("tok"), F.size("t").alias("n"))
+        .join(uni_p, "tok")
+        .select("doc_id", "n", F.log("pu").alias("flp"))
+    )
+    return first.join(bsum, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        round_half_up(
+            -(F.col("flp") + F.coalesce("bs", F.lit(0.0))) / F.col("n").cast("double"), 4
+        ).alias("nll"),
+    )
+
+
+def bigram_nll_sql(lam: float = BIGRAM_LAM) -> str:
+    """DuckDB oracle: the same counts, interpolation and edge-rounding;
+    the interpolation weights are repr'd Python doubles so both engines
+    multiply by bit-identical literals."""
+    lam, one_m = float(lam), 1.0 - float(lam)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT * FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_TOKENS_SQL} AS t FROM documents)
+  WHERE len(t) >= 1
+), toks AS (
+  SELECT doc_id, unnest(t) AS tok FROM base
+), uni AS MATERIALIZED (
+  SELECT tok, count(*) AS ucnt FROM toks GROUP BY 1
+), total AS (
+  SELECT sum(ucnt) AS total FROM uni
+), unip AS MATERIALIZED (
+  SELECT tok, ucnt::DOUBLE / total::DOUBLE AS pu FROM uni, total
+), pairs AS MATERIALIZED (
+  SELECT doc_id, t[u.i] AS prev, t[u.i + 1] AS cur
+  FROM base, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+), bi AS MATERIALIZED (
+  SELECT prev, cur, count(*) AS bcnt FROM pairs GROUP BY 1, 2
+), ctx AS MATERIALIZED (
+  SELECT prev, sum(bcnt) AS ccnt FROM bi GROUP BY 1
+), bip AS MATERIALIZED (
+  SELECT bi.prev, bi.cur, bi.bcnt::DOUBLE / ctx.ccnt::DOUBLE AS pb
+  FROM bi JOIN ctx USING (prev)
+), bsum AS (
+  SELECT p.doc_id, sum(ln({lam!r} * b.pb + {one_m!r} * u.pu)) AS bs
+  FROM pairs p
+  JOIN bip b ON b.prev = p.prev AND b.cur = p.cur
+  JOIN unip u ON u.tok = p.cur
+  GROUP BY 1
+), frst AS (
+  SELECT b.doc_id, len(b.t) AS n, ln(u.pu) AS flp
+  FROM base b JOIN unip u ON u.tok = b.t[1]
+)
+SELECT f.doc_id, CAST(f.n AS BIGINT) AS n_tokens,
+       {round_half_up_sql('-(f.flp + coalesce(s.bs, 0.0)) / f.n::DOUBLE', 4)} AS nll
+FROM frst f LEFT JOIN bsum s USING (doc_id)
+"""
+
+
 # --- CCNet-style per-language quality buckets ------------------------------
 
 

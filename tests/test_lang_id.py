@@ -324,3 +324,43 @@ def test_bpe_train_matches_reference_trainer(spark):
         .orderBy("rank").collect()
     ]
     assert got == expected, (got, expected)
+
+
+def test_bigram_nll_hand_computed(spark):
+    import math
+
+    from onnxtr_spark.functions.text import bigram_nll
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a a"), (2, "z")], "doc_id long, text string"
+    )
+    out = bigram_nll(docs).toPandas().set_index("doc_id")
+    # counts: a=4, b=2, z=1, total=7; bigrams (a,b)x2 (b,a)x1 (a,a)x1; ctx a=3, b=1
+    pu = {"a": 4 / 7, "b": 2 / 7, "z": 1 / 7}
+    lam, om = 0.7, 1.0 - 0.7
+
+    def interp(pb, w):
+        return math.log(lam * pb + om * pu[w])
+
+    nll0 = -(math.log(pu["a"]) + 2 * interp(2 / 3, "b") + interp(1.0, "a")) / 4
+    nll1 = -(math.log(pu["a"]) + interp(1 / 3, "a")) / 2
+    nll2 = -math.log(pu["z"]) / 1
+
+    def r4(x):
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    assert out.loc[0, "n_tokens"] == 4 and abs(out.loc[0, "nll"] - r4(nll0)) < 1e-12
+    assert out.loc[1, "n_tokens"] == 2 and abs(out.loc[1, "nll"] - r4(nll1)) < 1e-12
+    assert out.loc[2, "n_tokens"] == 1 and abs(out.loc[2, "nll"] - r4(nll2)) < 1e-12
+
+
+def test_bigram_nll_flags_word_salad(spark):
+    from onnxtr_spark.functions.text import bigram_nll
+
+    # same words, natural order repeated vs shuffled transitions: the
+    # salad doc's transitions are rarer -> higher bigram NLL
+    natural = "the cat sat on the mat " * 8
+    salad = "mat the on sat the cat cat mat sat on the the " * 4
+    docs = spark.createDataFrame([(0, natural), (1, salad)], "doc_id long, text string")
+    out = bigram_nll(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "nll"] > out.loc[0, "nll"]

@@ -528,3 +528,16 @@ def test_histogram_is_partial_agg(spark):
     assert p.count("Exchange") == 1
     assert "partial_count" in p or "HashAggregate" in p
     assert "Window" not in p
+
+
+def test_bigram_nll_plan_shape(spark):
+    """Interpolated bigram LM: adjacent pairs come from zip_with on the
+    token array (no positional self-join), the corpus total is a
+    broadcast 1-row join, and nothing plans a window or cartesian."""
+    from onnxtr_spark.functions.text import bigram_nll
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(bigram_nll(docs))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
