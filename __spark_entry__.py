@@ -279,6 +279,21 @@ def _warc_domain_stats_sql() -> str:
     return warc_domain_stats_sql()
 
 
+def _crawl_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup: canonicalize two planted spellings per
+    doc (case/port/fragment/tracking-param/trailing-slash noise) and
+    collapse by the canonical form — every group must hold exactly 2."""
+    from onnxtr_spark.functions.urls import url_dedup_query
+
+    return url_dedup_query(_documents(spark, sf_dir))
+
+
+def _crawl_url_dedup_sql() -> str:
+    from onnxtr_spark.functions.urls import url_dedup_sql
+
+    return url_dedup_sql()
+
+
 def _pdf_layout_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule layout parse: two-column PDFs whose content streams
     interleave the columns; reading order recovered from Tm/Td glyph
@@ -525,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": lambda s, d: similarity.kmeans_centroids(_embeddings(s, d)),
         "dedup_semdedup": lambda s, d: similarity.semdedup(_embeddings(s, d)),
         "text_bigram_nll": lambda s, d: text.bigram_nll(_documents(s, d)),
+        "crawl_url_dedup": _crawl_url_dedup,
         "text_lang_id": lambda s, d: text.lang_id(_documents(s, d)),
         "training_mix": lambda s, d: text.training_mix(_documents(s, d)),
         "dedup_token_jaccard": lambda s, d: dedup.token_jaccard_pairs(_documents(s, d)),
@@ -676,4 +692,5 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_centroids": similarity.kmeans_centroids_sql(),
         "dedup_semdedup": similarity.semdedup_sql(),
         "text_bigram_nll": text.bigram_nll_sql(),
+        "crawl_url_dedup": _crawl_url_dedup_sql(),
     }

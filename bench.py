@@ -75,6 +75,9 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_near_pairs",
     "embedding_centroids",
+    "dedup_semdedup",
+    "text_bigram_nll",
+    "warc_domain_stats",
 ]
 
 
