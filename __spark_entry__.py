@@ -294,6 +294,21 @@ def _crawl_url_dedup_sql() -> str:
     return url_dedup_sql()
 
 
+def _crawl_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the synthesized heavy-tailed host link graph in
+    exact integer nanos (5 damped rounds of join + per-dst sum — the
+    canonical iterative distributed workload, zero rounding seams)."""
+    from onnxtr_spark.functions.graph import host_pagerank
+
+    return host_pagerank(_documents(spark, sf_dir))
+
+
+def _crawl_host_pagerank_sql() -> str:
+    from onnxtr_spark.functions.graph import host_pagerank_sql
+
+    return host_pagerank_sql()
+
+
 def _pdf_layout_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule layout parse: two-column PDFs whose content streams
     interleave the columns; reading order recovered from Tm/Td glyph
@@ -541,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semdedup": lambda s, d: similarity.semdedup(_embeddings(s, d)),
         "text_bigram_nll": lambda s, d: text.bigram_nll(_documents(s, d)),
         "crawl_url_dedup": _crawl_url_dedup,
+        "crawl_host_pagerank": _crawl_host_pagerank,
         "text_lang_id": lambda s, d: text.lang_id(_documents(s, d)),
         "training_mix": lambda s, d: text.training_mix(_documents(s, d)),
         "dedup_token_jaccard": lambda s, d: dedup.token_jaccard_pairs(_documents(s, d)),
@@ -693,4 +709,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semdedup": similarity.semdedup_sql(),
         "text_bigram_nll": text.bigram_nll_sql(),
         "crawl_url_dedup": _crawl_url_dedup_sql(),
+        "crawl_host_pagerank": _crawl_host_pagerank_sql(),
     }

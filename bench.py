@@ -78,6 +78,8 @@ HEADLINE = [
     "dedup_semdedup",
     "text_bigram_nll",
     "warc_domain_stats",
+    "crawl_url_dedup",
+    "crawl_host_pagerank",
 ]
 
 

@@ -1,0 +1,138 @@
+"""Host-graph PageRank (crawl-prioritization ranking).
+
+Crawl curation ranks domains by link authority — PageRank over the
+host graph decides fetch priority and is a standard quality prior
+(e.g. Common Crawl publishes host-level harmonic-centrality/PageRank
+ranks). This is the canonical *iterative* distributed workload: K
+rounds of (ranks ⋈ edges on src) → per-dst sum — exactly the shape
+Spark's join/groupBy engine is built for.
+
+Cross-engine exactness: ranks live in INTEGER NANO units (BIGINT).
+Every operation is integer arithmetic — `div` for the per-edge
+contribution split and the damping factor (85/100) — so Spark and
+DuckDB agree bit-for-bit with NO rounding seam at any iteration (the
+float recipe elsewhere in this repo rounds each round boundary; here
+there is nothing to round). All quantities are non-negative, which
+sidesteps the Spark-`div`-vs-DuckDB-`//` negative-operand sign
+difference.
+
+Scale shape: edges are partitioned once; each round is one equi-join
+(ranks broadcast while the host set is small; shuffled by src when it
+isn't) plus one map-side-combined groupBy(dst) — never a collect, and
+the rank relation stays O(hosts), not O(edges). At 10^12 docs the
+host graph is ~10^8 rows — still a broadcast-able side relation.
+
+The link set is synthesized deterministically from doc_ids at the
+host level (three out-links per doc via affine maps mod the host
+count), the same planted-input pattern as ``urls.synthesize_raw_urls``
+— the engine under test and the oracle derive the identical graph
+from the documents table alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from onnxtr_spark.partitioning import spread
+
+N_HOSTS = 50  # the synthetic crawl namespace: site-(doc_id % 50).example
+PR_ITERS = 5
+PR_SCALE = 1_000_000_000  # nano units
+# three out-links per doc: a uniform affine backbone (keeps the graph
+# connected), a quadratic map (non-uniform in-degree), and a hub map
+# (hosts 0..9 absorb 5x the links — real crawl graphs are heavy-tailed)
+_LINK_EXPRS = ("(d * 7 + 11) % {n}", "(d * d + 3) % {n}", "d % 10")
+
+
+def synthesize_host_links(documents: DataFrame) -> DataFrame:
+    """(src, dst) host-id edge list, multi-edges kept (link weight =
+    link count, as a real crawl graph would); self-loops dropped on
+    both engines."""
+    rows = (
+        spread(documents)
+        .select(F.col("doc_id").cast("long").alias("d"))
+        .select(
+            F.expr(f"d % {N_HOSTS}").alias("src"),
+            F.explode(
+                F.array(*[F.expr(e.format(n=N_HOSTS)) for e in _LINK_EXPRS])
+            ).alias("dst"),
+        )
+    )
+    return rows.where(F.col("src") != F.col("dst"))
+
+
+def host_pagerank(documents: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """PageRank over the synthesized host graph in exact integer nanos.
+
+    init:  rank = SCALE div n            (n = hosts present in the graph)
+    step:  contrib(edge) = rank(src) div out_deg(src)
+           rank'(h) = (15 * SCALE) div (100 * n)
+                      + (85 * sum contrib into h) div 100
+    Output (host, pagerank_nano) — BIGINT, bit-identical cross-engine.
+    """
+    edges = synthesize_host_links(documents).localCheckpoint(eager=False)
+    hosts = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    n = hosts.count()  # control-plane scalar (host count, not data volume)
+    base = (15 * PR_SCALE) // (100 * n)
+    ranks = hosts.select("host", F.lit(PR_SCALE // n).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(F.broadcast(ranks.withColumnRenamed("host", "src")), "src")
+            .join(F.broadcast(deg), "src")
+            .select("dst", F.expr("rank div out_deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            hosts.join(contrib.withColumnRenamed("dst", "host"), "host", "left")
+            .select(
+                "host",
+                (
+                    F.lit(base) + F.expr("(85 * coalesce(inflow, 0L)) div 100")
+                ).cast("long").alias("rank"),
+            )
+        )
+    return ranks.select(F.col("host").cast("long").alias("host"), F.col("rank").alias("pagerank_nano"))
+
+
+def host_pagerank_sql(iters: int = PR_ITERS) -> str:
+    """DuckDB oracle: the same graph and the same integer rounds,
+    unrolled as CTE layers (the kmeans-oracle pattern)."""
+    links = " UNION ALL ".join(
+        f"SELECT d % {N_HOSTS} AS src, {e.format(n=N_HOSTS)} AS dst FROM docs"
+        for e in _LINK_EXPRS
+    )
+    ctes = [
+        "docs AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents)",
+        f"edges AS MATERIALIZED (SELECT src, dst FROM ({links}) WHERE src <> dst)",
+        "hosts AS MATERIALIZED (SELECT DISTINCT src AS host FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1)",
+        "n AS (SELECT count(*) AS n FROM hosts)",
+        f"r0 AS (SELECT host, CAST({PR_SCALE} AS BIGINT) // n AS rank FROM hosts, n)",
+    ]
+    prev = "r0"
+    for it in range(1, iters + 1):
+        ctes.append(f"""c{it} AS (
+  SELECT e.dst, sum(r.rank // g.out_deg) AS inflow
+  FROM edges e JOIN {prev} r ON r.host = e.src JOIN deg g ON g.src = e.src
+  GROUP BY 1
+)""")
+        ctes.append(f"""r{it} AS (
+  SELECT h.host,
+         (15 * CAST({PR_SCALE} AS BIGINT)) // (100 * n.n) + (85 * coalesce(c.inflow, CAST(0 AS BIGINT))) // 100 AS rank
+  FROM hosts h CROSS JOIN n LEFT JOIN c{it} c ON c.dst = h.host
+)""")
+        prev = f"r{it}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT CAST(host AS BIGINT) AS host, CAST(rank AS BIGINT) AS pagerank_nano FROM {prev}
+"""
