@@ -524,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": lambda s, d: text.fingerprint(_documents(s, d)),
         "doc_winnow_fingerprints": lambda s, d: text.winnow_fingerprints(_documents(s, d)),
         "docs_stratified_sample": lambda s, d: text.stratified_sample(_documents(s, d)),
+        "docs_temperature_mix": lambda s, d: text.temperature_mix(_documents(s, d)),
         "docs_weighted_sample": lambda s, d: selection.weighted_sample(_documents(s, d)),
         "text_pii_scrub": lambda s, d: text.pii_scrub(_documents(s, d)),
         "text_repetition_stats": lambda s, d: text.repetition_stats(_documents(s, d)),
@@ -670,6 +671,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": text.FINGERPRINT_SQL,
         "doc_winnow_fingerprints": text.winnow_fingerprints_sql(),
         "docs_stratified_sample": text.stratified_sample_sql(),
+        "docs_temperature_mix": text.temperature_mix_sql(),
         "docs_weighted_sample": selection.weighted_sample_sql(),
         "text_pii_scrub": text.pii_scrub_sql(),
         "text_repetition_stats": text.repetition_stats_sql(),

@@ -815,6 +815,102 @@ WHERE ({gate}) % {SAMPLE_DEN} >= 0
 """
 
 
+# --- temperature-scaled language mixing (mT5 / XLM-R alpha-sampling) -------
+
+MIX_ALPHA = 0.3  # sampling temperature: p_i ∝ (n_i/N)^alpha
+MIX_BUDGET = 0.5  # total kept fraction of the corpus
+MIX_W_ROUND = 9  # edge-round the pow() output (the one libm-seamed op)
+
+
+def temperature_mix(
+    documents: DataFrame,
+    alpha: float = MIX_ALPHA,
+    budget: float = MIX_BUDGET,
+    seed: int = SAMPLE_SEED,
+) -> DataFrame:
+    """Temperature-scaled corpus mixing (mT5 / XLM-R): resample so the
+    language shares follow p_i ∝ (n_i/N)^alpha — flattening the raw
+    distribution toward low-resource languages — inside a total budget
+    of ``budget``·N docs. Per-language keep rate:
+
+        rate_i = min(1, budget · N · P_i / n_i),
+        P_i = w_i / Σw,  w_i = round((n_i/N)^alpha, 9)
+
+    then the stratified_sample integer gate (hash(doc_id) mod 1e6 <
+    rate_micros) keeps individual docs. pow() is the only operation
+    whose libm rounding could differ across engines, so its output is
+    edge-rounded to 9 decimals before any further arithmetic; the rest
+    is IEEE-deterministic double math and an exact integer gate.
+
+    Output (doc_id, lang, rate_micros). Scale shape: the language
+    histogram is one map-side-combined groupBy; everything after is
+    control-plane scalars broadcast back — the corpus itself is
+    touched exactly once by the final narrow gate.
+    """
+    d = documents.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("nn"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        "nn",
+        round_half_up(
+            F.pow(F.col("n").cast("double") / F.col("nn").cast("double"), F.lit(float(alpha))),
+            MIX_W_ROUND,
+        ).alias("w"),
+    )
+    wsum = w.agg(F.sum("w").alias("ws"))
+    rates = w.crossJoin(F.broadcast(wsum)).select(
+        "lang",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget))
+                * F.col("nn").cast("double")
+                * (F.col("w") / F.col("ws"))
+                / F.col("n").cast("double"),
+            )
+            * SAMPLE_DEN
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rate_micros"),
+    )
+    gate = F.pmod(hash64(F.col("doc_id").cast("string"), seed), F.lit(SAMPLE_DEN))
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .where(gate < F.col("rate_micros"))
+        .select("doc_id", "lang", "rate_micros")
+    )
+
+
+def temperature_mix_sql(
+    alpha: float = MIX_ALPHA, budget: float = MIX_BUDGET, seed: int = SAMPLE_SEED
+) -> str:
+    gate = hash64_sql("CAST(doc_id AS VARCHAR)", seed)
+    w = round_half_up_sql(f"pow(n::DOUBLE / nn::DOUBLE, {float(alpha)!r})", MIX_W_ROUND)
+    return f"""
+WITH counts AS MATERIALIZED (
+  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+), tot AS (
+  SELECT sum(n) AS nn FROM counts
+), w AS MATERIALIZED (
+  SELECT lang, n, nn, {w} AS w FROM counts, tot
+), ws AS (
+  SELECT sum(w) AS ws FROM w
+), rates AS MATERIALIZED (
+  SELECT lang,
+         CAST(floor(least(1.0, {float(budget)!r} * nn::DOUBLE * (w / ws.ws) / n::DOUBLE)
+                    * {SAMPLE_DEN} + 0.5) AS BIGINT) AS rate_micros
+  FROM w, ws
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, r.rate_micros
+FROM documents d JOIN rates r ON r.lang = d.lang
+WHERE ({gate}) % {SAMPLE_DEN} >= 0
+  AND ({gate}) % {SAMPLE_DEN} < r.rate_micros
+"""
+
+
 # --- training-mix composition ----------------------------------------------
 
 MIX_QUALITY_MIN = 0.45

@@ -364,3 +364,37 @@ def test_bigram_nll_flags_word_salad(spark):
     docs = spark.createDataFrame([(0, natural), (1, salad)], "doc_id long, text string")
     out = bigram_nll(docs).toPandas().set_index("doc_id")
     assert out.loc[1, "nll"] > out.loc[0, "nll"]
+
+
+def test_temperature_mix_flattens_within_budget(spark):
+    import pandas as pd
+
+    from onnxtr_spark.functions.text import temperature_mix
+
+    # skewed corpus: 300 'en', 60 'fr', 40 'zh'
+    rows = [(i, "en") for i in range(300)] + \
+           [(i, "fr") for i in range(300, 360)] + \
+           [(i, "zh") for i in range(360, 400)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "lang"]))
+    out = temperature_mix(docs).toPandas()
+    rates = out.groupby("lang")["rate_micros"].first()
+    # alpha < 1 flattens: scarcer languages get strictly higher keep rates
+    assert rates["zh"] > rates["fr"] > rates["en"]
+    # expected kept = budget * N; realized concentrates around it
+    assert abs(len(out) - 200) < 40
+    # gate is doc-level deterministic: same call, same kept set
+    again = temperature_mix(docs).toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_temperature_mix_alpha_one_is_identity_rates(spark):
+    import pandas as pd
+
+    from onnxtr_spark.functions.text import temperature_mix
+
+    rows = [(i, "en") for i in range(90)] + [(i, "fr") for i in range(90, 120)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "lang"]))
+    out = temperature_mix(docs, alpha=1.0, budget=0.5).toPandas()
+    rates = out.groupby("lang")["rate_micros"].first()
+    # alpha=1: P_i = p_i, so every language keeps exactly the budget rate
+    assert set(rates) == {500000}
