@@ -35,14 +35,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from onnxtr_spark.partitioning import spread
+from onnxtr_spark.sources.warc import N_HOSTS
 
-N_HOSTS = 50  # the synthetic crawl namespace: site-(doc_id % 50).example
 PR_ITERS = 5
 PR_SCALE = 1_000_000_000  # nano units
 # three out-links per doc: a uniform affine backbone (keeps the graph
 # connected), a quadratic map (non-uniform in-degree), and a hub map
-# (hosts 0..9 absorb 5x the links — real crawl graphs are heavy-tailed)
-_LINK_EXPRS = ("(d * 7 + 11) % {n}", "(d * d + 3) % {n}", "d % 10")
+# (hosts 0..9 absorb 5x the links — real crawl graphs are heavy-tailed).
+# Every map reduces d mod n FIRST: (d %% n)^2 == d^2 (mod n) with no
+# int64 overflow at any doc_id (Spark wraps silently on overflow while
+# DuckDB errors — the maps must never get near the seam).
+_LINK_EXPRS = (
+    "((d % {n}) * 7 + 11) % {n}",
+    "((d % {n}) * (d % {n}) + 3) % {n}",
+    "d % 10",
+)
 
 
 def synthesize_host_links(documents: DataFrame) -> DataFrame:

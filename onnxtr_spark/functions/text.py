@@ -819,7 +819,7 @@ WHERE ({gate}) % {SAMPLE_DEN} >= 0
 
 MIX_ALPHA = 0.3  # sampling temperature: p_i ∝ (n_i/N)^alpha
 MIX_BUDGET = 0.5  # total kept fraction of the corpus
-MIX_W_ROUND = 9  # edge-round the pow() output (the one libm-seamed op)
+MIX_W_ROUND = 9  # snap the pow() output (the one libm-seamed op) to integer nanos
 
 
 def temperature_mix(
@@ -834,13 +834,16 @@ def temperature_mix(
     of ``budget``·N docs. Per-language keep rate:
 
         rate_i = min(1, budget · N · P_i / n_i),
-        P_i = w_i / Σw,  w_i = round((n_i/N)^alpha, 9)
+        P_i = w_i / Σw,  w_i = floor((n_i/N)^alpha · 1e9 + 0.5)  (BIGINT)
 
     then the stratified_sample integer gate (hash(doc_id) mod 1e6 <
     rate_micros) keeps individual docs. pow() is the only operation
     whose libm rounding could differ across engines, so its output is
-    edge-rounded to 9 decimals before any further arithmetic; the rest
-    is IEEE-deterministic double math and an exact integer gate.
+    snapped to INTEGER NANOS immediately; Σw is then an exact BIGINT
+    sum (no float accumulation-order seam between engines or across
+    partitionings — the double-sum-then-discretize trap), and the
+    remaining double math is single-expression IEEE-deterministic
+    before the exact integer gate.
 
     Output (doc_id, lang, rate_micros). Scale shape: the language
     histogram is one map-side-combined groupBy; everything after is
@@ -850,16 +853,20 @@ def temperature_mix(
     d = documents.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
     counts = d.groupBy("lang").agg(F.count("*").alias("n"))
     tot = counts.agg(F.sum("n").alias("nn"))
+    scale = 10**MIX_W_ROUND
     w = counts.crossJoin(F.broadcast(tot)).select(
         "lang",
         "n",
         "nn",
-        round_half_up(
-            F.pow(F.col("n").cast("double") / F.col("nn").cast("double"), F.lit(float(alpha))),
-            MIX_W_ROUND,
-        ).alias("w"),
+        F.floor(
+            F.pow(F.col("n").cast("double") / F.col("nn").cast("double"), F.lit(float(alpha)))
+            * scale
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("w"),
     )
-    wsum = w.agg(F.sum("w").alias("ws"))
+    wsum = w.agg(F.sum("w").alias("ws"))  # exact BIGINT sum
     rates = w.crossJoin(F.broadcast(wsum)).select(
         "lang",
         F.floor(
@@ -867,7 +874,7 @@ def temperature_mix(
                 F.lit(1.0),
                 F.lit(float(budget))
                 * F.col("nn").cast("double")
-                * (F.col("w") / F.col("ws"))
+                * (F.col("w").cast("double") / F.col("ws").cast("double"))
                 / F.col("n").cast("double"),
             )
             * SAMPLE_DEN
@@ -888,7 +895,8 @@ def temperature_mix_sql(
     alpha: float = MIX_ALPHA, budget: float = MIX_BUDGET, seed: int = SAMPLE_SEED
 ) -> str:
     gate = hash64_sql("CAST(doc_id AS VARCHAR)", seed)
-    w = round_half_up_sql(f"pow(n::DOUBLE / nn::DOUBLE, {float(alpha)!r})", MIX_W_ROUND)
+    scale = 10**MIX_W_ROUND
+    w = f"CAST(floor(pow(n::DOUBLE / nn::DOUBLE, {float(alpha)!r}) * {scale} + 0.5) AS BIGINT)"
     return f"""
 WITH counts AS MATERIALIZED (
   SELECT lang, count(*) AS n FROM documents GROUP BY 1
@@ -900,7 +908,7 @@ WITH counts AS MATERIALIZED (
   SELECT sum(w) AS ws FROM w
 ), rates AS MATERIALIZED (
   SELECT lang,
-         CAST(floor(least(1.0, {float(budget)!r} * nn::DOUBLE * (w / ws.ws) / n::DOUBLE)
+         CAST(floor(least(1.0, {float(budget)!r} * nn::DOUBLE * (w::DOUBLE / ws.ws::DOUBLE) / n::DOUBLE)
                     * {SAMPLE_DEN} + 0.5) AS BIGINT) AS rate_micros
   FROM w, ws
 )

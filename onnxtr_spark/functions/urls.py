@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from onnxtr_spark.partitioning import spread
-from onnxtr_spark.sources.warc import doc_uri
+from onnxtr_spark.sources.warc import N_HOSTS, doc_uri, doc_uri_sql
 
 
 def synthesize_raw_urls(documents: DataFrame) -> DataFrame:
@@ -45,7 +45,8 @@ def synthesize_raw_urls(documents: DataFrame) -> DataFrame:
     d = F.col("doc_id").cast("long")
     base = documents.select(d.alias("doc_id"), doc_uri(d).alias("clean"))
     host_up = F.concat(
-        F.lit("HTTPS://SITE-"), (d % 50).cast("string"), F.lit(".EXAMPLE:443/doc/"), d.cast("string")
+        F.lit("HTTPS://SITE-"), (d % N_HOSTS).cast("string"),
+        F.lit(".EXAMPLE:443/doc/"), d.cast("string"),
     )
     # class 2 carries REAL query params in both spellings (they survive
     # canonicalization), differing only by order + an added utm_* param
@@ -140,12 +141,13 @@ def url_dedup_query(documents: DataFrame) -> DataFrame:
 def url_dedup_sql() -> str:
     """Oracle: rebuild both spellings per doc straight from documents,
     canonicalize with the mirrored rules, group identically."""
+    base = doc_uri_sql("CAST(doc_id AS BIGINT)")
     return f"""
 WITH raw AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest([
     base || CASE WHEN d % 4 = 2 THEN '?a=1&z=9' ELSE '' END,
     CASE d % 4
-      WHEN 0 THEN 'HTTPS://SITE-' || CAST(d % 50 AS VARCHAR) || '.EXAMPLE:443/doc/' || CAST(d AS VARCHAR)
+      WHEN 0 THEN 'HTTPS://SITE-' || CAST(d % {N_HOSTS} AS VARCHAR) || '.EXAMPLE:443/doc/' || CAST(d AS VARCHAR)
       WHEN 1 THEN base || '#sec-' || CAST(d AS VARCHAR)
       WHEN 2 THEN base || '?z=9&utm_source=feed&a=1'
       ELSE base || '/'
@@ -153,7 +155,7 @@ WITH raw AS (
   ]) AS raw_url
   FROM (
     SELECT CAST(doc_id AS BIGINT) AS d, doc_id,
-           'https://site-' || CAST(CAST(doc_id AS BIGINT) % 50 AS VARCHAR) || '.example/doc/' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR) AS base
+           {base} AS base
     FROM documents
   )
 )

@@ -105,10 +105,34 @@ WARC_SCHEMA = "warc_key long, warc binary"
 WARC_PAGE_SCHEMA = "doc_id string, html string"
 
 
+N_HOSTS = 50  # the synthetic crawl namespace: site-(doc_id % N_HOSTS).example
+
+
 def doc_uri(doc_id_col):
     """Deterministic per-doc URL (synthetic crawl namespace)."""
     d = doc_id_col.cast("long")
-    return F.concat(F.lit("https://site-"), (d % 50).cast("string"), F.lit(".example/doc/"), d.cast("string"))
+    return F.concat(
+        F.lit("https://site-"), (d % N_HOSTS).cast("string"), F.lit(".example/doc/"), d.cast("string")
+    )
+
+
+def doc_host_sql(d: str = "CAST(doc_id AS BIGINT)") -> str:
+    """DuckDB mirror of the namespace's host component."""
+    return f"'site-' || CAST({d} % {N_HOSTS} AS VARCHAR) || '.example'"
+
+
+def doc_uri_sql(d: str = "CAST(doc_id AS BIGINT)") -> str:
+    """DuckDB mirror of ``doc_uri``."""
+    return f"'https://' || {doc_host_sql(d)} || '/doc/' || CAST({d} AS VARCHAR)"
+
+
+def uri_host(uri_col):
+    """Host parsed from a URI column: scheme strip -> authority ->
+    port strip (shared by domain stats and tests; canonicalize_url in
+    functions/urls.py keeps its own full decomposition because it also
+    needs the scheme, port and path parts)."""
+    authority = F.split_part(F.split_part(uri_col, F.lit("://"), F.lit(2)), F.lit("/"), F.lit(1))
+    return F.split_part(authority, F.lit(":"), F.lit(1))
 
 
 def synthesize_warcs(documents: DataFrame, docs_per_file: int = WARC_DOCS_PER_FILE) -> DataFrame:
@@ -192,11 +216,9 @@ def warc_domain_stats_query(documents: DataFrame) -> DataFrame:
     the shuffle carries only (host, chars).
     """
     recs = warc_records(synthesize_warcs(documents))
-    authority = F.split_part(F.split_part(F.col("uri"), F.lit("://"), F.lit(2)), F.lit("/"), F.lit(1))
-    host = F.split_part(authority, F.lit(":"), F.lit(1))
     return (
         recs.select(
-            host.alias("host"),
+            uri_host(F.col("uri")).alias("host"),
             F.length(html_main_text(F.col("html"))).alias("chars"),
         )
         .groupBy("host")
@@ -215,7 +237,7 @@ def warc_domain_stats_sql() -> str:
 
     return f"""
 WITH ext AS ({HTML_EXTRACT_SQL})
-SELECT 'site-' || CAST(CAST(doc_id AS BIGINT) % 50 AS VARCHAR) || '.example' AS host,
+SELECT {doc_host_sql()} AS host,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(length(main_text)) AS BIGINT) AS text_chars
 FROM ext GROUP BY host

@@ -228,12 +228,26 @@ def test_semdedup_drops_exact_copies_keeps_distinct(spark):
 
 
 def test_semdedup_quadratic_confined_to_cells(spark):
-    # the pairwise stage joins on cell: no cross-cell pair may influence
-    # the decision — a vector identical to one in the OTHER cell stays kept
-    rows = [(0, 0, [10.0, 0.0]), (1, 0, [0.0, 10.0]),
-            (2, 1, [0.1, 10.0]), (3, 1, [10.0, 0.0])]
+    """The pairwise stage joins on cell, so a cosine-identical vector in
+    the OTHER cell must never cause a drop. k-means assigns by L2 while
+    the dedup rule uses cosine, so colinear vectors of very different
+    MAGNITUDE are guaranteed to split across cells (seeds 0=[1,0] and
+    1=[100,0]) while every cross-cell cosine is exactly 1.0."""
+    rows = [
+        (0, 0, [1.0, 0.0]), (1, 1, [100.0, 0.0]),
+        (2, 0, [1.1, 0.0]), (3, 1, [99.0, 0.0]),
+        (4, 0, [0.9, 0.0]), (5, 1, [101.0, 0.0]),
+    ]
     df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
     out = sim.semdedup(df, k=2, iters=1, threshold=0.999).toPandas().set_index("vec_id")
-    # 0 and 3 are identical but land in different k-means cells (seeds 0,1)
-    if out.loc[0, "cell"] != out.loc[3, "cell"]:
-        assert bool(out.loc[3, "kept"])
+    # the construction really did split the colinear set across 2 cells
+    assert out.loc[0, "cell"] != out.loc[1, "cell"]
+    assert set(out["cell"]) == {out.loc[0, "cell"], out.loc[1, "cell"]}
+    # each cell keeps its min-id member even though vectors in the other
+    # cell have cosine 1.0 to it (cross-cell pairs must not count)...
+    assert bool(out.loc[0, "kept"]) and bool(out.loc[1, "kept"])
+    # ...and a leak of cross-cell pairs would also flip vec 1's
+    # max_prior_sim from -1.0 (no lower id in ITS cell) to 1.0
+    assert out.loc[1, "max_prior_sim"] == -1.0
+    # within-cell duplicates are still dropped
+    assert not bool(out.loc[2, "kept"]) and not bool(out.loc[3, "kept"])

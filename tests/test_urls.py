@@ -39,7 +39,9 @@ def test_url_dedup_collapses_every_messy_pair(spark):
     out = U.url_dedup_query(docs).toPandas()
     assert len(out) == 40                      # one canonical URL per doc
     assert (out["n_raw"] == 2).all()           # clean + messy always collapse
-    assert out["canonical_url"].str.islower().all() or True  # hosts lowered below
+    # hosts (scheme..authority) are lowercased even for the SHOUTING class-0 spelling
+    hosts = out["canonical_url"].str.extract(r"^(https?://[^/]+)")[0]
+    assert hosts.notna().all() and (hosts == hosts.str.lower()).all()
     assert not out["canonical_url"].str.contains("#|utm_|:443").any()
     assert not out["canonical_url"].str.endswith("/").any()  # paths are /doc/<id>
 

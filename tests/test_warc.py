@@ -60,11 +60,7 @@ def test_warc_records_keeps_uri_and_strips_port(spark):
     assert list(recs["uri"]) == ["https://a.example:8443/doc/1", "https://b.example/doc/2"]
     from pyspark.sql import functions as F
 
-    host = F.split_part(
-        F.split_part(F.split_part(F.col("uri"), F.lit("://"), F.lit(2)), F.lit("/"), F.lit(1)),
-        F.lit(":"), F.lit(1),
-    )
-    hosts = W.warc_records(warcs).select(host.alias("h")).toPandas()
+    hosts = W.warc_records(warcs).select(W.uri_host(F.col("uri")).alias("h")).toPandas()
     assert sorted(hosts["h"]) == ["a.example", "b.example"]
 
 
