@@ -309,6 +309,21 @@ def _crawl_host_pagerank_sql() -> str:
     return host_pagerank_sql()
 
 
+def _crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware frontier scheduling: one fetch per host per
+    round, hosts served by PageRank authority within a round — the
+    crawl layer's composition query (URLs -> PageRank -> schedule)."""
+    from onnxtr_spark.functions.graph import frontier_schedule
+
+    return frontier_schedule(_documents(spark, sf_dir))
+
+
+def _crawl_frontier_schedule_sql() -> str:
+    from onnxtr_spark.functions.graph import frontier_schedule_sql
+
+    return frontier_schedule_sql()
+
+
 def _pdf_layout_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule layout parse: two-column PDFs whose content streams
     interleave the columns; reading order recovered from Tm/Td glyph
@@ -558,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_nll": lambda s, d: text.bigram_nll(_documents(s, d)),
         "crawl_url_dedup": _crawl_url_dedup,
         "crawl_host_pagerank": _crawl_host_pagerank,
+        "crawl_frontier_schedule": _crawl_frontier_schedule,
         "text_lang_id": lambda s, d: text.lang_id(_documents(s, d)),
         "training_mix": lambda s, d: text.training_mix(_documents(s, d)),
         "dedup_token_jaccard": lambda s, d: dedup.token_jaccard_pairs(_documents(s, d)),
@@ -712,4 +728,5 @@ def oracle_sql() -> dict[str, str]:
         "text_bigram_nll": text.bigram_nll_sql(),
         "crawl_url_dedup": _crawl_url_dedup_sql(),
         "crawl_host_pagerank": _crawl_host_pagerank_sql(),
+        "crawl_frontier_schedule": _crawl_frontier_schedule_sql(),
     }

@@ -31,7 +31,7 @@ from the documents table alone.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from onnxtr_spark.partitioning import spread
@@ -142,4 +142,60 @@ def host_pagerank_sql(iters: int = PR_ITERS) -> str:
     return f"""
 WITH {body}
 SELECT CAST(host AS BIGINT) AS host, CAST(rank AS BIGINT) AS pagerank_nano FROM {prev}
+"""
+
+
+def frontier_schedule(documents: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling: emit every pending
+    URL with a (fetch_round, rank_in_round) slot such that no host is
+    fetched twice in one round (politeness) and within a round hosts
+    are served by PageRank authority (priority). The crawl layer's
+    composition query: canonical URLs -> host PageRank -> schedule.
+
+    fetch_round  = row_number over the host's own docs (by doc_id);
+    rank_in_round = row_number within the round by (pagerank desc,
+    host, doc_id). All-integer inputs -> bit-identical cross-engine.
+
+    Scale shape: PageRank's rank relation is O(hosts) and broadcasts
+    into the doc-level join; the per-host window is the politeness
+    semantic itself (a host's queue IS sequential); the per-round
+    window orders only #hosts rows per round. At 10^12 URLs a real
+    frontier shards each host queue by range and assigns rounds
+    arithmetically (offset + local row number) — same semantics, no
+    global window; this exact form is the oracle-checkable contract.
+    """
+    d = spread(documents).select(F.col("doc_id").cast("long").alias("doc_id"))
+    urls = d.select("doc_id", F.expr(f"doc_id % {N_HOSTS}").alias("host"))
+    pr = host_pagerank(documents, iters)
+    w_host = Window.partitionBy("host").orderBy("doc_id")
+    w_round = Window.partitionBy("fetch_round").orderBy(
+        F.desc("pagerank_nano"), F.asc("host"), F.asc("doc_id")
+    )
+    return (
+        urls.join(F.broadcast(pr), "host")
+        .withColumn("fetch_round", F.row_number().over(w_host))
+        .withColumn("rank_in_round", F.row_number().over(w_round))
+        .select("doc_id", "host", "fetch_round", "rank_in_round")
+    )
+
+
+def frontier_schedule_sql(iters: int = PR_ITERS) -> str:
+    """DuckDB oracle: the PageRank CTE stack verbatim plus the same two
+    windows."""
+    return f"""
+WITH pr AS MATERIALIZED (
+  SELECT * FROM ({host_pagerank_sql(iters)})
+), urls AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(doc_id AS BIGINT) % {N_HOSTS} AS host
+  FROM documents
+), rounds AS (
+  SELECT u.doc_id, u.host, p.pagerank_nano,
+         row_number() OVER (PARTITION BY u.host ORDER BY u.doc_id) AS fetch_round
+  FROM urls u JOIN pr p ON p.host = u.host
+)
+SELECT doc_id, host, CAST(fetch_round AS BIGINT) AS fetch_round,
+       CAST(row_number() OVER (PARTITION BY fetch_round
+                               ORDER BY pagerank_nano DESC, host ASC, doc_id ASC) AS BIGINT)
+       AS rank_in_round
+FROM rounds
 """

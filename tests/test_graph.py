@@ -38,3 +38,19 @@ def test_pagerank_deterministic_across_partitionings(spark):
     a = G.host_pagerank(docs).orderBy("host").toPandas()
     b = G.host_pagerank(docs.repartition(17)).orderBy("host").toPandas()
     assert a.equals(b)  # integer arithmetic: no partition-order drift
+
+
+def test_frontier_schedule_politeness_and_priority(spark):
+    out = G.frontier_schedule(_docs(spark, 150)).toPandas()
+    assert len(out) == 150
+    # politeness: within any round, a host appears at most once
+    per = out.groupby(["fetch_round", "host"]).size()
+    assert (per == 1).all()
+    # rounds per host are 1..k contiguous (a host's queue is sequential)
+    for _, g in out.groupby("host"):
+        assert sorted(g["fetch_round"]) == list(range(1, len(g) + 1))
+    # priority: within round 1, rank order follows pagerank desc
+    pr = G.host_pagerank(_docs(spark, 150)).toPandas().set_index("host")["pagerank_nano"]
+    r1 = out[out.fetch_round == 1].sort_values("rank_in_round")
+    ranks = [pr[h] for h in r1["host"]]
+    assert all(a >= b for a, b in zip(ranks, ranks[1:]))
