@@ -80,6 +80,8 @@ HEADLINE = [
     "warc_domain_stats",
     "crawl_url_dedup",
     "crawl_host_pagerank",
+    "crawl_frontier_schedule",
+    "docs_temperature_mix",
 ]
 
 
