@@ -1479,3 +1479,148 @@ SELECT event_type,
 FROM c
 GROUP BY 1, 2
 """
+
+
+# --- HyperLogLog distinct sketch (Flajolet et al. 2007) ---------------------
+
+HLL_M = 256  # 2^8 registers
+HLL_SEED = 97
+_HLL_W = 52  # hash64 yields 60 bits; 8 index bits leave a 52-bit field
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_HLL_PREF = float(_HLL_ALPHA * HLL_M * HLL_M) * float(2**53)
+_HLL_SMALL = 2.5 * HLL_M
+
+
+def _hll_rank(w):
+    """Position of the leading 1 counted from the top of the 52-bit
+    field, i.e. leading-zeros + 1. bin()/conv(...,2) give the minimal
+    binary string on both engines, so rank = 53 - len(bin(w));
+    w = 0 (all 52 bits zero) ranks 53."""
+    return F.when(w == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+
+
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-users sketch per event type PLUS the merged
+    all-types sketch — the industry-standard mergeable cardinality
+    sketch, made bit-identical cross-engine:
+
+    - registers are integers (index = hash mod m, rank = leading-zero
+      count in the remaining 52-bit field via the minimal-binary-string
+      length both engines produce);
+    - the harmonic-mean denominator Σ 2^-M[j] is summed EXACTLY as
+      integers in units of 2^-53 (every term is shiftleft(1, 53-M);
+      absent registers contribute 2^53; the total is ≤ 2^61, inside
+      BIGINT) — no float accumulation-order seam;
+    - the estimate is ONE double division from that exact integer (the
+      small-range branch m·ln(m/V) consumes only integer V), edge-
+      rounded to 3.
+
+    The merge row proves the sketch property that matters at 10^12
+    rows: union = register-wise max, so per-partition (here: per-type)
+    sketches combine without touching the data again. Output
+    (scope, n_exact, hll_est) with scope = event_type | '__all__';
+    exact counts emitted alongside for error visibility.
+
+    Scale shape: one narrow hash map + one groupBy(scope, j) with
+    map-side combine bounds state at m integers per scope; the merge
+    is a groupBy(j) over m·scopes register rows — never a second scan.
+    """
+    from onnxtr_spark.functions.hashing import hash64
+
+    ev = _t(spark, sf_dir, "events")
+    # sketch USER-DAYS (distinct (user_id, utc day) pairs): per-type
+    # cardinalities genuinely differ and the merged sketch estimates a
+    # union that is not any single type's value
+    ud = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.expr("unix_micros(cast(ts as timestamp_ltz)) div 86400000000").cast("string"),
+    )
+    u = hash64(ud, HLL_SEED)
+    base = ev.select(F.col("event_type").alias("scope"), u.alias("u")).select(
+        "scope",
+        F.pmod(F.col("u"), F.lit(HLL_M)).alias("j"),
+        F.expr(f"u div {HLL_M}").alias("w"),
+    )
+    regs = (
+        base.select("scope", "j", _hll_rank(F.col("w")).alias("r"))
+        .groupBy("scope", "j")
+        .agg(F.max("r").alias("m_reg"))
+        .localCheckpoint(eager=False)
+    )
+    merged = regs.groupBy("j").agg(F.max("m_reg").alias("m_reg")).select(
+        F.lit("__all__").alias("scope"), "j", "m_reg"
+    )
+    all_regs = regs.unionByName(merged)
+
+    sk = all_regs.groupBy("scope").agg(
+        F.sum(F.expr("shiftleft(1L, cast(53 - m_reg as int))")).alias("s_present"),
+        F.count("*").alias("present"),
+    )
+    v = F.lit(HLL_M) - F.col("present")
+    s_total = (F.col("s_present") + v * F.lit(2**53)).cast("double")
+    e_raw = F.lit(_HLL_PREF) / s_total
+    est = F.when(
+        (e_raw <= F.lit(_HLL_SMALL)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(e_raw)
+
+    exact_by = ev.groupBy(F.col("event_type").alias("scope")).agg(
+        F.countDistinct(ud).cast("long").alias("n_exact")
+    )
+    exact_all = ev.agg(F.countDistinct(ud).cast("long").alias("n_exact")).select(
+        F.lit("__all__").alias("scope"), "n_exact"
+    )
+    exact = exact_by.unionByName(exact_all)
+    return (
+        sk.join(exact, "scope")
+        .select("scope", "n_exact", round_half_up(est, 3).alias("hll_est"))
+        .orderBy("scope")
+    )
+
+
+def events_hll_distinct_sql() -> str:
+    from onnxtr_spark.functions.hashing import hash64_sql
+
+    ud = "concat(CAST(user_id AS VARCHAR), ':', CAST(epoch_us(ts) // 86400000000 AS VARCHAR))"
+    h = hash64_sql(ud, HLL_SEED)
+    rank = f"CASE WHEN w = 0 THEN {_HLL_W + 1} ELSE {_HLL_W + 1} - length(bin(w)) END"
+    est = (
+        f"CASE WHEN ({_HLL_PREF!r} / s_total) <= {_HLL_SMALL!r} AND v > 0 "
+        f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v::DOUBLE) "
+        f"ELSE {_HLL_PREF!r} / s_total END"
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type AS scope,
+         ({h}) % {HLL_M} AS j,
+         ({h}) // {HLL_M} AS w
+  FROM events
+), regs AS MATERIALIZED (
+  SELECT scope, j, max({rank}) AS m_reg FROM base GROUP BY 1, 2
+), all_regs AS (
+  SELECT * FROM regs
+  UNION ALL
+  SELECT '__all__' AS scope, j, max(m_reg) AS m_reg FROM regs GROUP BY 2
+), sk AS (
+  SELECT scope,
+         sum(1::BIGINT << (53 - m_reg)) AS s_present,
+         count(*) AS present
+  FROM all_regs GROUP BY 1
+), est AS (
+  SELECT scope,
+         ({HLL_M} - present) AS v,
+         (s_present + ({HLL_M} - present) * (1::BIGINT << 53))::DOUBLE AS s_total
+  FROM sk
+), exact AS (
+  SELECT event_type AS scope, count(DISTINCT {ud}) AS n_exact FROM events GROUP BY 1
+  UNION ALL
+  SELECT '__all__', count(DISTINCT {ud}) FROM events
+)
+SELECT e.scope, CAST(x.n_exact AS BIGINT) AS n_exact,
+       {round_half_up_sql(est, 3)} AS hll_est
+FROM est e JOIN exact x ON x.scope = e.scope
+ORDER BY e.scope
+"""

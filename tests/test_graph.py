@@ -54,3 +54,42 @@ def test_frontier_schedule_politeness_and_priority(spark):
     r1 = out[out.fetch_round == 1].sort_values("rank_in_round")
     ranks = [pr[h] for h in r1["host"]]
     assert all(a >= b for a, b in zip(ranks, ranks[1:]))
+
+
+# --- HyperLogLog (lives with the other exact-integer sketch tests) ----------
+
+
+def test_hll_estimates_within_error_and_merge_dominates(spark):
+    from onnxtr_spark.queries.relational import events_hll_distinct
+
+    out = events_hll_distinct(spark, "/root/testdata/sf0.001").toPandas().set_index("scope")
+    # every estimate within ~3 sigma of HLL's 1.04/sqrt(256) = 6.5%
+    rel_err = (out["hll_est"] - out["n_exact"]).abs() / out["n_exact"]
+    assert (rel_err < 0.25).all(), rel_err.to_dict()
+    # register-wise-max merge: the union estimate dominates every part
+    parts = out.drop(index="__all__")
+    assert out.loc["__all__", "hll_est"] >= parts["hll_est"].max() - 1e-9
+    # and the union exact is below the sum (types share user-days)
+    assert out.loc["__all__", "n_exact"] <= parts["n_exact"].sum()
+
+
+def test_hll_small_range_linear_counting(spark):
+    from onnxtr_spark.queries.relational import events_hll_distinct
+
+    # 12 distinct user-days, far below 2.5*m: the m*ln(m/V) branch fires
+    # and linear counting is near-exact at this occupancy
+    import datetime
+
+    rows = [(i, datetime.datetime(2026, 1, 1), i % 12, "click", 1.0, "{}")
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    df.createOrReplaceTempView("___hll_tmp")
+    import os, tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = events_hll_distinct(spark, d).toPandas().set_index("scope")
+    assert out.loc["click", "n_exact"] == 12
+    assert abs(out.loc["click", "hll_est"] - 12) < 1.0
