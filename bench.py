@@ -82,6 +82,7 @@ HEADLINE = [
     "crawl_host_pagerank",
     "crawl_frontier_schedule",
     "docs_temperature_mix",
+    "events_hll_distinct",
 ]
 
 

@@ -541,3 +541,37 @@ def test_bigram_nll_plan_shape(spark):
     assert "Window" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_session5_crawl_ops_plan_shapes(spark):
+    """Scale-shape assertions for the crawl/sketch family: PageRank and
+    HLL never window or go cartesian; semdedup's only nested-loop join
+    is the broadcast centroid attach; the frontier schedule plans
+    exactly its two semantic windows."""
+    from onnxtr_spark.functions.graph import frontier_schedule, host_pagerank
+    from onnxtr_spark.functions.similarity import semdedup
+    from onnxtr_spark.functions.urls import url_dedup_query
+    from onnxtr_spark.queries.relational import events_hll_distinct
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    p = plan(host_pagerank(docs))
+    assert "Window" not in p and "CartesianProduct" not in p
+
+    p = plan(events_hll_distinct(spark, SF_DIR))
+    assert "Window" not in p and "CartesianProduct" not in p
+
+    p = plan(url_dedup_query(docs))
+    assert "Window" not in p and "Join" not in p  # narrow map + one agg
+
+    # semdedup's post-checkpoint stage (the localCheckpoint truncates the
+    # assignment lineage): the pair stage must be an equi-join on cell,
+    # never a cartesian
+    p = plan(semdedup(emb))
+    assert "CartesianProduct" not in p
+    assert "Join" in p
+
+    p = plan(frontier_schedule(docs))
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\bWindow \[", p)) == 2  # per-host round + per-round rank
