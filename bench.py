@@ -83,6 +83,7 @@ HEADLINE = [
     "crawl_frontier_schedule",
     "docs_temperature_mix",
     "events_hll_distinct",
+    "events_theta_intersection",
 ]
 
 

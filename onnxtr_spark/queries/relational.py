@@ -1624,3 +1624,135 @@ SELECT e.scope, CAST(x.n_exact AS BIGINT) AS n_exact,
 FROM est e JOIN exact x ON x.scope = e.scope
 ORDER BY e.scope
 """
+
+
+# --- Theta-sketch set algebra (KMV intersection, Dasgupta et al.) -----------
+
+THETA_K = 128
+_THETA_SPACE = float(2**60)  # hash64 space; exactly representable
+
+
+def events_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch INTERSECTION estimates for every event-type pair:
+    |user-days(A) ∩ user-days(B)| from two k-min sketches alone — the
+    sketch-algebra operation (Theta sketches generalize KMV to set
+    expressions) that lets a pipeline answer overlap questions without
+    re-scanning either side.
+
+    theta = min(theta_A, theta_B); estimate = |S_A ∩ S_B ∩ {h < theta}|
+    · SPACE / theta. Every input is an exact integer (60-bit md5-derived
+    hashes, k-th minima); c ≤ k = 128 keeps c·2^60 inside the double
+    mantissa EXACTLY, so the one division is bit-identical cross-engine.
+    A side with fewer than k distinct values is an exact sketch:
+    theta = SPACE and the estimate degenerates to the true count.
+    Exact intersections emitted alongside for error visibility.
+
+    Scale shape: sketch construction is the only corpus-touching pass
+    (distinct + per-type k-min window, the KMV plan); the pair algebra
+    runs on 5·k control-plane rows — at 10^12 events you'd persist the
+    sketches and answer every pairwise overlap without another scan.
+    """
+    from onnxtr_spark.functions.hashing import hash64
+
+    ev = _t(spark, sf_dir, "events")
+    ud = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.expr("unix_micros(cast(ts as timestamp_ltz)) div 86400000000").cast("string"),
+    )
+    dh = ev.select("event_type", hash64(ud, 53).alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kmin = dh.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= THETA_K)
+    # per-type theta: the k-th minimum when the sketch is full, else the
+    # whole space (sketch holds every distinct value -> exact)
+    thetas = kmin.groupBy("event_type").agg(
+        F.count("*").alias("k_used"), F.max("h").alias("hk")
+    ).select(
+        "event_type",
+        F.when(F.col("k_used") < THETA_K, F.lit(float(_THETA_SPACE)))
+        .otherwise((F.col("hk") + F.lit(1)).cast("double"))
+        .alias("theta"),
+    )
+    a, b = kmin.alias("a"), kmin.alias("b")
+    shared = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .select(F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb"), F.col("a.h").alias("h"))
+    )
+    ta_th = thetas.select(F.col("event_type").alias("ta"), F.col("theta").alias("theta_a"))
+    tb_th = thetas.select(F.col("event_type").alias("tb"), F.col("theta").alias("theta_b"))
+    pairs = thetas.select(F.col("event_type").alias("ta")).crossJoin(
+        thetas.select(F.col("event_type").alias("tb"))
+    ).where(F.col("ta") < F.col("tb"))
+    counted = (
+        shared.join(F.broadcast(ta_th), "ta")
+        .join(F.broadcast(tb_th), "tb")
+        .where(F.col("h") < F.least("theta_a", "theta_b"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = (
+        dh.alias("x")
+        .join(dh.alias("y"), F.col("x.h") == F.col("y.h"))
+        .where(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(F.col("x.event_type").alias("ta"), F.col("y.event_type").alias("tb"))
+        .agg(F.count("*").cast("long").alias("n_exact_inter"))
+    )
+    est = (F.coalesce(F.col("c"), F.lit(0)).cast("double") * F.lit(_THETA_SPACE)) / F.least(
+        "theta_a", "theta_b"
+    )
+    return (
+        pairs.join(F.broadcast(ta_th), "ta")
+        .join(F.broadcast(tb_th), "tb")
+        .join(counted, ["ta", "tb"], "left")
+        .join(exact, ["ta", "tb"], "left")
+        .select(
+            "ta",
+            "tb",
+            F.coalesce("n_exact_inter", F.lit(0)).cast("long").alias("n_exact_inter"),
+            round_half_up(est, 3).alias("est_inter"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+def events_theta_intersection_sql() -> str:
+    from onnxtr_spark.functions.hashing import hash64_sql
+
+    ud = "concat(CAST(user_id AS VARCHAR), ':', CAST(epoch_us(ts) // 86400000000 AS VARCHAR))"
+    h = hash64_sql(ud, 53)
+    return f"""
+WITH dh AS MATERIALIZED (
+  SELECT DISTINCT event_type, {h} AS h FROM events
+), kmin AS MATERIALIZED (
+  SELECT event_type, h FROM (
+    SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM dh
+  ) WHERE rn <= {THETA_K}
+), thetas AS MATERIALIZED (
+  SELECT event_type,
+         CASE WHEN count(*) < {THETA_K} THEN {_THETA_SPACE!r}
+              ELSE (max(h) + 1)::DOUBLE END AS theta
+  FROM kmin GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, a.theta AS theta_a, b.theta AS theta_b
+  FROM thetas a, thetas b WHERE a.event_type < b.event_type
+), counted AS (
+  SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS c
+  FROM kmin x JOIN kmin y ON x.h = y.h AND x.event_type < y.event_type
+  JOIN pairs p ON p.ta = x.event_type AND p.tb = y.event_type
+  WHERE x.h < least(p.theta_a, p.theta_b)
+  GROUP BY 1, 2
+), exact AS (
+  SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS n_exact_inter
+  FROM dh x JOIN dh y ON x.h = y.h AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT p.ta, p.tb,
+       CAST(coalesce(e.n_exact_inter, 0) AS BIGINT) AS n_exact_inter,
+       {round_half_up_sql("coalesce(c, 0)::DOUBLE * " + repr(_THETA_SPACE) + " / least(p.theta_a, p.theta_b)", 3)} AS est_inter
+FROM pairs p
+LEFT JOIN counted c ON c.ta = p.ta AND c.tb = p.tb
+LEFT JOIN exact e ON e.ta = p.ta AND e.tb = p.tb
+ORDER BY p.ta, p.tb
+"""

@@ -93,3 +93,32 @@ def test_hll_small_range_linear_counting(spark):
     out = events_hll_distinct(spark, d).toPandas().set_index("scope")
     assert out.loc["click", "n_exact"] == 12
     assert abs(out.loc["click", "hll_est"] - 12) < 1.0
+
+
+def test_theta_intersection_exact_when_sketch_holds_everything(spark):
+    """A side with fewer distinct values than k is an EXACT sketch
+    (theta = whole space), so the pairwise estimate degenerates to the
+    true intersection count."""
+    import datetime
+
+    from onnxtr_spark.queries.relational import THETA_K, events_theta_intersection
+
+    # 30 users on one day: types 'a' sees users 0..19, 'b' sees 10..29
+    rows = []
+    eid = 0
+    for u in range(20):
+        rows.append((eid, datetime.datetime(2026, 1, 1), u, "a", 1.0, "{}")); eid += 1
+    for u in range(10, 30):
+        rows.append((eid, datetime.datetime(2026, 1, 1), u, "b", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    import os, tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    assert 20 < THETA_K
+    out = events_theta_intersection(spark, d).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_exact_inter"] == 10 and r["est_inter"] == 10.0
