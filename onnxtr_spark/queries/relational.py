@@ -1756,3 +1756,51 @@ LEFT JOIN counted c ON c.ta = p.ta AND c.tb = p.tb
 LEFT JOIN exact e ON e.ta = p.ta AND e.tb = p.tb
 ORDER BY p.ta, p.tb
 """
+
+
+# --- semi-structured ingest: typed JSON parse of the props column ----------
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingest over driver data as-is: the events table's
+    ``props`` column is a JSON object; parse it with a TYPED
+    ``from_json`` (Spark's real Jackson path — schema'd, not a regex)
+    and aggregate by the extracted field. The oracle parses the very
+    same strings with DuckDB's JSON extension, so the row is a genuine
+    cross-PARSER agreement check (Jackson vs yyjson), not a roundtrip
+    of our own serializer.
+
+    Output per (event_type, k_decade): n events, sum of value in exact
+    integer cents, distinct users — the typical \"explode a property
+    bag into a metric rollup\" shape. Scale: from_json is JVM
+    whole-stage-codegen'd (no Python), the rollup is one map-side-
+    combined groupBy.
+    """
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        ev.select(
+            "event_type",
+            F.floor(k / F.lit(10.0)).cast("long").alias("k_decade"),
+            cents.alias("cents"),
+            "user_id",
+        )
+        .groupBy("event_type", "k_decade")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+EVENTS_JSON_PROPS_SQL = """
+SELECT event_type,
+       CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 10.0) AS BIGINT) AS k_decade,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
