@@ -402,3 +402,54 @@ def attributed_purchases_stream(
         ),
         "inner",
     ).select("event_id", "user_id", "purchase_ts", "click_ts")
+
+
+# --- streaming crawl-frontier URL dedup -------------------------------------
+
+FRONTIER_INPUT_DDL = "url_id long, raw_url string"
+FRONTIER_OUTPUT_DDL = "url_id long, canonical_url string"
+_FRONTIER_STATE_DDL = "seen boolean"
+
+
+def _frontier_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    first = None
+    for pdf in pdfs:
+        for uid in pdf["url_id"]:
+            u = int(uid)
+            if first is None or u < first:
+                first = u
+    if state.exists or first is None:
+        yield pd.DataFrame(columns=["url_id", "canonical_url"])
+    else:
+        state.update((True,))
+        yield pd.DataFrame({"url_id": [first], "canonical_url": [key[0]]})
+
+
+def frontier_dedup_stream(url_stream: DataFrame) -> DataFrame:
+    """Streaming crawl-frontier dedup — the ingest-time twin of
+    ``crawl_url_dedup``: canonicalize each incoming raw URL with the
+    SAME stateless column algebra the batch operator uses
+    (functions/urls.canonicalize_url, JVM split_part/filter — stateless
+    transforms compose freely into streams), then emit only the FIRST
+    sighting of each canonical form across micro-batches. Different
+    spellings of one resource arriving hours apart in different batches
+    collapse to one frontier entry.
+
+    State is one boolean per canonical URL (the floor for cross-batch
+    dedup) and lives in the stream checkpoint, so a restarted crawler
+    keeps suppressing everything already enqueued before the crash.
+    """
+    from onnxtr_spark.functions.urls import canonicalize_url
+
+    canon = url_stream.select(
+        "url_id", canonicalize_url(F.col("raw_url")).alias("canonical_url")
+    )
+    return canon.groupBy("canonical_url").applyInPandasWithState(
+        _frontier_fn,
+        outputStructType=FRONTIER_OUTPUT_DDL,
+        stateStructType=_FRONTIER_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -383,3 +383,42 @@ def test_interval_join_stream_pairs_and_window_bounds(spark, tmp_path):
     )
     # purchase 4 <- click @12:10; purchase 8 <- clicks @12:10 and @13:00
     assert pairs == [(4, 10.0), (8, 10.0), (8, 60.0)]
+
+
+def test_frontier_dedup_stream_collapses_spellings_across_batches(spark, tmp_path):
+    """Streaming URL-frontier dedup: alternate spellings of one
+    resource arriving in LATER micro-batches are suppressed; the
+    canonical form is emitted exactly once with its first url_id."""
+    from onnxtr_spark.streaming.stateful import FRONTIER_INPUT_DDL, frontier_dedup_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    _write_batch(spark, src, [
+        {"url_id": 1, "raw_url": "https://a.example/doc/7"},
+        {"url_id": 2, "raw_url": "https://b.example/page?z=2&a=1"},
+    ], FRONTIER_INPUT_DDL, "b1")
+    _write_batch(spark, src, [
+        # same resources, different spellings
+        {"url_id": 3, "raw_url": "HTTPS://A.EXAMPLE:443/doc/7#frag"},
+        {"url_id": 4, "raw_url": "https://b.example/page?a=1&utm_source=x&z=2"},
+        # genuinely new
+        {"url_id": 5, "raw_url": "http://c.example/x/"},
+    ], FRONTIER_INPUT_DDL, "b2")
+
+    stream = spark.readStream.schema(FRONTIER_INPUT_DDL).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        frontier_dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas().set_index("url_id")["canonical_url"].to_dict()
+    assert got == {
+        1: "https://a.example/doc/7",
+        2: "https://b.example/page?a=1&z=2",
+        5: "http://c.example/x",
+    }
