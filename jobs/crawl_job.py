@@ -22,10 +22,13 @@ Stages (all existing operators, composed — nothing bespoke):
   3. GPT sequence packing over the survivors       (functions/text.py)
 
 Writes:
-    <out>/docs    — curated docs (doc_id, text, lang, quality)
-    <out>/audit   — every doc with its kept_by gate ('' = kept)
-    <out>/funnel  — (stage, n_docs) per-gate counts
-    <out>/packed  — (doc_id, shard, bin_in_shard, bin_offset, n_bpe_tokens)
+    <out>/docs     — curated docs (doc_id, text, lang, quality)
+    <out>/audit    — every doc with its kept_by gate ('' = kept)
+    <out>/funnel   — (stage, n_docs) per-gate counts
+    <out>/packed   — (doc_id, shard, bin_in_shard, bin_offset, n_bpe_tokens)
+    <out>/frontier — (--frontier) politeness schedule for the next crawl
+                     round: PageRank-prioritized (fetch_round,
+                     rank_in_round) slots, one fetch per host per round
 """
 
 from __future__ import annotations
@@ -64,6 +67,8 @@ def main() -> None:
     ap.add_argument("--ctx", type=int, default=1024)
     ap.add_argument("--quality-min", type=float, default=0.5)
     ap.add_argument("--langs", default="en")
+    ap.add_argument("--frontier", action="store_true",
+                    help="also write the next-round politeness crawl schedule")
     args = ap.parse_args()
 
     from onnxtr_spark.functions.curate import curate, curation_funnel
@@ -85,6 +90,14 @@ def main() -> None:
         print(f"funnel {row.stage}: {row.n_docs}")
     n = spark.read.parquet(f"{args.out}/packed").count()
     print(f"packed {n} docs at ctx={args.ctx}")
+    if args.frontier:
+        from onnxtr_spark.functions.graph import frontier_schedule
+
+        frontier_schedule(spark.read.parquet(f"{args.out}/docs")).write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/frontier")
+        nf = spark.read.parquet(f"{args.out}/frontier").count()
+        print(f"frontier {nf} urls scheduled")
     spark.stop()
 
 

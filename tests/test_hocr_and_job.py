@@ -142,7 +142,8 @@ def test_crawl_job_cli(spark, tmp_path):
 
     env = dict(os.environ, SPARK_GRAFT_CPUS="2", PYTHONPATH=".")
     res = subprocess.run(
-        [sys.executable, "jobs/crawl_job.py", "--warcs", warcs_path, "--out", out, "--ctx", "64"],
+        [sys.executable, "jobs/crawl_job.py", "--warcs", warcs_path, "--out", out,
+         "--ctx", "64", "--frontier"],
         capture_output=True, text=True, timeout=300, env=env, cwd=".",
     )
     assert res.returncode == 0, res.stderr[-2000:]
@@ -156,3 +157,7 @@ def test_crawl_job_cli(spark, tmp_path):
     # every kept doc is packed exactly once, offsets inside the ctx
     assert packed.count() == kept.count()
     assert packed.where("bin_offset >= 64 OR bin_offset < 0").count() == 0
+    # --frontier: a politeness slot per KEPT doc, one host per round
+    frontier = spark.read.parquet(f"{out}/frontier")
+    assert frontier.count() == kept.count()
+    assert frontier.groupBy("fetch_round", "host").count().where("count > 1").count() == 0
