@@ -575,3 +575,29 @@ def test_session5_crawl_ops_plan_shapes(spark):
     p = plan(frontier_schedule(docs))
     assert "CartesianProduct" not in p
     assert len(re.findall(r"\bWindow \[", p)) == 2  # per-host round + per-round rank
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
+    """Writing the fact partitioned by a date-derived key and joining a
+    dim filtered on a NON-join column must plan DYNAMIC partition
+    pruning: the fact scan's PartitionFilters carry a dynamicpruning
+    subquery fed by the dim, so only the surviving months' directories
+    are read — the mechanism that turns a 100 TB scan into a 3-month
+    scan when the filter is only knowable through the join."""
+    from pyspark.sql import functions as F
+
+    fact_path = str(tmp_path / "fact")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    orders.withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM")).write.partitionBy(
+        "o_month"
+    ).parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("1995-03", 1), ("1995-04", 0), ("1996-01", 0)], "o_month string, flag int"
+    ).where("flag = 1")
+    joined = fact.join(dim, "o_month").groupBy("o_month").agg(F.count("*").alias("n"))
+    p = plan(joined)
+    assert "dynamicpruning" in p.lower(), p[:2000]
+    # and the pruned result is correct
+    got = joined.collect()
+    assert len(got) == 1 and got[0]["o_month"] == "1995-03"
