@@ -517,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_distinct": rel.events_hll_distinct,
         "events_theta_intersection": rel.events_theta_intersection,
         "events_json_props": rel.events_json_props,
+        "events_value_pct_histogram": rel.events_value_pct_histogram,
         "events_pivot_types": rel.events_pivot_types,
         "events_purchase_attribution": rel.events_purchase_attribution,
         "events_range_join": rel.events_range_join,
@@ -668,6 +669,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hll_distinct": rel.events_hll_distinct_sql(),
         "events_theta_intersection": rel.events_theta_intersection_sql(),
         "events_json_props": rel.EVENTS_JSON_PROPS_SQL,
+        "events_value_pct_histogram": rel.EVENTS_VALUE_PCT_HIST_SQL,
         "events_pivot_types": rel.EVENTS_PIVOT_SQL,
         "events_purchase_attribution": rel.EVENTS_ASOF_SQL,
         "events_range_join": rel.EVENTS_RANGE_JOIN_SQL,

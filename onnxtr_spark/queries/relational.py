@@ -1804,3 +1804,68 @@ SELECT event_type,
 FROM events
 GROUP BY 1, 2
 """
+
+
+# --- exact percentiles WITHOUT a sorted row relation ------------------------
+
+_PCT_FRACS = ((1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99"))
+
+
+def events_value_pct_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value percentiles with NO sorted row relation —
+    the scale-correct complement of ``events_session_pct`` (which
+    sorts): build the integer-cents histogram (one map-side-combined
+    groupBy), run ONE running-sum window over the DISTINCT cent values
+    (the bounded value domain — its size is independent of row count,
+    which is why this works at 10^12 rows where sorting cannot), and
+    read each percentile as the smallest value whose cumulative count
+    reaches ceil(p·N). Targets are exact integers
+    ((N·num + den - 1) div den), so the whole query is integer algebra.
+
+    Output (event_type, p50_cents, p90_cents, p99_cents, n) — BIGINT
+    throughout, bit-identical cross-engine.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hist = (
+        ev.select("event_type", cents.alias("cents"))
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = hist.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    j = cum.join(F.broadcast(tot), "event_type")
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"(n * {num} + {den} - 1) div {den}"), F.col("cents")
+            )
+        ).alias(f"{name}_cents")
+        for num, den, name in _PCT_FRACS
+    ]
+    return j.groupBy("event_type").agg(*aggs, F.min("n").cast("long").alias("n"))
+
+
+EVENTS_VALUE_PCT_HIST_SQL = """
+WITH hist AS MATERIALIZED (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, cents, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+), tot AS (
+  SELECT event_type, sum(cnt) AS n FROM hist GROUP BY 1
+)
+SELECT c.event_type,
+       CAST(min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN cents END) AS BIGINT) AS p50_cents,
+       CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN cents END) AS BIGINT) AS p90_cents,
+       CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN cents END) AS BIGINT) AS p99_cents,
+       CAST(min(n) AS BIGINT) AS n
+FROM cum c JOIN tot t ON t.event_type = c.event_type
+GROUP BY 1
+"""
