@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from onnxtr_spark.corpus import WORDS_PER_PAGE
 from onnxtr_spark.functions import curate as _curate
-from onnxtr_spark.functions import dedup, evaluation, media, selection, similarity, text
+from onnxtr_spark.functions import dedup, evaluation, graph, media, selection, similarity, text
 from onnxtr_spark.queries import relational as rel
 from onnxtr_spark.stages.ingest import docs_from_documents, load_documents, media_from_documents
 from onnxtr_spark.stages.pipeline import extract_from_testdata, extract_from_testdata_rotated
@@ -558,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_pairs": lambda s, d: text.winnow_dup_pairs(_documents(s, d)),
         "text_bpe_train": lambda s, d: text.bpe_train(_documents(s, d)),
         "dedup_exact": lambda s, d: dedup.exact_dedup(_documents(s, d)),
+        "dedup_incremental": lambda s, d: dedup.incremental_dedup(_documents(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_documents(s, d)),
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(_embeddings(s, d)),
         "ann_lsh_buckets": lambda s, d: similarity.lsh_buckets(_embeddings(s, d)),
@@ -578,6 +579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_url_dedup": _crawl_url_dedup,
         "crawl_host_pagerank": _crawl_host_pagerank,
         "crawl_frontier_schedule": _crawl_frontier_schedule,
+        "crawl_anchor_text": lambda s, d: graph.anchor_text(_documents(s, d)),
+        "events_retention_cohorts": rel.events_retention_cohorts,
+        "docs_tfidf_keywords": lambda s, d: text.tfidf_keywords(_documents(s, d)),
         "text_lang_id": lambda s, d: text.lang_id(_documents(s, d)),
         "training_mix": lambda s, d: text.training_mix(_documents(s, d)),
         "dedup_token_jaccard": lambda s, d: dedup.token_jaccard_pairs(_documents(s, d)),
@@ -737,4 +741,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_url_dedup": _crawl_url_dedup_sql(),
         "crawl_host_pagerank": _crawl_host_pagerank_sql(),
         "crawl_frontier_schedule": _crawl_frontier_schedule_sql(),
+        "crawl_anchor_text": graph.anchor_text_sql(),
+        "events_retention_cohorts": rel.EVENTS_RETENTION_SQL,
+        "docs_tfidf_keywords": text.tfidf_keywords_sql(),
+        "dedup_incremental": dedup.INCREMENTAL_DEDUP_SQL,
     }

@@ -800,3 +800,52 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        {frac} AS dup_frac
 FROM documents d LEFT JOIN cov ON cov.doc_id = CAST(d.doc_id AS BIGINT)
 """
+
+
+def incremental_dedup(documents: DataFrame) -> DataFrame:
+    """Incremental (cross-snapshot) dedup: the new crawl snapshot is
+    deduplicated against the prior snapshot's content hashes, then
+    exact-deduped within itself — the shape every recurring-crawl
+    pipeline runs (CC snapshot N vs snapshots < N).
+
+    The two snapshots are modeled deterministically from the corpus:
+    even doc_ids = prior snapshot, odd = new. Survivors are new docs
+    whose md5(normalized text) never appeared in the prior snapshot,
+    collapsed to one canonical row per hash.
+
+    Scale shape: the prior side reduces to DISTINCT hashes before the
+    LEFT ANTI join — at 10^12 docs that's still O(corpus) but it is
+    (a) one column wide, (b) hash-partitioned identically to the probe
+    side, so AQE picks broadcast when small and a co-partitioned SMJ
+    anti-join when not. The production variant replaces the exact
+    anti-join with a bloom-filter pushdown (fpp-bounded) and keeps
+    this join only for the bloom's false-positive candidates.
+    """
+    hashed = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(_norm_text()).alias("text_hash"),
+    )
+    prior = hashed.where(F.col("doc_id") % 2 == 0).select("text_hash").distinct()
+    new = hashed.where(F.col("doc_id") % 2 == 1)
+    return (
+        new.join(prior, "text_hash", "left_anti")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").cast("long").alias("n_dups_in_new"),
+        )
+    )
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS text_hash FROM documents
+), prior AS (
+  SELECT DISTINCT text_hash FROM hashed WHERE doc_id % 2 = 0
+)
+SELECT text_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_dups_in_new
+FROM hashed
+WHERE doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM prior p WHERE p.text_hash = hashed.text_hash)
+GROUP BY 1
+"""

@@ -199,3 +199,81 @@ SELECT doc_id, host, CAST(fetch_round AS BIGINT) AS fetch_round,
        AS rank_in_round
 FROM rounds
 """
+
+
+def anchor_text(documents: DataFrame) -> DataFrame:
+    """Per-target-host anchor-text aggregation: for every in-link, the
+    linking page contributes its anchor term (modeled as the page's
+    leading token — deterministic from the corpus, like the rest of
+    the planted link graph); each target host gets its in-link count,
+    distinct linking-host count, and modal anchor term. Anchor-text
+    profiles are a standard crawl-side relevance/quality prior
+    (search engines rank heavily on them).
+
+    Scale shape: the edge fan-out is a narrow projection (3 rows per
+    doc, no shuffle); the two aggregations are map-side combined
+    groupBys keyed on host — O(hosts x terms) intermediate, tiny next
+    to the corpus; the modal-term window runs over that aggregate,
+    never over raw edges. Ties break lexicographically so the modal
+    term is deterministic on both engines.
+    """
+    from onnxtr_spark.functions.text import tokens
+
+    links = (
+        spread(documents)
+        .select(
+            F.col("doc_id").cast("long").alias("d"),
+            F.element_at(tokens(), 1).alias("anchor"),
+        )
+        .select(
+            F.expr(f"d % {N_HOSTS}").alias("src"),
+            F.explode(
+                F.array(*[F.expr(e.format(n=N_HOSTS)) for e in _LINK_EXPRS])
+            ).alias("dst"),
+            "anchor",
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    per_host = links.groupBy("dst").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.countDistinct("src").cast("long").alias("n_src_hosts"),
+    )
+    terms = links.groupBy("dst", "anchor").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("dst").orderBy(F.col("n").desc(), F.col("anchor").asc())
+    top = (
+        terms.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("dst", F.col("anchor").alias("top_anchor"), F.col("n").alias("top_anchor_n"))
+    )
+    return (
+        per_host.join(top, "dst")
+        .select(F.col("dst").cast("long").alias("host"), "n_links", "n_src_hosts", "top_anchor", "top_anchor_n")
+    )
+
+
+def anchor_text_sql() -> str:
+    from onnxtr_spark.functions.text import _TOKENS_SQL
+
+    dsts = " UNION ALL ".join(
+        f"SELECT d % {N_HOSTS} AS src, {e.format(n=N_HOSTS)} AS dst, anchor FROM base"
+        for e in _LINK_EXPRS
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id AS d, ({_TOKENS_SQL})[1] AS anchor FROM documents
+), links AS MATERIALIZED (
+  SELECT * FROM ({dsts}) WHERE src <> dst
+), per_host AS (
+  SELECT dst, count(*) AS n_links, count(DISTINCT src) AS n_src_hosts
+  FROM links GROUP BY 1
+), terms AS (
+  SELECT dst, anchor, count(*) AS n FROM links GROUP BY 1, 2
+), top AS (
+  SELECT dst, anchor AS top_anchor, n AS top_anchor_n
+  FROM (SELECT *, row_number() OVER (PARTITION BY dst ORDER BY n DESC, anchor ASC) AS rk
+        FROM terms)
+  WHERE rk = 1
+)
+SELECT p.dst AS host, n_links, n_src_hosts, top_anchor, top_anchor_n
+FROM per_host p JOIN top t ON p.dst = t.dst
+"""

@@ -9,7 +9,7 @@ so Spark and DuckDB hash identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from onnxtr_spark.functions.hashing import hash64, hash64_sql, round_half_up, round_half_up_sql
@@ -2065,4 +2065,70 @@ SELECT p.source,
 FROM per_text p JOIN langs l ON p.source = l.source
 GROUP BY 1
 ORDER BY 1
+"""
+
+
+TFIDF_TOP_K = 3
+TFIDF_SCALE = 1_000_000  # idf in integer micro-units: (N * SCALE) div df
+
+
+def tfidf_keywords(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Top-k tf-idf keywords per document (stopwords removed).
+
+    idf is the integer ratio (N_docs * 10^6) div df — monotone in the
+    usual log(N/df) for ranking purposes and bit-exact on both engines
+    (the log variant would put a float seam inside the ORDER BY, where
+    a 1-ulp divergence flips ranks). At corpus scales where
+    N * 10^6 nears int64 (N ~ 10^12) production would switch to the
+    float log-idf and rank with an epsilon tie-break; documented, not
+    hit here. Ties break (score DESC, term ASC) so the top-k set is
+    deterministic.
+
+    Scale shape: explode is a narrow fan-out; tf and df are map-side
+    combined groupBys; N is a 1-row broadcast (control-plane scalar);
+    the top-k window partitions by doc_id over the already-aggregated
+    tf relation — O(doc terms), never raw token occurrences.
+    """
+    toks = (
+        spread(documents)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), F.explode(tokens()).alias("term"))
+        .where((F.col("term") != "") & ~F.col("term").isin(*EN_STOPWORDS))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = documents.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf_micro", F.expr(f"tf * ((n_docs * {TFIDF_SCALE}) div df)"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_micro").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "tfidf_micro", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def tfidf_keywords_sql(k: int = TFIDF_TOP_K) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+), tf AS MATERIALIZED (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term <> '' AND term NOT IN {_STOP_SQL}
+  GROUP BY 1, 2
+), dfr AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+)
+SELECT doc_id, term, tf, tfidf_micro, rk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ((n_docs * {TFIDF_SCALE}) // df) AS tfidf_micro,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ((n_docs * {TFIDF_SCALE}) // df) DESC,
+                                     tf.term ASC) AS rk
+  FROM tf JOIN dfr USING (term) CROSS JOIN n
+) WHERE rk <= {k}
 """

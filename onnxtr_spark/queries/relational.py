@@ -1869,3 +1869,66 @@ SELECT c.event_type,
 FROM cum c JOIN tot t ON t.event_type = c.event_type
 GROUP BY 1
 """
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users are cohorted by the week of
+    their first event; each later active week increments that cohort's
+    (week_offset) cell. The classic growth-analytics triangle.
+
+    Shape: one distinct over (user, week) — map-side-combined — then a
+    per-user min (cohort assignment), an equi-join back (AQE broadcasts
+    the cohort side when small, SMJ otherwise; both sides are already
+    user-keyed so a real cluster co-partitions them), and a final tiny
+    groupBy. The retention percentage is a window over the aggregated
+    matrix (O(cohorts x offsets) rows, negligible). All arithmetic on
+    DATE-truncated values — day-difference div 7 is exact, no
+    timezone/epoch seam between engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    uw = (
+        ev.select("user_id", F.to_date(F.date_trunc("week", "ts")).alias("week"))
+        .distinct()
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cells = (
+        uw.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / F.lit(7)).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    from onnxtr_spark.functions.hashing import round_half_up
+
+    return cells.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        round_half_up(F.col("n_active") / F.first("n_active").over(w), 4).alias("retention"),
+    )
+
+
+from onnxtr_spark.functions.hashing import round_half_up_sql as _r4sql
+
+_RET_PCT = _r4sql(
+    "n_active::DOUBLE / first_value(n_active) OVER "
+    "(PARTITION BY cohort_week ORDER BY week_offset)", 4
+)
+EVENTS_RETENTION_SQL = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+), c AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1
+), cells AS (
+  SELECT cohort_week,
+         date_diff('day', cohort_week, week) // 7 AS week_offset,
+         count(*) AS n_active
+  FROM uw JOIN c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_active, {_RET_PCT} AS retention
+FROM cells
+"""

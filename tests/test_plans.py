@@ -601,3 +601,38 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
     # and the pruned result is correct
     got = joined.collect()
     assert len(got) == 1 and got[0]["o_month"] == "1995-03"
+
+
+def test_round5b_ops_plan_shapes(spark):
+    """Scale shapes of the round-5b ops: anchor-text windows only over
+    the (host, term) aggregate (never raw edges); tf-idf broadcasts the
+    1-row N and windows only over the tf aggregate; incremental dedup
+    plans an anti-join (broadcast or SMJ, AQE's pick) with no window at
+    all; retention windows only the cohort matrix."""
+    from onnxtr_spark.functions.dedup import incremental_dedup
+    from onnxtr_spark.functions.graph import anchor_text
+    from onnxtr_spark.functions.text import tfidf_keywords
+    from onnxtr_spark.queries.relational import events_retention_cohorts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    p = plan(anchor_text(docs))
+    assert "CartesianProduct" not in p
+    # exactly one window: the modal-term rank over the aggregated terms
+    assert len(re.findall(r"\bWindow \[", p)) == 1
+    # the window's input is an aggregate, not the raw edge fan-out:
+    # every Window appears after a HashAggregate in the tree walk
+    assert p.index("Window") > p.index("HashAggregate")
+
+    p = plan(tfidf_keywords(docs))
+    assert "CartesianProduct" not in p  # 1-row N attaches as broadcast NL join
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert len(re.findall(r"\bWindow \[", p)) == 1
+
+    p = plan(incremental_dedup(docs))
+    assert "Window" not in p and "CartesianProduct" not in p
+    assert "LeftAnti" in p
+
+    p = plan(events_retention_cohorts(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\bWindow \[", p)) == 1

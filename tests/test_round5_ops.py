@@ -1,0 +1,136 @@
+"""Planted-input semantics for the round-5b pipeline ops: anchor-text
+aggregation, cohort retention, incremental snapshot dedup, tf-idf
+keywords. The cross-engine oracle equality runs in test_entry_queries;
+these tests pin the SEMANTICS on inputs where the answer is known by
+construction."""
+
+import pandas as pd
+
+from onnxtr_spark.functions import dedup as D
+from onnxtr_spark.functions import graph as G
+from onnxtr_spark.functions import text as T
+
+
+def _docs(spark, texts, start_id=0):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(start_id, start_id + len(texts))), "text": texts})
+    )
+
+
+# --- crawl_anchor_text -------------------------------------------------------
+
+
+def test_anchor_text_counts_match_edge_list(spark):
+    docs = _docs(spark, [f"w{i % 4} body" for i in range(120)])
+    out = G.anchor_text(docs).toPandas().set_index("host")
+    edges = G.synthesize_host_links(docs).toPandas()
+    per = edges.groupby("dst").agg(n_links=("src", "size"), n_src_hosts=("src", "nunique"))
+    assert sorted(out.index) == sorted(per.index)
+    for h, row in per.iterrows():
+        assert out.loc[h, "n_links"] == row["n_links"]
+        assert out.loc[h, "n_src_hosts"] == row["n_src_hosts"]
+
+
+def test_anchor_text_modal_term_and_tiebreak(spark):
+    # every doc leads with the same token -> every host's modal anchor is it
+    out = G.anchor_text(_docs(spark, ["zzz tail"] * 100)).toPandas()
+    assert (out["top_anchor"] == "zzz").all()
+    assert (out["top_anchor_n"] == out["n_links"]).all()
+    # tie-break: all anchors distinct counts=1 -> lexicographically first wins
+    docs2 = _docs(spark, [f"t{i:03d} x" for i in range(50)])
+    out2 = G.anchor_text(docs2).toPandas()
+    # doc i -> anchor f"t{i:03d}"; recompute modal-with-tiebreak in pandas
+    import collections
+
+    links = []
+    for d in range(50):
+        src = d % G.N_HOSTS
+        for e in G._LINK_EXPRS:
+            dst = eval(e.format(n=G.N_HOSTS))  # noqa: S307 — planted literal exprs
+            if src != dst:
+                links.append((dst, f"t{d:03d}"))
+    want = {}
+    for dst, grp in pd.DataFrame(links, columns=["dst", "a"]).groupby("dst"):
+        c = collections.Counter(grp["a"])
+        best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want[dst] = best
+    got = out2.set_index("host")
+    for h, (term, n) in want.items():
+        assert got.loc[h, "top_anchor"] == term
+        assert got.loc[h, "top_anchor_n"] == n
+
+
+# --- events_retention_cohorts ------------------------------------------------
+
+
+def test_retention_offset_zero_is_full_cohort(spark, tmp_path):
+    import datetime
+    import os
+
+    rows = []
+    eid = 0
+    # cohort A (week of 2026-01-05): users 0..9; 6 return next week, 3 in week 3
+    for u in range(10):
+        rows.append((eid, datetime.datetime(2026, 1, 6), u, "click", 1.0, "{}")); eid += 1
+    for u in range(6):
+        rows.append((eid, datetime.datetime(2026, 1, 13), u, "click", 1.0, "{}")); eid += 1
+    for u in range(3):
+        rows.append((eid, datetime.datetime(2026, 1, 21), u, "click", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    from onnxtr_spark.queries.relational import events_retention_cohorts
+
+    out = events_retention_cohorts(spark, d).toPandas().sort_values("week_offset")
+    assert len(out) == 3
+    assert list(out["n_active"]) == [10, 6, 3]
+    assert list(out["week_offset"]) == [0, 1, 2]
+    assert list(out["retention"]) == [1.0, 0.6, 0.3]
+
+
+# --- dedup_incremental -------------------------------------------------------
+
+
+def test_incremental_dedup_drops_prior_hits_and_collapses_new(spark):
+    texts = {
+        0: "alpha beta",      # prior
+        2: "gamma delta",     # prior
+        1: "alpha  beta",     # new, ws-normalizes to prior doc 0 -> dropped
+        3: "epsilon zeta",    # new, unique -> survives
+        5: "eta theta",       # new dup pair with 7 -> one row, n=2
+        7: "eta theta",
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    out = D.incremental_dedup(docs).toPandas().set_index("canonical_doc_id")
+    assert sorted(out.index) == [3, 5]
+    assert out.loc[3, "n_dups_in_new"] == 1
+    assert out.loc[5, "n_dups_in_new"] == 2
+
+
+# --- docs_tfidf_keywords -----------------------------------------------------
+
+
+def test_tfidf_rare_term_outranks_common_and_stopwords_excluded(spark):
+    # 'needle' appears only in doc 0; 'common' in all 10 docs; stopword
+    # 'the' everywhere. tf equal within doc 0 -> idf decides.
+    docs = _docs(spark, ["the needle common zz"] + ["the common zz yy"] * 9)
+    out = T.tfidf_keywords(docs).toPandas()
+    d0 = out[out.doc_id == 0].sort_values("rk")
+    assert list(d0["term"])[0] == "needle"
+    assert "the" not in set(out["term"])
+    assert (out.groupby("doc_id")["rk"].max() <= 3).all()
+    # idf_micro for needle: (10 * SCALE) div 1; for common: div 10
+    n0 = d0.set_index("term")
+    assert n0.loc["needle", "tfidf_micro"] == 10 * T.TFIDF_SCALE
+    assert n0.loc["common", "tfidf_micro"] == T.TFIDF_SCALE
+
+
+def test_tfidf_tie_breaks_lexicographically(spark):
+    docs = _docs(spark, ["bb aa cc dd"] * 4)  # all terms same tf and df
+    out = T.tfidf_keywords(docs).toPandas()
+    for _, g in out.groupby("doc_id"):
+        assert list(g.sort_values("rk")["term"]) == ["aa", "bb", "cc"]
