@@ -108,6 +108,10 @@ class DetectConfig:
     # gets the REAL P1-P4 preprocess (kernels/preprocess.py) ahead of
     # the session — a real ONNX model drops in via config only.
     engine: EngineConfig = EngineConfig()
+    # Orientation-classifier engine (reference clf_engine_cfg,
+    # models/zoo.py:79/139): resolves the I5/G3 classifier session; None
+    # = the registry default (stub_mobilenet_orient).
+    orient_engine: EngineConfig | None = None
 
 
 def detect_pages(pages: DataFrame, cfg: DetectConfig = DetectConfig()) -> DataFrame:

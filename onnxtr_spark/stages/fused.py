@@ -153,7 +153,7 @@ def detect_recognize_pages(
                     # straightened page (the code below IS that second
                     # pass). General orientation is (0, 1.0) here because
                     # the classifier just rectified the 90° component.
-                    k = get_orientation_engine().run_one(img)
+                    k = get_orientation_engine(det_cfg.orient_engine).run_one(img)
                     if k:
                         img = np.ascontiguousarray(np.rot90(img, -k))
                     pix_thresh = float(np.floor(255.0 - 255.0 * det_cfg.bin_thresh))
@@ -294,7 +294,7 @@ def detect_recognize_pages(
                 # finding #2 — a per-crop run_one loop was the main
                 # rotated-vs-straight cost gap), then rot90 each crop
                 # readable and re-roll its polygon.
-                orient = get_orientation_engine()
+                orient = get_orientation_engine(det_cfg.orient_engine)
                 ks = orient.run([c for _, crops in pending for c in crops])
                 pos = 0
                 for meta, crops in pending:

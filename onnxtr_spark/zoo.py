@@ -212,18 +212,31 @@ def ocr_predictor(
     disable_crop_orientation: bool = False,
     det_bs: int = 2,
     reco_bs: int = 256,
+    load_in_8_bit: bool = False,
     det_engine_cfg: EngineConfig | None = None,
     reco_engine_cfg: EngineConfig | None = None,
+    clf_engine_cfg: EngineConfig | None = None,
     vocab: str = DEFAULT_VOCAB,
 ) -> OCRPredictorSpark:
     """Build the end-to-end OCR pipeline from the reference's flag
     surface (models/zoo.py:67-142). See module docstring for the exact
     flag mapping; ``det_engine_cfg``/``reco_engine_cfg`` override the
     arch-derived engine configs wholesale (reference passes them into
-    the predictors the same way)."""
+    the predictors the same way); ``clf_engine_cfg`` does the same for
+    the I5/G3 orientation classifier (models/zoo.py:79); and
+    ``load_in_8_bit`` (models/zoo.py:76, e.g. …/crnn.py:162) stamps the
+    quantization flag onto every resolved engine config, explicit or
+    arch-derived — the registry factory then selects the 8-bit artifact
+    (engine.py model_path_8_bit) or raises its loud gate."""
     _ = export_as_straight_boxes  # parity no-op: flat spans always carry B7 boxes
     det_engine = det_engine_cfg or _engine_of(det_arch, "stub_fast")
     reco_engine = reco_engine_cfg or _engine_of(reco_arch, "stub_crnn")
+    clf_engine = clf_engine_cfg
+    if load_in_8_bit:
+        det_engine = replace(det_engine, load_in_8_bit=True)
+        reco_engine = replace(reco_engine, load_in_8_bit=True)
+        if clf_engine is not None:
+            clf_engine = replace(clf_engine, load_in_8_bit=True)
     if isinstance(reco_arch, object) and hasattr(reco_arch, "param"):
         vocab = reco_arch.param("vocab", vocab)  # hub models carry their vocab
     # per-arch postprocess thresholds (the reference's default_cfgs):
@@ -243,6 +256,7 @@ def ocr_predictor(
         disable_crop_orientation=disable_crop_orientation,
         batch_size=det_bs,
         engine=det_engine,
+        orient_engine=clf_engine,
     )
     reco_cfg = RecognizeConfig(batch_size=reco_bs, vocab=vocab, engine=reco_engine)
     return OCRPredictorSpark(

@@ -297,3 +297,31 @@ def test_reference_arch_names_run_end_to_end(spark, corpus):
         assert ocr_predictor(det_arch="db_resnet50").det_cfg.engine.arch == "db_resnet50"
     finally:
         eng.MODEL_REGISTRY.pop("db_resnet50", None)
+
+
+def test_clf_engine_cfg_and_load_in_8_bit_flow(spark, corpus):
+    """clf_engine_cfg reaches DetectConfig.orient_engine (reference
+    models/zoo.py:79) and load_in_8_bit stamps every resolved engine,
+    explicit or arch-derived (models/zoo.py:76). The predictor with a
+    stub clf cfg must still produce identical spans (the stub ignores
+    the extra knob — this pins the PLUMBING, parity pins the output)."""
+    clf = EngineConfig(arch="stub_mobilenet_orient", intra_op_num_threads=2)
+    p = ocr_predictor("stub_fast", "stub_crnn", clf_engine_cfg=clf, load_in_8_bit=True)
+    assert p.det_cfg.orient_engine is not None
+    assert p.det_cfg.orient_engine.arch == "stub_mobilenet_orient"
+    assert p.det_cfg.orient_engine.intra_op_num_threads == 2
+    assert p.det_cfg.orient_engine.load_in_8_bit  # stamped onto clf too
+    assert p.det_cfg.engine.load_in_8_bit and p.reco_cfg.engine.load_in_8_bit
+    # default: no clf cfg -> registry default resolution (None sentinel)
+    assert ocr_predictor().det_cfg.orient_engine is None
+    # end-to-end on the rotated path (the G3 classifier actually runs
+    # with the explicit cfg): spans equal the default predictor's
+    docs, media = corpus
+    base = ocr_predictor("stub_fast", "stub_crnn", assume_straight_pages=False)
+    with_clf = ocr_predictor(
+        "stub_fast", "stub_crnn", assume_straight_pages=False,
+        clf_engine_cfg=EngineConfig(arch="stub_mobilenet_orient"),
+    )
+    a = base(docs, media).orderBy("doc_id", "offset").toPandas()
+    b = with_clf(docs, media).orderBy("doc_id", "offset").toPandas()
+    assert a.equals(b)
