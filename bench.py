@@ -84,6 +84,10 @@ HEADLINE = [
     "docs_temperature_mix",
     "events_hll_distinct",
     "events_theta_intersection",
+    "crawl_anchor_text",
+    "events_retention_cohorts",
+    "dedup_incremental",
+    "docs_tfidf_keywords",
 ]
 
 
@@ -237,6 +241,40 @@ def _ab_scanned_decode() -> dict | None:
     }
 
 
+def _pinned_child_measure(cpus: int, code: str, timeout: int = 1800) -> list[str]:
+    """Run a measurement snippet in a FRESH python subprocess pinned to
+    the highest ``cpus`` cores BEFORE any JVM exists.
+
+    Load-bearing, not hygiene: the py4j gateway JVM persists across
+    SparkContext stop/start within one python process, so an in-process
+    sched_setaffinity after the first session never re-binds the JVM
+    (its threads — and the python workers and any executor JVMs it
+    forks — keep the mask the gateway was born with). Caught this
+    session: the in-process "8-core" level ran 3512 pages/sec vs 994
+    true-pinned, because each of the 8 task slots' python workers
+    spread numpy work across all 32 cores — the two levels were
+    measuring the same configuration. A child that pins itself before
+    importing pyspark gives the whole process tree exactly the N-core
+    mask. Returns the child's stdout lines; the snippet must print
+    MEASURE_SEC <float> (and may print other KEY VALUE lines)."""
+    import subprocess
+
+    pre = (
+        "import os\n"
+        "full = sorted(os.sched_getaffinity(0))\n"
+        f"os.sched_setaffinity(0, set(full[-{cpus}:]))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", pre + code],
+        capture_output=True, text=True, timeout=timeout,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    lines = out.stdout.splitlines()
+    if not any(ln.startswith("MEASURE_SEC") for ln in lines):
+        raise RuntimeError(f"pinned child (cpus={cpus}) failed:\n{out.stderr[-2000:]}")
+    return lines
+
+
 def _count_pages(spark) -> int:
     from pyspark.sql import functions as F
 
@@ -379,32 +417,26 @@ def scaling(levels=(8, 32)) -> None:
     spark.stop()
 
     def measure(cpus: int) -> float:
-        """One pinned, warmed, timed extraction at ``cpus`` cores.
-
-        sched_setaffinity is inherited by the JVM and python workers, so
-        local[N] pinned to N cores is a faithful N-core box — without
-        pinning, the JVM's auxiliary threads (GC, shuffle IO, Arrow)
-        spill onto idle cores and flatter the small configuration."""
-        import os as _os
-
-        full = _os.sched_getaffinity(0)
-        # pin to the highest-numbered cores: low cores service IRQs and
-        # host-side work on shared boxes, adding noise to small configs
-        _os.sched_setaffinity(0, set(sorted(full)[-cpus:]))
-        try:
-            spark = get_spark(f"bench-scale-{cpus}", cpus=cpus, shuffle_partitions=max(32, 2 * cpus))
-            docs, media = (
-                spark.read.parquet(f"{cache_dir}/docs.parquet"),
-                spark.read.parquet(f"{cache_dir}/media.parquet"),
-            )
-            extract_spans(docs, media).count()  # warm-up: JIT, workers, page cache
-            t0 = time.time()
-            extract_spans(docs, media).count()
-            sec = time.time() - t0
-            spark.stop()
-            return sec
-        finally:
-            _os.sched_setaffinity(0, full)
+        """One pinned, warmed, timed extraction at ``cpus`` cores in a
+        fresh pinned subprocess (see _pinned_child_measure for why
+        in-process pinning is a lie here)."""
+        code = f"""
+import time
+from onnxtr_spark.session import get_spark
+from onnxtr_spark.stages.pipeline import extract_spans
+spark = get_spark("bench-scale-{cpus}", cpus={cpus}, shuffle_partitions=max(32, 2 * {cpus}))
+docs = spark.read.parquet({cache_dir!r} + "/docs.parquet")
+media = spark.read.parquet({cache_dir!r} + "/media.parquet")
+extract_spans(docs, media).count()  # warm-up: JIT, workers, page cache
+t0 = time.time()
+extract_spans(docs, media).count()
+print("MEASURE_SEC", time.time() - t0)
+spark.stop()
+"""
+        for line in _pinned_child_measure(cpus, code):
+            if line.startswith("MEASURE_SEC"):
+                return float(line.split()[1])
+        raise AssertionError("unreachable")
 
     # Interleave the two levels and take medians: this box has noisy
     # neighbors (±15% between identical runs), and interleaving makes
@@ -487,27 +519,32 @@ def scaling_cluster(execs=(1, 4), cores: int = 8) -> None:
     spark.stop()
 
     def measure(n_exec: int) -> float:
-        full = os.sched_getaffinity(0)
-        os.sched_setaffinity(0, set(sorted(full)[-(n_exec * cores):]))
-        try:
-            spark = get_spark(
-                f"bench-cluster-{n_exec}x{cores}",
-                cpus=n_exec * cores,
-                shuffle_partitions=max(32, 2 * n_exec * cores),
-                master=f"local-cluster[{n_exec},{cores},10240]",
-            )
-            docs, media = (
-                spark.read.parquet(f"{cache_dir}/docs.parquet"),
-                spark.read.parquet(f"{cache_dir}/media.parquet"),
-            )
-            extract_spans(docs, media).count()  # warm-up
-            t0 = time.time()
-            extract_spans(docs, media).count()
-            sec = time.time() - t0
-            spark.stop()
-            return sec
-        finally:
-            os.sched_setaffinity(0, full)
+        """Pinned fresh-subprocess measure (the executor JVMs are forked
+        by the driver gateway, so only a child pinned before any JVM
+        launch gives the whole local-cluster process tree the N-core
+        mask — see _pinned_child_measure)."""
+        code = f"""
+import time
+from onnxtr_spark.session import get_spark
+from onnxtr_spark.stages.pipeline import extract_spans
+spark = get_spark(
+    "bench-cluster-{n_exec}x{cores}",
+    cpus={n_exec * cores},
+    shuffle_partitions=max(32, 2 * {n_exec * cores}),
+    master="local-cluster[{n_exec},{cores},10240]",
+)
+docs = spark.read.parquet({cache_dir!r} + "/docs.parquet")
+media = spark.read.parquet({cache_dir!r} + "/media.parquet")
+extract_spans(docs, media).count()  # warm-up
+t0 = time.time()
+extract_spans(docs, media).count()
+print("MEASURE_SEC", time.time() - t0)
+spark.stop()
+"""
+        for line in _pinned_child_measure(n_exec * cores, code):
+            if line.startswith("MEASURE_SEC"):
+                return float(line.split()[1])
+        raise AssertionError("unreachable")
 
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
     samples: dict[int, list[float]] = {e: [] for e in execs}
@@ -577,23 +614,31 @@ def scaling_curate(levels=(8, 32)) -> None:
         ).parquet(docs_path)
         spark.stop()
 
-    def measure(cpus: int) -> float:
-        import os as _os
-
-        full = _os.sched_getaffinity(0)
-        _os.sched_setaffinity(0, set(sorted(full)[-cpus:]))
-        try:
-            spark = get_spark(f"bench-curate-{cpus}", cpus=cpus, shuffle_partitions=max(32, 2 * cpus))
-            docs = spark.read.parquet(docs_path)
-            curation_funnel(ladder(docs)).collect()  # warm-up
-            t0 = time.time()
-            curation_funnel(ladder(docs)).collect()
-            sec = time.time() - t0
-            n = docs.count()
-            spark.stop()
-            return sec, n
-        finally:
-            _os.sched_setaffinity(0, full)
+    def measure(cpus: int):
+        """Pinned fresh-subprocess measure (see _pinned_child_measure;
+        the warm-cache path previously launched the gateway JVM inside
+        the FIRST level's mask and every later level inherited it)."""
+        code = f"""
+import time
+from onnxtr_spark.session import get_spark
+from onnxtr_spark.functions.curate import curate, curate_v2, curate_v3, curation_funnel
+ladder = {{"v1": curate, "v2": curate_v2, "v3": curate_v3}}[{ladder_name!r}]
+spark = get_spark("bench-curate-{cpus}", cpus={cpus}, shuffle_partitions=max(32, 2 * {cpus}))
+docs = spark.read.parquet({docs_path!r})
+curation_funnel(ladder(docs)).collect()  # warm-up
+t0 = time.time()
+curation_funnel(ladder(docs)).collect()
+print("MEASURE_SEC", time.time() - t0)
+print("N_DOCS", docs.count())
+spark.stop()
+"""
+        sec = n = None
+        for line in _pinned_child_measure(cpus, code):
+            if line.startswith("MEASURE_SEC"):
+                sec = float(line.split()[1])
+            elif line.startswith("N_DOCS"):
+                n = int(line.split()[1])
+        return sec, n
 
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
     samples: dict[int, list[float]] = {c: [] for c in levels}
