@@ -559,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_train": lambda s, d: text.bpe_train(_documents(s, d)),
         "dedup_exact": lambda s, d: dedup.exact_dedup(_documents(s, d)),
         "dedup_incremental": lambda s, d: dedup.incremental_dedup(_documents(s, d)),
+        "dedup_incremental_bloom": lambda s, d: dedup.incremental_dedup_bloom(_documents(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_documents(s, d)),
         "ann_cosine_topk": lambda s, d: similarity.cosine_topk(_embeddings(s, d)),
         "ann_lsh_buckets": lambda s, d: similarity.lsh_buckets(_embeddings(s, d)),
@@ -745,4 +746,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention_cohorts": rel.EVENTS_RETENTION_SQL,
         "docs_tfidf_keywords": text.tfidf_keywords_sql(),
         "dedup_incremental": dedup.INCREMENTAL_DEDUP_SQL,
+        # the bloom variant must reproduce the EXACT anti-join answer
+        # (no false negatives + verified positives) — same oracle
+        "dedup_incremental_bloom": dedup.INCREMENTAL_DEDUP_SQL,
     }

@@ -849,3 +849,79 @@ WHERE doc_id % 2 = 1
   AND NOT EXISTS (SELECT 1 FROM prior p WHERE p.text_hash = hashed.text_hash)
 GROUP BY 1
 """
+
+
+BLOOM_BITS = 1 << 16  # 65536 bits = 1024 int64 words (sized for fpp<1% at ~5k prior keys)
+BLOOM_K = 2           # independent probe hashes
+
+
+def incremental_dedup_bloom(documents: DataFrame) -> DataFrame:
+    """``incremental_dedup`` with its production scale path made real:
+    the prior snapshot is summarized into a distributed Bloom filter
+    (bit-OR aggregated int64 words), every new doc probes the broadcast
+    filter, and ONLY the maybe-duplicate candidates pay the exact
+    anti-join. Same answer by construction — Bloom filters have no
+    false negatives, and every positive is verified — so this query
+    shares ``INCREMENTAL_DEDUP_SQL`` as its oracle: the green row
+    proves the filter+verify decomposition loses nothing.
+
+    Scale shape: the filter build is one map-side-combined
+    groupBy(word) over the prior snapshot — at 10^12 docs the filter
+    relation is m/64 rows (size set by the target fpp, NOT by the
+    corpus), broadcast once; the probe is a narrow broadcast join; and
+    the exact anti-join's probe side shrinks from |new| to the
+    candidate fraction (true dups + fpp). The bloom words never leave
+    the JVM and use no driver-side state.
+    """
+    hashed = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(_norm_text()).alias("text_hash"),
+    )
+    prior = hashed.where(F.col("doc_id") % 2 == 0).select("text_hash").distinct()
+    new = hashed.where(F.col("doc_id") % 2 == 1)
+
+    def probes(df: DataFrame) -> DataFrame:
+        # k independent bit positions from seeded xxhash64 (Spark-side
+        # only — the oracle never simulates the filter, it defines the
+        # exact answer the filter+verify path must reproduce)
+        return df.select(
+            df["*"],
+            F.explode(
+                F.array(*[
+                    F.pmod(F.xxhash64(F.col("text_hash"), F.lit(seed)), F.lit(BLOOM_BITS))
+                    for seed in range(BLOOM_K)
+                ])
+            ).alias("bit"),
+        ).select(
+            df["*"],
+            (F.col("bit") / 64).cast("long").alias("word"),
+            # shiftleft with a COLUMN count needs the SQL form (the
+            # python wrapper only takes a literal numBits)
+            F.expr("shiftleft(1L, cast(bit % 64 as int))").alias("mask"),
+        )
+
+    bloom = probes(prior).groupBy("word").agg(F.bit_or("mask").alias("bits"))
+    hits = (
+        probes(new)
+        .join(F.broadcast(bloom), "word", "left")
+        .select(
+            "doc_id", "text_hash",
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0).alias("hit"),
+        )
+        .groupBy("doc_id", "text_hash")
+        .agg(F.min("hit").alias("maybe_dup"))  # all k bits set => candidate
+    )
+    clean = hits.where(~F.col("maybe_dup"))  # bloom miss: provably not in prior
+    verified = (
+        hits.where(F.col("maybe_dup"))
+        .join(prior, "text_hash", "left_anti")  # candidates: exact check
+    )
+    return (
+        clean.select("doc_id", "text_hash")
+        .unionByName(verified.select("doc_id", "text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").cast("long").alias("n_dups_in_new"),
+        )
+    )

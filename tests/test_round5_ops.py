@@ -134,3 +134,42 @@ def test_tfidf_tie_breaks_lexicographically(spark):
     out = T.tfidf_keywords(docs).toPandas()
     for _, g in out.groupby("doc_id"):
         assert list(g.sort_values("rk")["term"]) == ["aa", "bb", "cc"]
+
+
+def test_incremental_bloom_equals_exact_path(spark):
+    texts = {
+        0: "alpha beta", 2: "gamma delta", 4: "alpha beta",   # prior (w/ internal dup)
+        1: "alpha  beta", 3: "epsilon zeta", 5: "eta theta",
+        7: "eta theta", 9: "gamma delta", 11: "unique eleven",
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    a = D.incremental_dedup(docs).orderBy("text_hash").toPandas()
+    b = D.incremental_dedup_bloom(docs).orderBy("text_hash").toPandas()
+    assert a.equals(b)
+    assert sorted(b["canonical_doc_id"]) == [3, 5, 11]
+
+
+def test_incremental_bloom_exact_under_heavy_collisions(spark, monkeypatch):
+    """With a 64-bit filter nearly every probe collides (false positives
+    everywhere) — the verify join must still return the exact answer."""
+    monkeypatch.setattr(D, "BLOOM_BITS", 64)
+    texts = [f"doc number {i}" for i in range(60)] + ["doc number 0"]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(61)), "text": texts})
+    )
+    a = D.incremental_dedup(docs).orderBy("text_hash").toPandas()
+    b = D.incremental_dedup_bloom(docs).orderBy("text_hash").toPandas()
+    assert a.equals(b)
+
+
+def test_incremental_bloom_plan_shape(spark):
+    """The filter side must reach the probe as a BROADCAST (the bloom
+    relation is O(m/64) rows regardless of corpus size) and the exact
+    anti-join must still be present for the candidate fraction."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = D.incremental_dedup_bloom(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
