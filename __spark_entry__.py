@@ -582,7 +582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_schedule": _crawl_frontier_schedule,
         "crawl_anchor_text": lambda s, d: graph.anchor_text(_documents(s, d)),
         "events_retention_cohorts": rel.events_retention_cohorts,
+        "events_markov_transitions": rel.events_markov_transitions,
         "docs_tfidf_keywords": lambda s, d: text.tfidf_keywords(_documents(s, d)),
+        "embedding_knn_classify": lambda s, d: similarity.knn_classify(_embeddings(s, d)),
         "text_lang_id": lambda s, d: text.lang_id(_documents(s, d)),
         "training_mix": lambda s, d: text.training_mix(_documents(s, d)),
         "dedup_token_jaccard": lambda s, d: dedup.token_jaccard_pairs(_documents(s, d)),
@@ -744,6 +746,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier_schedule": _crawl_frontier_schedule_sql(),
         "crawl_anchor_text": graph.anchor_text_sql(),
         "events_retention_cohorts": rel.EVENTS_RETENTION_SQL,
+        "events_markov_transitions": rel.EVENTS_MARKOV_SQL,
+        "embedding_knn_classify": similarity.knn_classify_sql(),
         "docs_tfidf_keywords": text.tfidf_keywords_sql(),
         "dedup_incremental": dedup.INCREMENTAL_DEDUP_SQL,
         # the bloom variant must reproduce the EXACT anti-join answer

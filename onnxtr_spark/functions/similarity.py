@@ -910,3 +910,86 @@ SELECT s.vec_id, s.cell, coalesce(p.mps, -1.0) AS max_prior_sim,
        coalesce(p.mps, -1.0) < {threshold} AS kept
 FROM assigned s LEFT JOIN prior p ON p.vec_id = s.vec_id
 """
+
+
+KNN_CLASSIFY_K = 5
+KNN_UNLABELED_MOD = 5  # vec_id % 5 == 0 -> the planted unlabeled split
+
+
+def knn_classify(embeddings: DataFrame, k: int = KNN_CLASSIFY_K, mod: int = KNN_UNLABELED_MOD) -> DataFrame:
+    """kNN label propagation: classify the planted unlabeled split
+    (vec_id % mod == 0) by majority vote over its k nearest LABELED
+    neighbors by cosine — the pattern quality-labeler pipelines use to
+    spread a small set of human/LLM labels across a corpus
+    (FineWeb-Edu-style classifier bootstrapping).
+
+    Exactness/determinism: sims round to ROUND decimals before ranking
+    (absorbs float32-vs-float64 engine drift) with neighbor_id as the
+    total-order tie-break; votes break ties (count DESC, label ASC).
+    Output (vec_id, pred_label, n_votes).
+
+    Scale shape: reuses the brute-force crossJoin(broadcast(queries))
+    baseline and the two-level partial top-k (_topk) — no full sort,
+    no per-query single-partition shuffle; the vote is a groupBy over
+    k rows per query. The IVF/LSH variants swap in for the candidate
+    generation exactly as in ann_ivf_topk/ann_lsh_buckets.
+    """
+    unl = embeddings.where(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q"),
+        _norm(F.col("embedding")).alias("qn"),
+    )
+    lab = embeddings.where(F.col("vec_id") % mod != 0).select(
+        "vec_id", "embedding", "label", _norm(F.col("embedding")).alias("en")
+    )
+    sims = (
+        lab.crossJoin(F.broadcast(unl))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            round_half_up(
+                _dot(F.col("q"), F.col("embedding")) / (F.col("qn") * F.col("en")), ROUND
+            ).alias("sim"),
+        )
+    )
+    top = _topk(sims, k)
+    votes = (
+        top.join(lab.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("query_id").cast("long").alias("vec_id"),
+            F.col("label").cast("long").alias("pred_label"),
+            "n_votes",
+        )
+    )
+
+
+def knn_classify_sql(k: int = KNN_CLASSIFY_K, mod: int = KNN_UNLABELED_MOD) -> str:
+    dot = "list_sum(list_transform(list_zip(q.embedding, e.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    nq = "sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in q.embedding]))"
+    ne = "sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in e.embedding]))"
+    return f"""
+WITH sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.label,
+         {round_half_up_sql(f'{dot} / ({nq} * {ne})', ROUND)} AS sim
+  FROM (SELECT * FROM embeddings WHERE vec_id % {mod} != 0) e,
+       (SELECT * FROM embeddings WHERE vec_id % {mod} = 0) q
+), ranked AS (
+  SELECT query_id, label,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+), votes AS (
+  SELECT query_id, label, count(*) AS n_votes
+  FROM ranked WHERE rank <= {k} GROUP BY 1, 2
+)
+SELECT query_id AS vec_id, label AS pred_label, n_votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label ASC) AS rk
+  FROM votes
+) WHERE rk = 1
+"""

@@ -1932,3 +1932,48 @@ WITH uw AS (
 SELECT cohort_week, week_offset, n_active, {_RET_PCT} AS retention
 FROM cells
 """
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix: per-user event
+    sequences (total-ordered by ts, event_id) produce (type -> next)
+    bigram counts and row-normalized transition probabilities — the
+    input of behavioral Markov models / next-action predictors.
+
+    Shape: one window keyed on user_id (the natural partition key — a
+    real cluster co-partitions by user once and every sequence op
+    reuses it), then a map-side-combined groupBy over the O(types^2)
+    matrix; the normalizing sum is a window over that tiny aggregate.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+        .where(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(F.count("*").cast("long").alias("n"))
+    from onnxtr_spark.functions.hashing import round_half_up
+
+    wt = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        round_half_up(F.col("n") / F.sum("n").over(wt), 4).alias("p"),
+    )
+
+
+from onnxtr_spark.functions.hashing import round_half_up_sql as _r4s
+
+_MARKOV_P = _r4s("n::DOUBLE / sum(n) OVER (PARTITION BY event_type)", 4)
+EVENTS_MARKOV_SQL = f"""
+WITH pairs AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), counts AS (
+  SELECT event_type, next_type, count(*) AS n
+  FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, next_type, n, {_MARKOV_P} AS p FROM counts
+"""

@@ -173,3 +173,77 @@ def test_incremental_bloom_plan_shape(spark):
     assert "BroadcastExchange" in p
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+# --- embedding_knn_classify ---------------------------------------------------
+
+
+def test_knn_classify_recovers_planted_clusters(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # 4 well-separated clusters of 10; vec_id % 5 == 0 members are the
+    # unlabeled queries and must inherit their cluster's label
+    for c in range(4):
+        center = np.zeros(8); center[c * 2] = 10.0
+        for i in range(10):
+            v = center + rng.normal(0, 0.05, 8)
+            rows.append((c * 10 + i, [float(x) for x in v], c + 100))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    from onnxtr_spark.functions.similarity import knn_classify
+
+    out = knn_classify(emb).toPandas().set_index("vec_id")
+    assert len(out) == 8  # vec_ids 0,5,10,...,35
+    for vid, row in out.iterrows():
+        assert row["pred_label"] == (vid // 10) + 100
+        assert row["n_votes"] == 5  # unanimous within the cluster
+
+
+def test_knn_classify_vote_tiebreak_prefers_smaller_label(spark):
+    # one query equidistant from two 2-member clusters + 1 far decoy:
+    # k=5 -> votes 2:2:1, tie broken to the smaller label
+    rows = [
+        (0, [1.0, 1.0, 0.0, 0.0], 0),      # query (label ignored)
+        (1, [1.0, 0.0, 0.0, 0.0], 7), (2, [1.0, 0.0, 0.0, 0.0], 7),
+        (3, [0.0, 1.0, 0.0, 0.0], 3), (4, [0.0, 1.0, 0.0, 0.0], 3),
+        (6, [0.0, 0.0, 0.0, 1.0], 9),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    from onnxtr_spark.functions.similarity import knn_classify
+
+    out = knn_classify(emb).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["pred_label"] == 3 and out.iloc[0]["n_votes"] == 2
+
+
+# --- events_markov_transitions ------------------------------------------------
+
+
+def test_markov_transitions_counts_and_rows_sum_to_one(spark, tmp_path):
+    import datetime
+    import os
+
+    rows = []
+    seq = ["view", "view", "cart", "view", "buy"]  # view->view, view->cart, cart->view, view->buy
+    for i, et in enumerate(seq):
+        rows.append((i, datetime.datetime(2026, 1, 1, 0, i), 1, et, 1.0, "{}"))
+    # second user: buy -> view (crosses users must NOT pair)
+    rows.append((10, datetime.datetime(2026, 1, 1), 2, "buy", 1.0, "{}"))
+    rows.append((11, datetime.datetime(2026, 1, 2), 2, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    from onnxtr_spark.queries.relational import events_markov_transitions
+
+    out = events_markov_transitions(spark, d).toPandas()
+    m = {(r.event_type, r.next_type): (r.n, r.p) for r in out.itertuples()}
+    assert m[("view", "view")][0] == 1 and m[("view", "cart")][0] == 1
+    assert m[("view", "buy")][0] == 1 and m[("cart", "view")][0] == 1
+    assert m[("buy", "view")][0] == 1  # user 2's pair; no cross-user pair
+    assert abs(m[("view", "view")][1] - 0.3333) < 1e-9  # 1/3 row-normalized
+    # each row of the matrix sums to ~1
+    sums = out.groupby("event_type")["p"].sum()
+    assert ((sums - 1.0).abs() < 0.001).all()
