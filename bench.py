@@ -86,8 +86,11 @@ HEADLINE = [
     "events_theta_intersection",
     "crawl_anchor_text",
     "events_retention_cohorts",
+    "events_markov_transitions",
     "dedup_incremental",
+    "dedup_incremental_bloom",
     "docs_tfidf_keywords",
+    "embedding_knn_classify",
 ]
 
 
