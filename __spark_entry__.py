@@ -583,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_anchor_text": lambda s, d: graph.anchor_text(_documents(s, d)),
         "events_retention_cohorts": rel.events_retention_cohorts,
         "events_markov_transitions": rel.events_markov_transitions,
+        "events_cms_user_counts": rel.events_cms_user_counts,
         "docs_tfidf_keywords": lambda s, d: text.tfidf_keywords(_documents(s, d)),
         "embedding_knn_classify": lambda s, d: similarity.knn_classify(_embeddings(s, d)),
         "text_lang_id": lambda s, d: text.lang_id(_documents(s, d)),
@@ -747,6 +748,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_anchor_text": graph.anchor_text_sql(),
         "events_retention_cohorts": rel.EVENTS_RETENTION_SQL,
         "events_markov_transitions": rel.EVENTS_MARKOV_SQL,
+        "events_cms_user_counts": rel.events_cms_user_counts_sql(),
         "embedding_knn_classify": similarity.knn_classify_sql(),
         "docs_tfidf_keywords": text.tfidf_keywords_sql(),
         "dedup_incremental": dedup.INCREMENTAL_DEDUP_SQL,

@@ -1977,3 +1977,86 @@ WITH pairs AS (
 )
 SELECT event_type, next_type, n, {_MARKOV_P} AS p FROM counts
 """
+
+
+CMS_DEPTH = 3
+CMS_WIDTH = 256
+CMS_QUERY_USERS = 16
+
+
+def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch per-user frequency estimates: every event
+    increments DEPTH registers (one md5-derived column per row of the
+    sketch); a point query reads its DEPTH registers and takes the min.
+    Completes the sketch family (KMV/HLL/theta estimate DISTINCTs;
+    count-min estimates FREQUENCIES) — the structure heavy-hitter /
+    rate-limiting pipelines maintain when the key space (users, URLs)
+    is too large for an exact groupBy.
+
+    Exact-integer cross-engine: registers are plain counts keyed by the
+    md5-based hash64 (hashing.py), so both engines build the identical
+    sketch and the row includes the exact count next to the estimate
+    (est >= exact always; equality when no collision).
+
+    Scale shape: the sketch build is ONE map-side-combined groupBy over
+    (depth, column) — the register relation is DEPTH x WIDTH rows,
+    independent of corpus size — and point queries broadcast-join it.
+    """
+    from onnxtr_spark.functions.hashing import hash64
+
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").cast("long").alias("user_id"))
+    key = F.col("user_id").cast("string")
+
+    def cols_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            df["*"],
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(hash64(key, d), F.lit(CMS_WIDTH)).alias("c"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ])
+            ).alias("s"),
+        ).select(df["*"], F.col("s.d").alias("d"), F.col("s.c").alias("c"))
+
+    regs = cols_of(ev).groupBy("d", "c").agg(F.count("*").cast("long").alias("n"))
+    q = (
+        ev.where(F.col("user_id") < CMS_QUERY_USERS)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+    )
+    est = (
+        cols_of(q)
+        .join(F.broadcast(regs), ["d", "c"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("n").alias("cms_est"))
+    )
+    return est.select("user_id", "cms_est", "n_exact")
+
+
+def events_cms_user_counts_sql() -> str:
+    from onnxtr_spark.functions.hashing import hash64_sql
+
+    key = "CAST(user_id AS VARCHAR)"
+    build = " UNION ALL ".join(
+        f"SELECT {d} AS d, {hash64_sql(key, d)} % {CMS_WIDTH} AS c FROM ev"
+        for d in range(CMS_DEPTH)
+    )
+    probe = " UNION ALL ".join(
+        f"SELECT user_id, n_exact, {d} AS d, {hash64_sql(key, d)} % {CMS_WIDTH} AS c FROM q"
+        for d in range(CMS_DEPTH)
+    )
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT user_id FROM events
+), cells AS ({build}),
+regs AS (SELECT d, c, count(*) AS n FROM cells GROUP BY 1, 2),
+q AS MATERIALIZED (
+  SELECT user_id, count(*) AS n_exact FROM ev WHERE user_id < {CMS_QUERY_USERS} GROUP BY 1
+), probes AS ({probe})
+SELECT p.user_id, min(r.n) AS cms_est, min(p.n_exact) AS n_exact
+FROM probes p JOIN regs r ON p.d = r.d AND p.c = r.c
+GROUP BY 1
+"""

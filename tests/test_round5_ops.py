@@ -247,3 +247,33 @@ def test_markov_transitions_counts_and_rows_sum_to_one(spark, tmp_path):
     # each row of the matrix sums to ~1
     sums = out.groupby("event_type")["p"].sum()
     assert ((sums - 1.0).abs() < 0.001).all()
+
+
+# --- events_cms_user_counts ---------------------------------------------------
+
+
+def test_cms_overestimates_never_under_and_exact_when_sparse(spark, tmp_path):
+    """Count-min invariant: est >= exact for every key; with far fewer
+    keys than WIDTH and DEPTH=3 independent rows, a planted skew key's
+    estimate is exact (no collision across all 3 rows)."""
+    import datetime
+    import os
+
+    rows = []
+    eid = 0
+    for u in range(20):
+        for _ in range(3 if u else 50):  # user 0 is the heavy hitter
+            rows.append((eid, datetime.datetime(2026, 1, 1), u, "click", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    from onnxtr_spark.queries.relational import events_cms_user_counts
+
+    out = events_cms_user_counts(spark, d).toPandas().set_index("user_id")
+    assert (out["cms_est"] >= out["n_exact"]).all()
+    assert out.loc[0, "n_exact"] == 50
+    # 20 keys in 256 columns x 3 rows: collision across ALL rows is
+    # (20/256)^3-unlikely per key; the planted corpus has none
+    assert (out["cms_est"] == out["n_exact"]).all()
