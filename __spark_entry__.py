@@ -522,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_purchase_attribution": rel.events_purchase_attribution,
         "events_range_join": rel.events_range_join,
         "events_value_histogram": rel.events_value_histogram,
+        "events_value_zscore": rel.events_value_zscore,
         "orders_rollup": rel.orders_rollup,
         "top_customers": rel.top_customers,
         "order_priority_count": rel.order_priority_count,
@@ -547,6 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_weighted_sample": lambda s, d: selection.weighted_sample(_documents(s, d)),
         "text_pii_scrub": lambda s, d: text.pii_scrub(_documents(s, d)),
         "text_repetition_stats": lambda s, d: text.repetition_stats(_documents(s, d)),
+        "text_normalize": lambda s, d: text.normalize_text(_documents(s, d)),
+        "docs_chunk_sliding": lambda s, d: text.chunk_sliding(_documents(s, d)),
         "docs_boilerplate_scrub": lambda s, d: selection.boilerplate_scrub(_documents(s, d)),
         "docs_dsir_weights": lambda s, d: selection.dsir_weights(_documents(s, d)),
         "dedup_passages": lambda s, d: text.passage_dedup(_documents(s, d)),
@@ -682,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
         "events_purchase_attribution": rel.EVENTS_ASOF_SQL,
         "events_range_join": rel.EVENTS_RANGE_JOIN_SQL,
         "events_value_histogram": rel.EVENTS_HISTOGRAM_SQL,
+        "events_value_zscore": rel.events_value_zscore_sql(),
         "orders_rollup": rel.ORDERS_ROLLUP_SQL,
         "events_top_users": rel.EVENTS_TOP_USERS_SQL,
         "events_funnel": rel.EVENTS_FUNNEL_SQL,
@@ -707,6 +711,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_weighted_sample": selection.weighted_sample_sql(),
         "text_pii_scrub": text.pii_scrub_sql(),
         "text_repetition_stats": text.repetition_stats_sql(),
+        "text_normalize": text.normalize_text_sql(),
+        "docs_chunk_sliding": text.chunk_sliding_sql(),
         "docs_boilerplate_scrub": selection.boilerplate_scrub_sql(),
         "docs_dsir_weights": selection.dsir_weights_sql(),
         "dedup_keep_best": selection.keep_best_sql(),

@@ -2132,3 +2132,125 @@ SELECT doc_id, term, tf, tfidf_micro, rk FROM (
   FROM tf JOIN dfr USING (term) CROSS JOIN n
 ) WHERE rk <= {k}
 """
+
+
+# --- canonical text normalization (pre-dedup cleanup) -----------------------
+# The ftfy/ccnet-style canonical form most dedup pipelines hash instead
+# of raw text: lowercase, strip everything outside [a-z0-9 ], collapse
+# whitespace runs. Kept to the ASCII-safe regex subset that Java regex
+# (Spark) and RE2 (DuckDB) treat identically.
+
+
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """Per-doc canonical-form stats: (doc_id, norm_hash, n_norm_chars,
+    n_norm_tokens, removed_frac). norm_hash is the cross-engine md5-60
+    hash of the canonical form — the key exact dedup SHOULD group on
+    (casing/punctuation variants of the same text collide here but not
+    under raw-text hashing). removed_frac measures how much of the raw
+    text the canonicalization discarded — a cheap boilerplate signal.
+
+    Pure per-row column algebra: no shuffle, no Python; at 100 TB this
+    is a narrow map over the scan."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.trim("text")), r"[^a-z0-9 ]+", " "), r"  +", " "
+        )
+    )
+    n_raw = F.length(F.trim("text")).cast("double")
+    n_norm = F.length(norm).cast("long")
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        hash64(norm, seed=71).alias("norm_hash"),
+        n_norm.alias("n_norm_chars"),
+        F.when(n_norm == 0, F.lit(0)).otherwise(F.size(F.split(norm, " "))).cast("long").alias("n_norm_tokens"),
+        F.when(n_raw == 0, F.lit(0.0))
+        .otherwise(round_half_up((n_raw - n_norm) / n_raw, 4))
+        .alias("removed_frac"),
+    )
+
+
+def normalize_text_sql() -> str:
+    return f"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]+', ' ', 'g'),
+                             '  +', ' ', 'g')) AS norm,
+         length(trim(text))::DOUBLE AS n_raw
+  FROM documents
+)
+SELECT doc_id,
+       {hash64_sql('norm', seed=71)} AS norm_hash,
+       length(norm) AS n_norm_chars,
+       CASE WHEN length(norm) = 0 THEN 0
+            ELSE len(string_split(norm, ' ')) END AS n_norm_tokens,
+       CASE WHEN n_raw = 0 THEN 0.0
+            ELSE {round_half_up_sql('(n_raw - length(norm)) / n_raw', 4)} END AS removed_frac
+FROM n
+"""
+
+
+# --- sliding-window chunking (RAG / retrieval corpus prep) ------------------
+# Overlapping fixed-width windows over the token stream — the standard
+# retrieval-chunking layout (win tokens, stride < win so consecutive
+# chunks share win-stride tokens of context). Complements
+# pack_sequences (non-overlapping training bins): this one preserves
+# in-doc context overlap for embedding/retrieval corpora.
+
+CHUNK_WIN = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_sliding(
+    documents: DataFrame, win: int = CHUNK_WIN, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Chunk each doc's whitespace-token stream into overlapping windows
+    of `win` tokens every `stride` tokens (chunk starts 0, stride,
+    2*stride, ... < n_tokens; the final chunks may be short). Output per
+    chunk: (doc_id, chunk_idx, start_tok, n_chunk_toks, chunk_hash) with
+    chunk_hash the cross-engine hash of the space-joined chunk — the
+    unit retrieval indexes embed and near-dedup runs over.
+
+    Scale: fan-out is ceil(n/stride) per doc — bounded, narrow (explode
+    after a scan; no shuffle at all). The token array is dropped at the
+    first projection after slicing, so only chunk-sized strings cross
+    operator boundaries."""
+    base = (
+        spread(documents)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            tokens().alias("toks"),
+            F.size(tokens()).alias("n"),
+        )
+        .where(F.col("n") > 0)
+    )
+    chunk = F.slice("toks", F.col("start") + 1, F.lit(win))
+    return (
+        base.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"start div {stride}").alias("chunk_idx"),
+            F.col("start").cast("long").alias("start_tok"),
+            F.size(chunk).cast("long").alias("n_chunk_toks"),
+            hash64(F.array_join(chunk, " "), seed=73).alias("chunk_hash"),
+        )
+    )
+
+
+def chunk_sliding_sql(win: int = CHUNK_WIN, stride: int = CHUNK_STRIDE) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks, len({_TOKENS_SQL}) AS n FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest(range(0, n, {stride})) AS start FROM t WHERE n > 0
+)
+SELECT doc_id,
+       start // {stride} AS chunk_idx,
+       CAST(start AS BIGINT) AS start_tok,
+       len(toks[start + 1 : start + {win}]) AS n_chunk_toks,
+       {hash64_sql(f"array_to_string(toks[start + 1 : start + {win}], ' ')", seed=73)} AS chunk_hash
+FROM s
+"""

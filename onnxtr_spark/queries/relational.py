@@ -2060,3 +2060,78 @@ SELECT p.user_id, min(r.n) AS cms_est, min(p.n_exact) AS n_exact
 FROM probes p JOIN regs r ON p.d = r.d AND p.c = r.c
 GROUP BY 1
 """
+
+
+# --- per-type value anomalies (exact-integer z-scores) ----------------------
+
+ZSCORE_T = 2  # flag |z| >= 2 population standard deviations
+
+
+def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value outliers — the monitoring/data-quality pass
+    that flags events whose value sits >= ZSCORE_T population standard
+    deviations from their type's mean.
+
+    The threshold comparison is EXACT integer arithmetic so both
+    engines flag the identical row set: with per-row integer cents c,
+    S = sum(c), Q = sum(c^2) and n per type,
+        z = (n*c - S) / sqrt(n*Q - S^2)
+    and |z| >= t  <=>  (n*c - S)^2 >= t^2 * (n*Q - S^2), evaluated in
+    DECIMAL(38,0) (DuckDB: HUGEINT) — no float enters until the
+    reported z itself, computed from identical integers on both sides
+    (IEEE sqrt/divide are deterministic) and rounded at the edge.
+
+    Scale shape: one map-side-combined groupBy over event_type (tiny
+    result), broadcast back onto the scan, per-row filter — the stats
+    join is a broadcast by construction, so the only shuffle is the
+    k-row moment aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    rows = ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        cents.alias("c"),
+    )
+    dec = "decimal(38,0)"
+    stats = rows.groupBy("event_type").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("c").cast(dec)).cast(dec).alias("s"),
+        F.sum((F.col("c") * F.col("c")).cast(dec)).cast(dec).alias("q"),
+    )
+    j = rows.join(F.broadcast(stats), "event_type")
+    diff = (F.col("n") * F.col("c") - F.col("s")).cast(dec)
+    var_num = (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast(dec)
+    z = round_half_up(
+        diff.cast("double") / F.sqrt(var_num.cast("double")), 4
+    )
+    return (
+        j.where(var_num > 0)
+        .where(diff * diff >= F.lit(ZSCORE_T * ZSCORE_T).cast(dec) * var_num)
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("c") / F.lit(100.0)).alias("value"),
+            z.alias("z"),
+        )
+    )
+
+
+def events_value_zscore_sql() -> str:
+    return f"""
+WITH c AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+), stats AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(c) AS HUGEINT) AS s,
+         CAST(sum(c * c) AS HUGEINT) AS q
+  FROM c GROUP BY 1
+)
+SELECT event_id, event_type, c / 100.0 AS value,
+       {round_half_up_sql('CAST(n * c - s AS DOUBLE) / sqrt(CAST(n * q - s * s AS DOUBLE))', 4)} AS z
+FROM c JOIN stats USING (event_type)
+WHERE n * q - s * s > 0
+  AND (n * c - s) * (n * c - s) >= {ZSCORE_T * ZSCORE_T} * (n * q - s * s)
+"""

@@ -277,3 +277,65 @@ def test_cms_overestimates_never_under_and_exact_when_sparse(spark, tmp_path):
     # 20 keys in 256 columns x 3 rows: collision across ALL rows is
     # (20/256)^3-unlikely per key; the planted corpus has none
     assert (out["cms_est"] == out["n_exact"]).all()
+
+
+# --- text_normalize / docs_chunk_sliding / events_value_zscore --------------
+
+
+def test_normalize_text_collapses_case_and_punct(spark):
+    out = (
+        T.normalize_text(
+            _docs(spark, ["Hello,   WORLD!!", "hello world", "###", "plain text"])
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # casing/punctuation variants of the same words share a norm_hash
+    assert out.loc[0, "norm_hash"] == out.loc[1, "norm_hash"]
+    assert out.loc[0, "n_norm_tokens"] == 2 and out.loc[0, "n_norm_chars"] == 11
+    # all-symbol doc normalizes to empty: 0 chars, 0 tokens, frac 1.0
+    assert out.loc[2, "n_norm_chars"] == 0 and out.loc[2, "n_norm_tokens"] == 0
+    assert out.loc[2, "removed_frac"] == 1.0
+    assert out.loc[3, "removed_frac"] == 0.0
+
+
+def test_chunk_sliding_windows_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(100))  # 100 tokens
+    out = (
+        T.chunk_sliding(_docs(spark, [text]), win=64, stride=48)
+        .toPandas()
+        .sort_values("chunk_idx")
+        .reset_index(drop=True)
+    )
+    assert list(out["start_tok"]) == [0, 48, 96]
+    assert list(out["n_chunk_toks"]) == [64, 52, 4]
+    assert list(out["chunk_idx"]) == [0, 1, 2]
+    # identical token windows hash identically across docs
+    out2 = T.chunk_sliding(_docs(spark, [text, text], start_id=10), win=64, stride=48).toPandas()
+    h = out2.groupby("chunk_idx")["chunk_hash"].nunique()
+    assert (h == 1).all()
+
+
+def test_events_value_zscore_flags_planted_outlier(spark, tmp_path):
+    import numpy as np
+
+    from onnxtr_spark.queries import relational as R
+
+    vals = [10.0] * 19 + [300.0]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(20),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": [1] * 20,
+            "event_type": ["click"] * 20,
+            "value": vals,
+            "props": ["{}"] * 20,
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = R.events_value_zscore(spark, str(tmp_path)).toPandas()
+    # only the planted outlier clears |z| >= 2
+    assert list(out["event_id"]) == [19] and list(out["value"]) == [300.0]
+    c = np.array([round(v * 100) for v in vals], dtype=np.int64)
+    z = (20 * c[19] - c.sum()) / np.sqrt(20 * (c * c).sum() - c.sum() ** 2)
+    assert abs(out["z"].iloc[0] - np.floor(z * 10000 + 0.5) / 10000) < 1e-12
