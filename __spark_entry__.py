@@ -549,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": lambda s, d: text.pii_scrub(_documents(s, d)),
         "text_repetition_stats": lambda s, d: text.repetition_stats(_documents(s, d)),
         "text_normalize": lambda s, d: text.normalize_text(_documents(s, d)),
+        "dedup_normalized": lambda s, d: text.normalize_dedup(_documents(s, d)),
         "docs_chunk_sliding": lambda s, d: text.chunk_sliding(_documents(s, d)),
         "docs_boilerplate_scrub": lambda s, d: selection.boilerplate_scrub(_documents(s, d)),
         "docs_dsir_weights": lambda s, d: selection.dsir_weights(_documents(s, d)),
@@ -712,6 +713,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": text.pii_scrub_sql(),
         "text_repetition_stats": text.repetition_stats_sql(),
         "text_normalize": text.normalize_text_sql(),
+        "dedup_normalized": text.normalize_dedup_sql(),
         "docs_chunk_sliding": text.chunk_sliding_sql(),
         "docs_boilerplate_scrub": selection.boilerplate_scrub_sql(),
         "docs_dsir_weights": selection.dsir_weights_sql(),

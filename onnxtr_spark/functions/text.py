@@ -2254,3 +2254,49 @@ SELECT doc_id,
        {hash64_sql(f"array_to_string(toks[start + 1 : start + {win}], ' ')", seed=73)} AS chunk_hash
 FROM s
 """
+
+
+def _canonical():
+    """The shared canonical-form Column (see normalize_text)."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.trim("text")), r"[^a-z0-9 ]+", " "), r"  +", " "
+        )
+    )
+
+
+_CANONICAL_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]+', ' ', 'g'),"
+    " '  +', ' ', 'g'))"
+)
+
+
+def normalize_dedup(documents: DataFrame) -> DataFrame:
+    """Exact-dedup groups over the CANONICAL form: (norm_hash, n_docs,
+    canonical_doc_id). Catches the casing/punctuation/whitespace
+    variants that raw exact dedup (dedup_exact, whitespace-normalized
+    only) misses — the usual first escalation before MinHash. Same
+    scale shape as dedup_exact: one map-side-combined groupBy, nothing
+    else. norm_hash uses the same seed as normalize_text, so the two
+    outputs join directly."""
+    return (
+        documents.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            hash64(_canonical(), seed=71).alias("norm_hash"),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def normalize_dedup_sql() -> str:
+    return f"""
+SELECT {hash64_sql(_CANONICAL_SQL, seed=71)} AS norm_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS canonical_doc_id
+FROM documents
+GROUP BY 1
+"""

@@ -339,3 +339,16 @@ def test_events_value_zscore_flags_planted_outlier(spark, tmp_path):
     c = np.array([round(v * 100) for v in vals], dtype=np.int64)
     z = (20 * c[19] - c.sum()) / np.sqrt(20 * (c * c).sum() - c.sum() ** 2)
     assert abs(out["z"].iloc[0] - np.floor(z * 10000 + 0.5) / 10000) < 1e-12
+
+
+def test_normalize_dedup_collapses_variants_raw_dedup_misses(spark):
+    docs = _docs(spark, ["Hello, World!", "hello   world", "HELLO WORLD", "other doc"])
+    out = T.normalize_dedup(docs).toPandas()
+    assert len(out) == 2  # 3 variants collapse; raw exact dedup keeps all 4
+    grp = out[out["n_docs"] == 3]
+    assert len(grp) == 1 and grp["canonical_doc_id"].iloc[0] == 0
+    raw = D.exact_dedup(docs).toPandas()
+    assert (raw["n_docs"] == 1).all()
+    # joinable with normalize_text through the shared hash seed
+    nt = T.normalize_text(docs).toPandas()
+    assert set(out["norm_hash"]) == set(nt["norm_hash"])
