@@ -636,3 +636,31 @@ def test_round5b_ops_plan_shapes(spark):
     p = plan(events_retention_cohorts(spark, SF_DIR))
     assert "CartesianProduct" not in p
     assert len(re.findall(r"\bWindow \[", p)) == 1
+
+
+def test_round5c_ops_plan_shapes(spark):
+    """Scale shapes of the normalization/chunking/z-score ops: z-score
+    broadcasts the k-row per-type moments back onto the scan (partial
+    agg, no second full shuffle); sliding chunking is scan -> explode
+    with no join/window; both dedup-normalized and normalize_text stay
+    window- and join-free (one partial-combined agg / pure map)."""
+    from onnxtr_spark.functions.text import chunk_sliding, normalize_dedup, normalize_text
+    from onnxtr_spark.queries.relational import events_value_zscore
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    p = plan(events_value_zscore(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p  # moments join must be broadcast
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+
+    p = plan(chunk_sliding(docs))
+    assert "Generate" in p  # the explode
+    assert "Join" not in p and "Window" not in p and "HashAggregate" not in p
+
+    p = plan(normalize_dedup(docs))
+    assert p.count("HashAggregate") == 2  # partial + final, nothing else
+    assert "Join" not in p and "Window" not in p
+
+    p = plan(normalize_text(docs))
+    assert "Exchange" not in p  # pure narrow map over the scan
