@@ -91,6 +91,9 @@ HEADLINE = [
     "dedup_incremental_bloom",
     "docs_tfidf_keywords",
     "embedding_knn_classify",
+    "dedup_normalized",
+    "docs_chunk_sliding",
+    "events_value_zscore",
 ]
 
 
