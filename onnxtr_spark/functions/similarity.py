@@ -928,46 +928,110 @@ def knn_classify(embeddings: DataFrame, k: int = KNN_CLASSIFY_K, mod: int = KNN_
     total-order tie-break; votes break ties (count DESC, label ASC).
     Output (vec_id, pred_label, n_votes).
 
-    Scale shape: reuses the brute-force crossJoin(broadcast(queries))
-    baseline and the two-level partial top-k (_topk) — no full sort,
-    no per-query single-partition shuffle; the vote is a groupBy over
-    k rows per query. The IVF/LSH variants swap in for the candidate
-    generation exactly as in ann_ivf_topk/ann_lsh_buckets.
+    Scale shape (round-6 rewrite): exact kNN is inherently all-pairs
+    (N_lab × N_unl dot products — the oracle defines the exact answer,
+    so ANN candidate generation cannot substitute without changing
+    results). The previous shape materialized every pair as a JVM row
+    through interpreted zip_with/aggregate lambdas (~7 µs/pair: 575 s
+    at the driver's sf1.0). Now the labeled index is ONE broadcast
+    float64 matrix and the unlabeled split streams through mapInPandas;
+    each task computes its rows' sims against the whole index in
+    vectorized NumPy whose per-dimension accumulation loop reproduces
+    the JVM fold EXACTLY (acc = ((0 + x0·y0) + x1·y1) + … in float64,
+    the same left-to-right order as F.aggregate(zip_with(...)) and
+    DuckDB's list_sum), then rounds with the identical
+    floor(x·10^ROUND + 0.5)/10^ROUND op sequence — results are
+    bit-identical, verified against the unchanged DuckDB oracle. No
+    shuffle of pairs, no window: one scan of the unlabeled split.
+    This is the small-index regime (index ≤ executor memory; the
+    labeled matrix is chunked inside the task to bound the working
+    set); a 10^9-vector index belongs to the ANN family
+    (ivf_topk/lsh_near_pairs), which trades exactness for scale.
     """
-    unl = embeddings.where(F.col("vec_id") % mod == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q"),
-        _norm(F.col("embedding")).alias("qn"),
-    )
-    lab = embeddings.where(F.col("vec_id") % mod != 0).select(
-        "vec_id", "embedding", "label", _norm(F.col("embedding")).alias("en")
-    )
-    sims = (
-        lab.crossJoin(F.broadcast(unl))
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    out_schema = "vec_id long, pred_label long, n_votes long"
+    lab_pdf = (
+        embeddings.where(F.col("vec_id") % mod != 0)
         .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            round_half_up(
-                _dot(F.col("q"), F.col("embedding")) / (F.col("qn") * F.col("en")), ROUND
-            ).alias("sim"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "embedding",
+            F.col("label").cast("long").alias("label"),
         )
+        .toPandas()
     )
-    top = _topk(sims, k)
-    votes = (
-        top.join(lab.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id")
-        .groupBy("query_id", "label")
-        .agg(F.count("*").cast("long").alias("n_votes"))
+    if len(lab_pdf) == 0:
+        return spark.createDataFrame([], out_schema)
+    # ascending vec_id so that positional index order == the
+    # (sim DESC, neighbor_id ASC) tie-break order within equal sims
+    lab_pdf = lab_pdf.sort_values("vec_id", kind="mergesort")
+    lab_mat = np.stack(lab_pdf["embedding"].to_numpy()).astype(np.float64)
+    lab_labels = lab_pdf["label"].to_numpy().astype(np.int64)
+    dim = lab_mat.shape[1]
+    # labeled norms once: strict left-to-right fold over dims (the
+    # oracle's list_sum order — sqrt(((0 + x0²) + x1²) + …))
+    ln_sq = np.zeros(len(lab_mat))
+    for d in range(dim):
+        ln_sq = ln_sq + lab_mat[:, d] * lab_mat[:, d]
+    lab_norm = np.sqrt(ln_sq)
+    bc = spark.sparkContext.broadcast((lab_mat, lab_norm, lab_labels))
+    round_m = float(10**ROUND)
+    kk = int(k)
+
+    def _classify(batches):
+        L, ln, labels = bc.value
+        n_lab, d_ = L.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            U = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qn_sq = np.zeros(len(U))
+            for d in range(d_):
+                qn_sq = qn_sq + U[:, d] * U[:, d]
+            qn = np.sqrt(qn_sq)
+            # dot products with strict dim-order accumulation; labeled
+            # axis chunked so the accumulator stays cache-resident
+            sims = np.empty((len(U), n_lab))
+            for s in range(0, n_lab, 4096):
+                e = min(s + 4096, n_lab)
+                acc = np.zeros((len(U), e - s))
+                for d in range(d_):
+                    acc += U[:, d : d + 1] * L[s:e, d][None, :]
+                sims[:, s:e] = acc
+            sims = sims / (qn[:, None] * ln[None, :])
+            sims = np.floor(sims * round_m + 0.5) / round_m + 0.0
+            out_ids = np.empty(len(U), dtype=np.int64)
+            out_lab = np.empty(len(U), dtype=np.int64)
+            out_votes = np.empty(len(U), dtype=np.int64)
+            qids = pdf["vec_id"].to_numpy().astype(np.int64)
+            for i in range(len(U)):
+                row = sims[i]
+                if n_lab <= kk:
+                    top_idx = np.arange(n_lab)
+                else:
+                    kth = np.partition(row, n_lab - kk)[n_lab - kk]
+                    gt = np.flatnonzero(row > kth)  # ≤ k-1 of these
+                    eq = np.flatnonzero(row == kth)  # ascending vec_id order
+                    top_idx = np.concatenate([gt, eq[: kk - len(gt)]])
+                top_labels = labels[top_idx]
+                uniq, counts = np.unique(top_labels, return_counts=True)
+                best = int(np.argmax(counts))  # first max → smallest label
+                out_ids[i] = qids[i]
+                out_lab[i] = uniq[best]
+                out_votes[i] = counts[best]
+            yield pd.DataFrame(
+                {"vec_id": out_ids, "pred_label": out_lab, "n_votes": out_votes}
+            )
+
+    unl = spread(
+        embeddings.where(F.col("vec_id") % mod == 0).select(
+            F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+        ),
+        "vec_id",
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("label").asc())
-    return (
-        votes.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select(
-            F.col("query_id").cast("long").alias("vec_id"),
-            F.col("label").cast("long").alias("pred_label"),
-            "n_votes",
-        )
-    )
+    return unl.mapInPandas(_classify, out_schema)
 
 
 def knn_classify_sql(k: int = KNN_CLASSIFY_K, mod: int = KNN_UNLABELED_MOD) -> str:

@@ -231,11 +231,13 @@ def rotate_image_nearest(img: np.ndarray, angle_deg: float, expand: bool = True,
     # (CW) rotation to output coords; y-down flips the usual sign.
     sx = np.float32(cos) * xs[None, :] - np.float32(sin) * ys[:, None] + np.float32(w / 2)
     sy = np.float32(sin) * xs[None, :] + np.float32(cos) * ys[:, None] + np.float32(h / 2)
-    xi = np.floor(sx).astype(np.int64)
-    yi = np.floor(sy).astype(np.int64)
+    xi = np.floor(sx).astype(np.int32)
+    yi = np.floor(sy).astype(np.int32)
     inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-    out = np.full((out_h, out_w) + img.shape[2:], fill, dtype=img.dtype)
-    out[inside] = img[yi[inside], xi[inside]]
+    # full clipped gather + masked fill: one fancy index over the whole
+    # frame beats three boolean-mask extractions (same pixels either way)
+    out = img[np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)]
+    out[~inside] = fill
     return out
 
 
@@ -299,6 +301,29 @@ def columns_to_classes(crop: np.ndarray, vocab: str = DEFAULT_VOCAB) -> np.ndarr
     is_char = (col_min >= CHAR_BASE) & (col_min < CHAR_BASE + len(vocab))
     classes[is_char] = col_min[is_char] - CHAR_BASE
     return classes
+
+
+def batch_columns_to_classes(batch: np.ndarray, vocab: str = DEFAULT_VOCAB) -> np.ndarray:
+    """``columns_to_classes`` over a whole (B, H, W, C) crop batch in one
+    vectorized pass: (B, W) int64 class ids (identical per-crop values —
+    min over the row axis commutes with batching)."""
+    blank = len(vocab)
+    if batch.size == 0:
+        return np.full(batch.shape[:1] + batch.shape[2:3], blank, dtype=np.int64)
+    col_min = batch[:, :, :, 0].min(axis=1).astype(np.int64)  # (B, W)
+    classes = np.full(col_min.shape, blank, dtype=np.int64)
+    is_char = (col_min >= CHAR_BASE) & (col_min < CHAR_BASE + blank)
+    classes[is_char] = col_min[is_char] - CHAR_BASE
+    return classes
+
+
+def batch_classes_to_logits(classes: np.ndarray, n_classes: int, peak: float = 12.0) -> np.ndarray:
+    """One-hot (B, T, C) logits from a (B, T) class batch — the batched
+    ``classes_to_logits`` (same peak, same dtype, one fancy-index store)."""
+    b, t = classes.shape
+    logits = np.zeros((b, t, n_classes), dtype=np.float32)
+    logits[np.arange(b)[:, None], np.arange(t)[None, :], classes] = peak
+    return logits
 
 
 def classes_to_logits(classes: np.ndarray, n_classes: int, peak: float = 12.0) -> np.ndarray:

@@ -71,19 +71,23 @@ def resolve_lines(boxes: np.ndarray, paragraph_break: float = PARAGRAPH_BREAK) -
     """
     idxs = sort_boxes(boxes)
     y_med = np.median(boxes[:, 3] - boxes[:, 1])
+    # per-box y centers once, vectorized: mean(axis=1) over the two
+    # columns is the same float op sequence (and dtype) as the per-row
+    # boxes[idx][[1, 3]].mean() the scan used to repeat
+    y_centers = boxes[:, [1, 3]].mean(axis=1)
 
     lines: list[list[int]] = []
     words: list[int] = [idxs[0]]
-    y_center_sum = boxes[idxs[0]][[1, 3]].mean()
+    y_center_sum = y_centers[idxs[0]]
 
     for idx in idxs[1:]:
-        y_dist = abs(boxes[idx][[1, 3]].mean() - y_center_sum / len(words))
+        y_dist = abs(y_centers[idx] - y_center_sum / len(words))
         if y_dist >= y_med / 2:
             lines.extend(resolve_sub_lines(boxes, words, paragraph_break))
             words = []
             y_center_sum = 0
         words.append(idx)
-        y_center_sum += boxes[idx][[1, 3]].mean()
+        y_center_sum += y_centers[idx]
 
     if words:
         lines.extend(resolve_sub_lines(boxes, words, paragraph_break))

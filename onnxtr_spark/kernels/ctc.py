@@ -92,12 +92,20 @@ def ctc_best_path(logits: np.ndarray, vocab: str, blank: int | None = None) -> l
     probs = (1.0 / s).min(axis=1)
     best = np.argmax(logits, axis=-1)  # (N, T)
 
-    words = []
-    for seq in best:
-        keep = np.ones(len(seq), dtype=bool)
-        keep[1:] = seq[1:] != seq[:-1]  # collapse repeats
-        collapsed = seq[keep]
-        collapsed = collapsed[collapsed != blank]  # drop blank
-        words.append(decode_sequence(collapsed.tolist(), vocab))
+    # Batch collapse: keep positions that differ from their predecessor
+    # AND are not blank — identical to collapse-repeats-then-drop-blank
+    # (a repeat run keeps only its first element; blank runs vanish).
+    # The per-word join happens ONCE for the whole batch: kept classes
+    # are mapped through the vocab and joined into a single string,
+    # then sliced per row by the kept-count offsets.
+    keep = np.ones(best.shape, dtype=bool)
+    keep[:, 1:] = best[:, 1:] != best[:, :-1]
+    keep &= best != blank
+    counts = keep.sum(axis=1)
+    flat = best[keep]  # row-major: row i's kept classes are contiguous
+    lut = np.array(list(vocab))
+    big = "".join(lut[flat].tolist()) if flat.size else ""
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    words = [big[offs[i] : offs[i + 1]] for i in range(len(counts))]
 
     return list(zip(words, probs.astype(float).tolist()))

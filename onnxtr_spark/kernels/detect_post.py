@@ -91,86 +91,101 @@ def binary_open_3x3(bitmap: np.ndarray) -> np.ndarray:
     return np.unpackbits(di, axis=1)[:, :w]
 
 
-def connected_components(bitmap: np.ndarray) -> list[tuple[int, int, int, int]]:
-    """8-connected components of a binary map -> bounding rects (x, y, w, h).
+def label_runs(bitmap: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """8-connected component labeling over row runs, fully vectorized.
 
-    Row-run union-find: vectorized run extraction per row, merges against
-    the previous row's runs. Returns rects in raster order of the
-    component's topmost-leftmost run (deterministic).
+    Returns (ys, xs, xe, lab): one entry per horizontal run in raster
+    order (runs = [xs, xe) on row ys), with ``lab`` the run index of the
+    component's topmost-leftmost run — i.e. components are identified by
+    the minimum run index they contain, so ascending unique label order
+    equals the raster order of each component's first run (the exact
+    deterministic contract the old union-find loop had).
+
+    Vectorization: run extraction is one diff over the padded map; the
+    8-connectivity edges between a run and the previous row's runs are
+    found with two searchsorted calls over composite (row, x) keys (the
+    overlapping runs of the previous row form a contiguous index range
+    because runs within a row are disjoint and sorted); the component
+    labels are resolved by min-label propagation with pointer jumping
+    (O(log diameter) vectorized rounds) instead of a per-run Python
+    union-find loop — same fixpoint (min run index per component).
     """
     h, w = bitmap.shape
-    parent: list[int] = []
-
-    def find(i: int) -> int:
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]
-            i = parent[i]
-        return i
-
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    # Extract all runs of all rows in one vectorized diff over the padded
-    # 2D map (one pass instead of per-row flatnonzero calls).
     padded = np.zeros((h, w + 2), dtype=np.int8)
     padded[:, 1:-1] = bitmap != 0
     d = np.diff(padded, axis=1)
     ys_all, xs_all = np.nonzero(d)  # one pass; +1 = run start, -1 = run end
     vals = d[ys_all, xs_all]
     pos = vals > 0
-    ys_s, starts = ys_all[pos], xs_all[pos]
-    ends = xs_all[~pos]
+    ys, xs = ys_all[pos], xs_all[pos]
+    xe = xs_all[~pos]
+    n = len(ys)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z
 
-    prev_runs: list[tuple[int, int, int]] = []
-    prev_y = -2
-    all_runs: list[tuple[int, int, int, int]] = []  # (row, xs, xe, label)
-    cur_runs: list[tuple[int, int, int]] = []
-    for i in range(len(ys_s)):
-        y = int(ys_s[i])
-        xs, xe = int(starts[i]), int(ends[i])
-        if y != prev_y:
-            prev_runs = cur_runs if y == prev_y + 1 else []
-            cur_runs = []
-            prev_y = y
-        label = len(parent)
-        parent.append(label)
-        # 8-connectivity: overlap with previous row extended by 1 px
-        for pxs, pxe, plabel in prev_runs:
-            if pxs < xe + 1 and pxe > xs - 1:
-                union(label, plabel)
-        cur_runs.append((xs, xe, label))
-        all_runs.append((y, xs, xe, label))
+    # 8-connectivity edges to the previous row: prev run overlaps iff
+    # pxs <= xe and pxe >= xs (the +/-1 extension on integer runs). With
+    # composite keys k = y * K + x (K > any x) the matching prev-row runs
+    # are exactly the contiguous searchsorted range — runs of earlier
+    # rows sort strictly below, runs of later rows strictly above.
+    K = w + 2
+    k_start = ys * K + xs
+    k_end = ys * K + xe
+    lo = np.searchsorted(k_end, (ys - 1) * K + xs, side="left")
+    hi = np.searchsorted(k_start, (ys - 1) * K + xe, side="right")
+    cnt = np.maximum(hi - lo, 0)
+    total = int(cnt.sum())
+    lab = np.arange(n, dtype=np.int64)
+    if total:
+        ea = np.repeat(lab, cnt)
+        off = np.cumsum(cnt) - cnt
+        eb = np.arange(total, dtype=np.int64) - np.repeat(off, cnt) + np.repeat(lo, cnt)
+        while True:
+            m = np.minimum(lab[ea], lab[eb])
+            nxt = lab.copy()
+            np.minimum.at(nxt, ea, m)
+            np.minimum.at(nxt, eb, m)
+            nxt = np.minimum(nxt, nxt[nxt])  # pointer jump
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+    return ys.astype(np.int64), xs.astype(np.int64), xe.astype(np.int64), lab
 
-    # Aggregate rects per root label.
-    rects: dict[int, list[int]] = {}
-    order: list[int] = []
-    for y, xs, xe, label in all_runs:
-        root = find(label)
-        if root not in rects:
-            rects[root] = [xs, y, xe, y + 1]
-            order.append(root)
-        else:
-            r = rects[root]
-            r[0] = min(r[0], xs)
-            r[1] = min(r[1], y)
-            r[2] = max(r[2], xe)
-            r[3] = max(r[3], y + 1)
-    return [
-        (rects[root][0], rects[root][1], rects[root][2] - rects[root][0], rects[root][3] - rects[root][1])
-        for root in order
-    ]
+
+def connected_components(bitmap: np.ndarray) -> list[tuple[int, int, int, int]]:
+    """8-connected components of a binary map -> bounding rects (x, y, w, h).
+
+    Vectorized run labeling (``label_runs``); rects are returned in
+    raster order of the component's topmost-leftmost run (deterministic,
+    identical to the previous union-find implementation).
+    """
+    ys, xs, xe, lab = label_runs(bitmap)
+    if len(ys) == 0:
+        return []
+    roots, inv = np.unique(lab, return_inverse=True)  # ascending = raster order
+    k = len(roots)
+    x0 = np.full(k, np.iinfo(np.int64).max)
+    y0 = np.full(k, np.iinfo(np.int64).max)
+    x1 = np.zeros(k, dtype=np.int64)
+    y1 = np.zeros(k, dtype=np.int64)
+    np.minimum.at(x0, inv, xs)
+    np.minimum.at(y0, inv, ys)
+    np.maximum.at(x1, inv, xe)
+    np.maximum.at(y1, inv, ys + 1)
+    return list(zip((x0).tolist(), (y0).tolist(), (x1 - x0).tolist(), (y1 - y0).tolist()))
 
 
 def box_score(pred: np.ndarray, xmin: float, ymin: float, xmax: float, ymax: float) -> float:
     """Mean probability over the clipped integer bounding rect
     (reference core.py:46-52, straight path)."""
+    import math
+
     h, w = pred.shape[:2]
-    x0 = int(np.clip(np.floor(xmin), 0, w - 1))
-    x1 = int(np.clip(np.ceil(xmax), 0, w - 1))
-    y0 = int(np.clip(np.floor(ymin), 0, h - 1))
-    y1 = int(np.clip(np.ceil(ymax), 0, h - 1))
+    x0 = min(max(math.floor(xmin), 0), w - 1)
+    x1 = min(max(math.ceil(xmax), 0), w - 1)
+    y0 = min(max(math.floor(ymin), 0), h - 1)
+    y1 = min(max(math.ceil(ymax), 0), h - 1)
     return float(pred[y0 : y1 + 1, x0 : x1 + 1].mean())
 
 
@@ -180,15 +195,19 @@ def unclip_rect(x: int, y: int, w: int, h: int, unclip_ratio: float = UNCLIP_RAT
     ``distance = area * ratio / perimeter`` on each side, then integer
     bounding rect (floor origin, ceil extent — cv2.boundingRect on the
     offset polygon's float points)."""
+    import math
+
     area = float(w * h)
     length = 2.0 * (w + h)
     if length == 0:
         return x, y, w, h
     d = area * unclip_ratio / length
-    x0 = int(np.floor(x - d))
-    y0 = int(np.floor(y - d))
-    x1 = int(np.ceil(x + w + d))
-    y1 = int(np.ceil(y + h + d))
+    # math.floor/ceil are the identical IEEE operations np.floor/np.ceil
+    # perform, without the per-box ufunc dispatch (hot: once per box)
+    x0 = math.floor(x - d)
+    y0 = math.floor(y - d)
+    x1 = math.ceil(x + w + d)
+    y1 = math.ceil(y + h + d)
     return x0, y0, x1 - x0, y1 - y0
 
 
@@ -293,10 +312,12 @@ def postprocess_pixel_map(
     for x, y, w, h in connected_components(bitmap):
         if w < 3 or h < 3:  # contour-span < 2 (see bitmap_to_boxes)
             continue
-        x0 = int(np.clip(np.floor(x), 0, width - 1))
-        x1 = int(np.clip(np.ceil(x + w), 0, width - 1))
-        y0 = int(np.clip(np.floor(y), 0, height - 1))
-        y1 = int(np.clip(np.ceil(y + h), 0, height - 1))
+        # x, y, w, h are exact ints from the labeling: floor/ceil are
+        # identities and the clip is two int comparisons
+        x0 = min(max(x, 0), width - 1)
+        x1 = min(max(x + w, 0), width - 1)
+        y0 = min(max(y, 0), height - 1)
+        y1 = min(max(y + h, 0), height - 1)
         score = (255.0 - float(px_map[y0 : y1 + 1, x0 : x1 + 1].mean())) / 255.0
         if score < box_thresh:
             continue

@@ -37,6 +37,28 @@ def extract_crops(img: np.ndarray, boxes: np.ndarray) -> list[np.ndarray]:
     return [img[b[1] : b[3], b[0] : b[2]].copy() for b in _boxes]
 
 
+# Nearest-neighbor index cache: crop/page shapes repeat heavily (glyph
+# geometry is quantized), and building the two index vectors costs ~6
+# numpy calls per resize — an order of magnitude more than the gather
+# itself for word crops. Keyed by exact (h, w, target_h, target_w), so
+# cached indices are the identical arrays the direct computation yields.
+_NN_IDX_CACHE: dict[tuple[int, int, int, int], tuple[np.ndarray, np.ndarray, int, int]] = {}
+
+
+def _nn_indices(h: int, w: int, target_h: int, target_w: int) -> tuple[np.ndarray, np.ndarray, int, int]:
+    key = (h, w, target_h, target_w)
+    hit = _NN_IDX_CACHE.get(key)
+    if hit is None:
+        scale = min(target_h / h, target_w / w)
+        new_h, new_w = max(1, round(h * scale)), max(1, round(w * scale))
+        ys = np.minimum((np.arange(new_h) / scale).astype(np.int64), h - 1)
+        xs = np.minimum((np.arange(new_w) / scale).astype(np.int64), w - 1)
+        if len(_NN_IDX_CACHE) >= 4096:
+            _NN_IDX_CACHE.clear()
+        hit = _NN_IDX_CACHE[key] = (ys[:, None], xs, new_h, new_w)
+    return hit
+
+
 def resize_preserve(
     img: np.ndarray,
     target_h: int,
@@ -51,12 +73,8 @@ def resize_preserve(
     (half the slack before, reference transforms/base.py:59-71).
     """
     h, w = img.shape[:2]
-    scale = min(target_h / h, target_w / w)
-    new_h, new_w = max(1, round(h * scale)), max(1, round(w * scale))
-
-    ys = np.minimum((np.arange(new_h) / scale).astype(np.int64), h - 1)
-    xs = np.minimum((np.arange(new_w) / scale).astype(np.int64), w - 1)
-    resized = img[np.ix_(ys, xs)]  # single gather, one copy
+    ys, xs, new_h, new_w = _nn_indices(h, w, target_h, target_w)
+    resized = img[ys, xs]  # single gather, one copy
 
     out_shape = (target_h, target_w) + img.shape[2:]
     out = np.full(out_shape, pad_value, dtype=img.dtype)
@@ -91,8 +109,11 @@ def resize_unpadded(img: np.ndarray, target_h: int, target_w: int) -> np.ndarray
     batch's max width instead of a fixed one (ORT dynamic axes analog;
     padding columns are pure waste in the T axis of the logits)."""
     h, w = img.shape[:2]
-    scale = min(target_h / h, target_w / w)
-    new_h, new_w = max(1, round(h * scale)), max(1, round(w * scale))
-    ys = np.minimum((np.arange(new_h) / scale).astype(np.int64), h - 1)
-    xs = np.minimum((np.arange(new_w) / scale).astype(np.int64), w - 1)
-    return img[np.ix_(ys, xs)]
+    ys, xs, _, _ = _nn_indices(h, w, target_h, target_w)
+    if img.ndim == 3 and img.shape[2] == 3 and img.strides[2] == 0:
+        # grayscale page stored as a stride-0 RGB broadcast
+        # (imaging.decode_image): gather ONE plane and re-broadcast —
+        # value-identical (all three channels alias the same memory)
+        out0 = img[:, :, 0][ys, xs]
+        return np.broadcast_to(out0[:, :, None], out0.shape + (3,))
+    return img[ys, xs]

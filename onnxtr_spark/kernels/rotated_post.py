@@ -39,58 +39,28 @@ from onnxtr_spark.kernels.detect_post import BIN_THRESH, BOX_THRESH, UNCLIP_RATI
 def component_runs(bitmap: np.ndarray) -> list[list[tuple[int, int, int]]]:
     """8-connected components as per-component row runs [(y, xs, xe)].
 
-    Same vectorized run extraction + union-find as
-    ``detect_post.connected_components``; components are returned in
-    raster order of their topmost-leftmost run (deterministic).
+    Vectorized run labeling (``detect_post.label_runs`` — searchsorted
+    overlap edges + min-label pointer jumping); components are returned
+    in raster order of their topmost-leftmost run with runs in raster
+    order within each component (deterministic, identical to the
+    previous per-run union-find loop).
     """
-    h, w = bitmap.shape
-    parent: list[int] = []
+    from onnxtr_spark.kernels.detect_post import label_runs
 
-    def find(i: int) -> int:
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]
-            i = parent[i]
-        return i
-
-    padded = np.zeros((h, w + 2), dtype=np.int8)
-    padded[:, 1:-1] = bitmap != 0
-    d = np.diff(padded, axis=1)
-    ys_all, xs_all = np.nonzero(d)
-    vals = d[ys_all, xs_all]
-    pos = vals > 0
-    ys_s, starts = ys_all[pos], xs_all[pos]
-    ends = xs_all[~pos]
-
-    prev_runs: list[tuple[int, int, int]] = []
-    prev_y = -2
-    all_runs: list[tuple[int, int, int, int]] = []
-    cur_runs: list[tuple[int, int, int]] = []
-    for i in range(len(ys_s)):
-        y = int(ys_s[i])
-        xs, xe = int(starts[i]), int(ends[i])
-        if y != prev_y:
-            prev_runs = cur_runs if y == prev_y + 1 else []
-            cur_runs = []
-            prev_y = y
-        label = len(parent)
-        parent.append(label)
-        for pxs, pxe, plabel in prev_runs:
-            if pxs < xe + 1 and pxe > xs - 1:
-                ra, rb = find(label), find(plabel)
-                if ra != rb:
-                    parent[max(ra, rb)] = min(ra, rb)
-        cur_runs.append((xs, xe, label))
-        all_runs.append((y, xs, xe, label))
-
-    groups: dict[int, list[tuple[int, int, int]]] = {}
-    order: list[int] = []
-    for y, xs, xe, label in all_runs:
-        root = find(label)
-        if root not in groups:
-            groups[root] = []
-            order.append(root)
-        groups[root].append((y, xs, xe))
-    return [groups[root] for root in order]
+    ys, xs, xe, lab = label_runs(bitmap)
+    n = len(ys)
+    if n == 0:
+        return []
+    # stable sort by label keeps raster order within each component;
+    # ascending label order == raster order of component first-runs
+    order = np.argsort(lab, kind="stable")
+    sorted_lab = lab[order]
+    bounds = np.flatnonzero(np.r_[True, sorted_lab[1:] != sorted_lab[:-1], True])
+    triples = np.stack([ys[order], xs[order], xe[order]], axis=1).tolist()
+    return [
+        [tuple(t) for t in triples[bounds[i] : bounds[i + 1]]]
+        for i in range(len(bounds) - 1)
+    ]
 
 
 def _half(seq: list[tuple[float, float]]) -> list[tuple[float, float]]:
@@ -112,8 +82,11 @@ def _hull_points(points: np.ndarray) -> list[tuple[float, float]]:
     Pure-Python tuples: the per-component point sets are tiny (2 per
     blob row, ~20-60 points), where per-element numpy calls cost ~10x
     more than float tuple arithmetic (this runs once per connected
-    component per page — the rotated path's hottest kernel)."""
-    pts = sorted(set(map(tuple, np.asarray(points, dtype=np.float64).tolist())))
+    component per page — the rotated path's hottest kernel). Accepts a
+    ready list of float tuples directly to skip the ndarray round-trip."""
+    if isinstance(points, np.ndarray):
+        points = map(tuple, points.astype(np.float64).tolist())
+    pts = sorted(set(points))
     if len(pts) <= 2:
         return pts
     return _half(pts)[:-1] + _half(pts[::-1])[:-1]
@@ -145,44 +118,38 @@ def min_area_rect(points: np.ndarray) -> tuple[float, float, float, float, float
         dx, dy = x1 - x0, y1 - y0
         return (x0 + x1) / 2, (y0 + y1) / 2, math.hypot(dx, dy), 0.0, math.atan2(dy, dx)
     n = len(hull)
-    best_area = best_ux = best_uy = best_pumin = best_pumax = best_pvmin = best_pvmax = 0.0
-    have = False
-    for i in range(n):
-        x0, y0 = hull[i]
-        x1, y1 = hull[i + 1] if i + 1 < n else hull[0]
-        ex, ey = x1 - x0, y1 - y0
-        length = math.hypot(ex, ey)
-        ux, uy = ex / length, ey / length
-        vx, vy = -uy, ux
-        hx, hy = hull[0]
-        pumin = pumax = hx * ux + hy * uy
-        pvmin = pvmax = hx * vx + hy * vy
-        for hx, hy in hull[1:]:
-            pu = hx * ux + hy * uy
-            if pu < pumin:
-                pumin = pu
-            elif pu > pumax:
-                pumax = pu
-            pv = hx * vx + hy * vy
-            if pv < pvmin:
-                pvmin = pv
-            elif pv > pvmax:
-                pvmax = pv
-        area = (pumax - pumin) * (pvmax - pvmin)
-        if not have or area < best_area:
-            have = True
-            best_area, best_ux, best_uy = area, ux, uy
-            best_pumin, best_pumax, best_pvmin, best_pvmax = pumin, pumax, pvmin, pvmax
-    ux, uy = best_ux, best_uy
-    vx, vy = -uy, ux
-    cu = (best_pumax + best_pumin) / 2
-    cv_ = (best_pvmax + best_pvmin) / 2
+    # Vectorized calipers: ONE H×E broadcast per projection axis instead
+    # of the O(E·H) Python float loop. The projection is evaluated as
+    # (hx*ux) + (hy*uy) — two elementwise multiplies and one add, the
+    # IDENTICAL IEEE op sequence the scalar loop used (no BLAS matmul,
+    # whose FMA contraction could differ in the last ulp); edge lengths
+    # keep math.hypot per edge so unit vectors are bit-equal too.
+    hx = np.array([p[0] for p in hull])
+    hy = np.array([p[1] for p in hull])
+    ex = np.roll(hx, -1) - hx
+    ey = np.roll(hy, -1) - hy
+    length = np.array([math.hypot(float(a), float(b)) for a, b in zip(ex, ey)])
+    ux = ex / length
+    uy = ey / length
+    pu = hx[:, None] * ux[None, :] + hy[:, None] * uy[None, :]
+    # v = (-uy, ux): pv = hx*(-uy) + hy*ux
+    pv = hx[:, None] * (-uy)[None, :] + hy[:, None] * ux[None, :]
+    pumin = pu.min(axis=0)
+    pumax = pu.max(axis=0)
+    pvmin = pv.min(axis=0)
+    pvmax = pv.max(axis=0)
+    areas = (pumax - pumin) * (pvmax - pvmin)
+    b = int(np.argmin(areas))  # first minimum — the loop's strict < tie-break
+    bux, buy = float(ux[b]), float(uy[b])
+    bvx, bvy = -buy, bux
+    cu = (float(pumax[b]) + float(pumin[b])) / 2
+    cv_ = (float(pvmax[b]) + float(pvmin[b])) / 2
     return (
-        cu * ux + cv_ * vx,
-        cu * uy + cv_ * vy,
-        best_pumax - best_pumin,
-        best_pvmax - best_pvmin,
-        math.atan2(uy, ux),
+        cu * bux + cv_ * bvx,
+        cu * buy + cv_ * bvy,
+        float(pumax[b]) - float(pumin[b]),
+        float(pvmax[b]) - float(pvmin[b]),
+        math.atan2(buy, bux),
     )
 
 
@@ -303,9 +270,10 @@ def _polys_from_components(
             continue
         pts = []
         for y, xs, xe in runs:
-            pts.append((xs, y))
-            pts.append((xe - 1, y))
-        quad = unclip_rotated(*min_area_rect(np.asarray(pts, dtype=np.float64)), unclip_ratio)
+            fy = float(y)
+            pts.append((float(xs), fy))
+            pts.append((float(xe - 1), fy))
+        quad = unclip_rotated(*min_area_rect(pts), unclip_ratio)
         quad[:, 0] /= width
         quad[:, 1] /= height
         polys.append(np.vstack([quad, np.array([0.0, score])]))

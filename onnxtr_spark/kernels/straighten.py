@@ -73,7 +73,7 @@ def _component_rect_stats(runs: list[tuple[int, int, int]]) -> tuple[int, float,
     the reference convention (w is the long side, angle in (−90, 90])."""
     area = sum(xe - xs for _, xs, xe in runs)
     pts = [(float(x), float(y)) for y, xs, xe in runs for x in (xs, xe - 1)]
-    _, _, w, h, a = min_area_rect(np.asarray(pts, dtype=np.float64))
+    _, _, w, h, a = min_area_rect(pts)
     deg = math.degrees(a)
     if w < h:
         w, h = h, w

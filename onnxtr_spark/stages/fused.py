@@ -233,8 +233,17 @@ def detect_recognize_pages(
                         )
                     for hook in det_cfg.hooks:  # loc_preds hooks (detect.py DetectConfig)
                         boxes = hook(boxes)
-                    # --- crop + split (G1, P5, W1)
-                    crops = extract_crops(img, boxes[:, :4].astype(np.float64)) if boxes.shape[0] else []
+                    # --- crop + split (G1, P5, W1). Mixed-contract case
+                    # (float detection + uint8 recognition, e.g. the
+                    # db-float arch): the reco stub reads channel 0 only,
+                    # so crops slice a (H, W, 1) view exactly like the
+                    # all-uint8 fast path — 3× less resize/pad traffic.
+                    crop_src = img[:, :, :1] if (img.shape[2] == 3 and not float_reco) else img
+                    crops = (
+                        extract_crops(crop_src, boxes[:, :4].astype(np.float64))
+                        if boxes.shape[0]
+                        else []
+                    )
                     polys = None
                 else:
                     # Rotated-word path (assume_straight_pages=False,
@@ -261,7 +270,8 @@ def detect_recognize_pages(
                         polys5 = hook(polys5)
                     polys = polys5[:, :4, :].astype(np.float64)
                     scores = polys5[:, 4, 1].astype(np.float64)  # detach_scores, geometry.py:119-122
-                    crops = extract_rcrops_nearest(img, polys) if polys.shape[0] else []
+                    crop_src = img[:, :, :1] if (img.shape[2] == 3 and not float_reco) else img
+                    crops = extract_rcrops_nearest(crop_src, polys) if polys.shape[0] else []
                     # B7 straight-box export carried in the output cols
                     boxes = (
                         np.concatenate([rotated_post.polys_to_straight(polys), scores[:, None]], axis=1)

@@ -664,3 +664,76 @@ def test_round5c_ops_plan_shapes(spark):
 
     p = plan(normalize_text(docs))
     assert "Exchange" not in p  # pure narrow map over the scan
+
+
+def test_knn_classify_no_pair_materialization(spark):
+    """Round-6 rewrite: exact kNN must not materialize the N_lab x N_unl
+    pair relation in the JVM (the old crossJoin(broadcast(unl)) shape —
+    575 s at the driver's sf1.0). The plan is one Arrow stage over the
+    unlabeled scan: no cross join, no window, no pair shuffle."""
+    from onnxtr_spark.functions.similarity import knn_classify
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = plan(knn_classify(emb))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" not in p and "Window" not in p
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
+
+
+def test_knn_classify_matches_independent_bruteforce(spark):
+    """Bit-exact contract of the vectorized path: the NumPy per-dim
+    accumulation must reproduce the oracle's sequential float64 fold,
+    rounding, (sim DESC, id ASC) top-k, and (votes DESC, label ASC)
+    tie-breaks. Re-derives the expected answer with a pure-Python
+    scalar loop (independent of both NumPy vectorization and Spark)."""
+    import math
+    import random
+
+    from onnxtr_spark.functions.similarity import KNN_CLASSIFY_K, ROUND, knn_classify
+
+    rng = random.Random(42)
+    dim, n = 7, 61
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)], rng.randrange(4))
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    # pure-python re-derivation on the FLOAT32-cast values (the parquet/
+    # DataFrame column is array<float>; both engines fold the float64
+    # casts of those float32 values)
+    import numpy as np
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(np.float32(x)) * float(np.float32(y))
+        return acc
+
+    def rnd(x):
+        m = 10.0**ROUND
+        return math.floor(x * m + 0.5) / m + 0.0
+
+    lab = [(i, v, l) for i, v, l in rows if i % 5 != 0]
+    expected = {}
+    for qid, qv, _ in rows:
+        if qid % 5 != 0:
+            continue
+        qn = math.sqrt(fold_dot(qv, qv))
+        sims = sorted(
+            (
+                (-rnd(fold_dot(qv, v) / (qn * math.sqrt(fold_dot(v, v)))), i, l)
+                for i, v, l in lab
+            )
+        )[:KNN_CLASSIFY_K]
+        votes = {}
+        for _, _, l in sims:
+            votes[l] = votes.get(l, 0) + 1
+        best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expected[qid] = (best[0], best[1])
+
+    got = {
+        int(r["vec_id"]): (int(r["pred_label"]), int(r["n_votes"]))
+        for r in knn_classify(emb).collect()
+    }
+    assert got == expected
