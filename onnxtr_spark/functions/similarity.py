@@ -333,6 +333,14 @@ def lsh_near_pairs(
         F.col("vec_id").cast("long").alias("vec_b"), F.col("embedding").alias("eb"),
         _norm(F.col("embedding")).alias("nb"),
     )
+    # NOTE (round-6): an Arrow/NumPy verify stage was measured here and
+    # REVERTED — with the embeddings already join-attached in the JVM,
+    # moving the dot to Python re-ships 2×dim floats per candidate pair
+    # across the Arrow boundary and tripled the query (3.6 s → 10.1 s at
+    # sf0.1). The interpreted HOF fold pays ~7 µs/pair but zero extra
+    # data movement; at the candidate volumes the banded LSH emits
+    # that is the cheaper trade (guide §4.1: control how many columns
+    # cross the boundary — here the answer is "none").
     return (
         cands.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -845,25 +853,45 @@ def semdedup(
         .select("vec_id", "cell", "embedding", _norm(F.col("embedding")).alias("nm"))
         .localCheckpoint(eager=False)
     )
-    a = assigned.select(
-        F.col("vec_id").alias("a_id"), "cell",
-        F.col("embedding").alias("a_emb"), F.col("nm").alias("a_nm"),
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"), "cell",
-        F.col("embedding").alias("b_emb"), F.col("nm").alias("b_nm"),
-    )
+    # Within-cell pairwise max-prior-cosine in ONE vectorized pass per
+    # cell (round-6): the equi-join shape materialized every (a, b)
+    # pair as a JVM row and evaluated the dot through interpreted
+    # zip_with/aggregate lambdas (~7 µs/pair — quadratic within the
+    # cell, so the dominant cost). applyInPandas per cell computes the
+    # same sims in NumPy with the identical left-to-right float64
+    # per-dimension fold, the identical (a_nm * b_nm) denominator
+    # order, and the identical floor-rounding — max over bit-equal
+    # doubles, so the result is unchanged (oracle-green). Cell
+    # populations are the k-means-bounded quadratic unit exactly as
+    # before; only the per-pair constant drops ~50×.
+    import numpy as np
+    import pandas as pd
+
+    round_m = float(10**ROUND)
+
+    def _cell_prior(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", kind="mergesort")
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_id": np.empty(0, dtype=np.int64), "mps": np.empty(0)})
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nm = pdf["nm"].to_numpy().astype(np.float64)
+        d_ = M.shape[1]
+        sims = np.zeros((n, n))
+        for d in range(d_):
+            sims += M[:, d : d + 1] * M[:, d][None, :]
+        sims = sims / (nm[:, None] * nm[None, :])
+        sims = np.floor(sims * round_m + 0.5) / round_m + 0.0
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        mps = np.empty(n - 1)
+        for j in range(1, n):
+            mps[j - 1] = sims[:j, j].max()
+        return pd.DataFrame({"vec_id": ids[1:], "mps": mps})
+
     prior = (
-        a.join(b, "cell")
-        .where(F.col("a_id") < F.col("b_id"))
-        .select(
-            F.col("b_id").alias("vec_id"),
-            round_half_up(
-                _dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nm") * F.col("b_nm")), ROUND
-            ).alias("sim"),
-        )
-        .groupBy("vec_id")
-        .agg(F.max("sim").alias("mps"))
+        assigned.select("vec_id", "cell", "embedding", "nm")
+        .groupBy("cell")
+        .applyInPandas(_cell_prior, "vec_id long, mps double")
     )
     return (
         assigned.join(prior, "vec_id", "left")

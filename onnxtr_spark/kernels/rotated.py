@@ -157,6 +157,20 @@ def word_order_rotated(polys: np.ndarray, paragraph_break: float = PARAGRAPH_BRE
     return rank, line_id
 
 
+_FRAC_CACHE: dict[int, np.ndarray] = {}
+
+
+def _center_fracs(n: int) -> np.ndarray:
+    """(arange(n) + 0.5) / n, cached — crop dims repeat heavily and the
+    two index vectors cost more than the gather for word-sized crops."""
+    hit = _FRAC_CACHE.get(n)
+    if hit is None:
+        if len(_FRAC_CACHE) >= 4096:
+            _FRAC_CACHE.clear()
+        hit = _FRAC_CACHE[n] = (np.arange(n, dtype=np.float64) + 0.5) / n
+    return hit
+
+
 def extract_rcrops_nearest(img: np.ndarray, polys: np.ndarray) -> list[np.ndarray]:
     """Crop rotated quadrilaterals by inverse affine mapping (G2 analog).
 
@@ -181,8 +195,8 @@ def extract_rcrops_nearest(img: np.ndarray, polys: np.ndarray) -> list[np.ndarra
         # sqrt(dx²+dy²) matches the previous np.linalg.norm bit-for-bit
         out_w = max(1, int(round(math.sqrt(dx_u * dx_u + dy_u * dy_u))))
         out_h = max(1, int(round(math.sqrt(dx_v * dx_v + dy_v * dy_v))))
-        us = (np.arange(out_w, dtype=np.float64) + 0.5) / out_w
-        vs = ((np.arange(out_h, dtype=np.float64) + 0.5) / out_h)[:, None]
+        us = _center_fracs(out_w)
+        vs = _center_fracs(out_h)[:, None]
         # broadcast form of tl + u·(TR-TL) + v·(BL-TL): the same fp adds
         # in the same order as the previous outer-product form
         sx = tlx + us * dx_u + vs * dx_v

@@ -126,8 +126,12 @@ def min_area_rect(points: np.ndarray) -> tuple[float, float, float, float, float
     # keep math.hypot per edge so unit vectors are bit-equal too.
     hx = np.array([p[0] for p in hull])
     hy = np.array([p[1] for p in hull])
-    ex = np.roll(hx, -1) - hx
-    ey = np.roll(hy, -1) - hy
+    ex = np.empty(n)
+    ey = np.empty(n)
+    ex[: n - 1] = hx[1:] - hx[: n - 1]
+    ex[n - 1] = hx[0] - hx[n - 1]
+    ey[: n - 1] = hy[1:] - hy[: n - 1]
+    ey[n - 1] = hy[0] - hy[n - 1]
     length = np.array([math.hypot(float(a), float(b)) for a, b in zip(ex, ey)])
     ux = ex / length
     uy = ey / length

@@ -96,7 +96,17 @@ class StubSynthRasterizer:
             lines = [words[i : i + WORDS_PER_LINE] for i in range(0, len(words), WORDS_PER_LINE)] or [[]]
             img = imaging.render_page(lines)
             if self.factor > 1:
-                img = np.kron(img, np.ones((self.factor, self.factor, 1), dtype=np.uint8))
+                # np.repeat == kron with a ones block (each pixel tiles
+                # into an f×f block) at ~10x less cost; rendered pages
+                # are grayscale (3 equal channels), so upscale ONE plane
+                # and re-broadcast — encode_image stores that plane
+                f = self.factor
+                ch0 = img[:, :, 0]
+                if (img[:, :, 1] == ch0).all() and (img[:, :, 2] == ch0).all():
+                    up0 = np.repeat(np.repeat(ch0, f, axis=0), f, axis=1)
+                    img = np.broadcast_to(up0[:, :, None], up0.shape + (3,))
+                else:
+                    img = np.repeat(np.repeat(img, f, axis=0), f, axis=1)
             pages.append(img)
         return pages
 
