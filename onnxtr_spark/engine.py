@@ -331,10 +331,16 @@ class ArtefactEngine:
         h, w = img.shape[:2]
         ch = img[:, :, 0]
         rows: list[list[float]] = []
+        # one full-page scan for all artefact classes (the class values
+        # are a contiguous band), then per-class min/max over the
+        # gathered coordinates — identical boxes, 4× less page traffic
+        ays, axs = np.nonzero((ch >= imaging.ART_BASE) & (ch < imaging.ART_BASE + imaging.N_ART_CLASSES))
+        avals = ch[ays, axs]
         for cls in range(imaging.N_ART_CLASSES):
-            ys, xs = np.nonzero(ch == imaging.ART_BASE + cls)
-            if ys.size == 0:
+            m = avals == imaging.ART_BASE + cls
+            if not m.any():
                 continue
+            xs, ys = axs[m], ays[m]
             x0, x1 = int(xs.min()), int(xs.max()) + 1
             y0, y1 = int(ys.min()), int(ys.max()) + 1
             cx = (x0 + (x1 - x0) / 2.0) * ART_INPUT / w

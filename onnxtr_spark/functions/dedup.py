@@ -184,6 +184,12 @@ def token_jaccard_pairs(documents: DataFrame, threshold: float = 0.9) -> DataFra
             F.col("a.n").alias("na"),
             F.col("b.n").alias("nb"),
         )
+        # exact size bound implied by the final test (inter <= min,
+        # uni >= max => 10^4*min >= num*max): prunes candidates BEFORE
+        # the distinct+verify without losing any qualifying pair
+        .where(
+            F.lit(10000) * F.least("na", "nb") >= F.lit(int(round(threshold * 10000))) * F.greatest("na", "nb")
+        )
         .distinct()
     )
     docsets = toks.groupBy("doc_id").agg(F.sort_array(F.collect_list("tok")).alias("toks"))
@@ -514,6 +520,10 @@ def ngram_jaccard_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
             F.col("a.ng").alias("na"), F.col("b.ng").alias("nb"),
         )
+        # exact size bound implied by the final test (inter <= min,
+        # uni >= max => 10^4*min >= num*max): prunes candidates BEFORE
+        # the distinct+verify without losing any qualifying pair
+        .where(F.lit(10000) * F.least("na", "nb") >= F.lit(num) * F.greatest("na", "nb"))
         .distinct()
     )
     return (
@@ -620,6 +630,10 @@ def containment_pairs(
     return (
         cands.join(docsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "ha"), "doc_a")
         .join(docsets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hb"), "doc_b")
+        # directional size bound implied by the final test (inter <= |B|,
+        # so num*na <= 10^4*inter requires num*na <= 10^4*|B|): skips the
+        # array_intersect for container sides too small to qualify
+        .where(F.lit(10000) * F.size("hb") >= F.lit(num) * F.col("na"))
         .withColumn("inter", F.size(F.array_intersect("ha", "hb")).cast("long"))
         .where(F.lit(10000) * F.col("inter") >= F.lit(num) * F.col("na"))
         .select("doc_a", "doc_b", round_half_up(F.col("inter") / F.col("na"), 4).alias("containment"))
@@ -879,6 +893,16 @@ def incremental_dedup_bloom(documents: DataFrame) -> DataFrame:
     )
     prior = hashed.where(F.col("doc_id") % 2 == 0).select("text_hash").distinct()
     new = hashed.where(F.col("doc_id") % 2 == 1)
+    # size the filter to the PRIOR SNAPSHOT (advice r5): a fixed 2^16
+    # bits saturates past ~5k keys and the query silently degenerates
+    # into the plain anti-join. One count() of the one-column distinct
+    # prior is a control-plane scalar (the same discipline as the Lloyd
+    # centroid collect); ~16 bits/key with k=2 probes keeps fpp ~1.6%
+    # at any snapshot size. Filter sizing never changes the answer —
+    # positives are exactly verified, negatives are exact by
+    # construction.
+    n_prior = prior.count()
+    bloom_bits = max(BLOOM_BITS, 1 << (16 * max(n_prior, 1)).bit_length())
 
     def probes(df: DataFrame) -> DataFrame:
         # k independent bit positions from seeded xxhash64 (Spark-side
@@ -888,7 +912,7 @@ def incremental_dedup_bloom(documents: DataFrame) -> DataFrame:
             df["*"],
             F.explode(
                 F.array(*[
-                    F.pmod(F.xxhash64(F.col("text_hash"), F.lit(seed)), F.lit(BLOOM_BITS))
+                    F.pmod(F.xxhash64(F.col("text_hash"), F.lit(seed)), F.lit(bloom_bits))
                     for seed in range(BLOOM_K)
                 ])
             ).alias("bit"),

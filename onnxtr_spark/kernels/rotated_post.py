@@ -118,12 +118,58 @@ def min_area_rect(points: np.ndarray) -> tuple[float, float, float, float, float
         dx, dy = x1 - x0, y1 - y0
         return (x0 + x1) / 2, (y0 + y1) / 2, math.hypot(dx, dy), 0.0, math.atan2(dy, dx)
     n = len(hull)
-    # Vectorized calipers: ONE H×E broadcast per projection axis instead
-    # of the O(E·H) Python float loop. The projection is evaluated as
-    # (hx*ux) + (hy*uy) — two elementwise multiplies and one add, the
-    # IDENTICAL IEEE op sequence the scalar loop used (no BLAS matmul,
-    # whose FMA contraction could differ in the last ulp); edge lengths
-    # keep math.hypot per edge so unit vectors are bit-equal too.
+    if n <= 24:
+        # Small hulls (digitized word blobs hull to ~9 vertices): the
+        # scalar O(E·H) loop beats the numpy broadcast below — ~15
+        # tiny-array numpy calls cost more than ~100 float ops
+        # (measured unprofiled: 12 µs vs 35 µs per component; cProfile
+        # inverts this by taxing Python bytecode more than ufuncs).
+        best_area = best_ux = best_uy = best_pumin = best_pumax = best_pvmin = best_pvmax = 0.0
+        have = False
+        for i in range(n):
+            x0, y0 = hull[i]
+            x1, y1 = hull[i + 1] if i + 1 < n else hull[0]
+            e_x, e_y = x1 - x0, y1 - y0
+            length = math.hypot(e_x, e_y)
+            sux, suy = e_x / length, e_y / length
+            svx, svy = -suy, sux
+            hx0, hy0 = hull[0]
+            pumin = pumax = hx0 * sux + hy0 * suy
+            pvmin = pvmax = hx0 * svx + hy0 * svy
+            for hx1, hy1 in hull[1:]:
+                p_u = hx1 * sux + hy1 * suy
+                if p_u < pumin:
+                    pumin = p_u
+                elif p_u > pumax:
+                    pumax = p_u
+                p_v = hx1 * svx + hy1 * svy
+                if p_v < pvmin:
+                    pvmin = p_v
+                elif p_v > pvmax:
+                    pvmax = p_v
+            area = (pumax - pumin) * (pvmax - pvmin)
+            if not have or area < best_area:
+                have = True
+                best_area, best_ux, best_uy = area, sux, suy
+                best_pumin, best_pumax, best_pvmin, best_pvmax = pumin, pumax, pvmin, pvmax
+        sux, suy = best_ux, best_uy
+        svx, svy = -suy, sux
+        cu = (best_pumax + best_pumin) / 2
+        cv_ = (best_pvmax + best_pvmin) / 2
+        return (
+            cu * sux + cv_ * svx,
+            cu * suy + cv_ * svy,
+            best_pumax - best_pumin,
+            best_pvmax - best_pvmin,
+            math.atan2(suy, sux),
+        )
+    # Vectorized calipers for LARGE hulls: ONE H×E broadcast per
+    # projection axis instead of the O(E·H) Python float loop. The
+    # projection is evaluated as (hx*ux) + (hy*uy) — two elementwise
+    # multiplies and one add, the IDENTICAL IEEE op sequence the scalar
+    # loop uses (no BLAS matmul, whose FMA contraction could differ in
+    # the last ulp); edge lengths keep math.hypot per edge so unit
+    # vectors are bit-equal too.
     hx = np.array([p[0] for p in hull])
     hy = np.array([p[1] for p in hull])
     ex = np.empty(n)

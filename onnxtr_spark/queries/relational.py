@@ -2096,7 +2096,10 @@ def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = rows.groupBy("event_type").agg(
         F.count("*").cast(dec).alias("n"),
         F.sum(F.col("c").cast(dec)).cast(dec).alias("s"),
-        F.sum((F.col("c") * F.col("c")).cast(dec)).cast(dec).alias("q"),
+        # cast c to decimal BEFORE squaring: with ANSI off, BIGINT c*c
+        # silently wraps for |value| >= ~3.1e7 while the DuckDB oracle
+        # squares into HUGEINT — keep both engines overflow-free
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).cast(dec).alias("q"),
     )
     j = rows.join(F.broadcast(stats), "event_type")
     diff = (F.col("n") * F.col("c") - F.col("s")).cast(dec)

@@ -235,8 +235,13 @@ def ocr_predictor(
     if load_in_8_bit:
         det_engine = replace(det_engine, load_in_8_bit=True)
         reco_engine = replace(reco_engine, load_in_8_bit=True)
-        if clf_engine is not None:
-            clf_engine = replace(clf_engine, load_in_8_bit=True)
+        if clf_engine is None:
+            # materialize the default orientation config so the flag
+            # reaches the arch-derived classifier too (the reference
+            # passes load_in_8_bit to the crop/page orientation
+            # predictors unconditionally, predictor/base.py:64-69)
+            clf_engine = EngineConfig(arch="stub_mobilenet_orient")
+        clf_engine = replace(clf_engine, load_in_8_bit=True)
     if isinstance(reco_arch, object) and hasattr(reco_arch, "param"):
         vocab = reco_arch.param("vocab", vocab)  # hub models carry their vocab
     # per-arch postprocess thresholds (the reference's default_cfgs):

@@ -314,6 +314,13 @@ def test_clf_engine_cfg_and_load_in_8_bit_flow(spark, corpus):
     assert p.det_cfg.engine.load_in_8_bit and p.reco_cfg.engine.load_in_8_bit
     # default: no clf cfg -> registry default resolution (None sentinel)
     assert ocr_predictor().det_cfg.orient_engine is None
+    # load_in_8_bit with NO clf cfg: the default orientation config is
+    # materialized so the flag reaches the arch-derived classifier too
+    # (reference predictor/base.py:64-69 passes it unconditionally)
+    p8 = ocr_predictor("stub_fast", "stub_crnn", load_in_8_bit=True)
+    assert p8.det_cfg.orient_engine is not None
+    assert p8.det_cfg.orient_engine.arch == "stub_mobilenet_orient"
+    assert p8.det_cfg.orient_engine.load_in_8_bit
     # end-to-end on the rotated path (the G3 classifier actually runs
     # with the explicit cfg): spans equal the default predictor's
     docs, media = corpus
