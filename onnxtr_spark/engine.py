@@ -198,15 +198,25 @@ class OrientationEngine:
         if not crops:
             return np.zeros(0, dtype=np.int64)
         b = len(crops)
-        hmax = max(c.shape[0] for c in crops)
-        wmax = max(c.shape[1] for c in crops)
-        batch = np.full((b, hmax, wmax), 255, dtype=np.uint8)
+        # Flat concatenated scan instead of a (b, hmax, wmax) padded
+        # batch: one wide crop would make every crop pay the chunk-max
+        # width in the pad, while the mark test only needs each crop's
+        # own channel-0 bytes — ~6x less memory traffic, identical
+        # flagged set (padding was WHITE and could never introduce a
+        # mark) and identical per-item results.
+        offs = np.empty(b + 1, dtype=np.int64)
+        offs[0] = 0
+        parts = []
         for i, c in enumerate(crops):
-            batch[i, : c.shape[0], : c.shape[1]] = c[:, :, 0]
-        flagged = (batch == imaging.ORIENT_MARK).reshape(b, -1).any(axis=1)
+            v = c[:, :, 0]
+            parts.append(v.ravel())
+            offs[i + 1] = offs[i] + v.size
+        flat = np.concatenate(parts)
+        hits = np.flatnonzero(flat == imaging.ORIENT_MARK)
         out = np.zeros(b, dtype=np.int64)
-        for i in np.nonzero(flagged)[0]:
-            out[i] = imaging.detect_orientation(crops[i])
+        if len(hits):
+            for i in np.unique(np.searchsorted(offs, hits, side="right") - 1):
+                out[i] = imaging.detect_orientation(crops[i])
         return out
 
 

@@ -233,12 +233,23 @@ def rotate_image_nearest(img: np.ndarray, angle_deg: float, expand: bool = True,
     sy = np.float32(sin) * xs[None, :] + np.float32(cos) * ys[:, None] + np.float32(h / 2)
     xi = np.floor(sx).astype(np.int32)
     yi = np.floor(sy).astype(np.int32)
-    inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-    # full clipped gather + masked fill: one fancy index over the whole
-    # frame beats three boolean-mask extractions (same pixels either way)
-    out = img[np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)]
-    out[~inside] = fill
-    return out
+    # Border-pad gather: a 1-px ``fill`` frame around the source turns
+    # the out-of-bounds mask + masked fill (7 boolean passes + a
+    # scatter) into the clip that was already being paid — any index
+    # outside [0, w) clamps onto the fill border, so the output pixels
+    # are identical to the previous inside-mask path by construction.
+    padded = np.full((h + 2, w + 2) + img.shape[2:], fill, dtype=img.dtype)
+    padded[1:-1, 1:-1] = img
+    np.clip(xi, -1, w, out=xi)
+    np.clip(yi, -1, h, out=yi)
+    xi += 1
+    yi += 1
+    if img.ndim == 2:
+        # flat take beats 2-D fancy indexing (one combined index pass)
+        yi *= w + 2
+        yi += xi
+        return np.take(padded.ravel(), yi)
+    return padded[yi, xi]
 
 
 def synthesize_page(

@@ -108,9 +108,13 @@ def min_area_rect(points: np.ndarray) -> tuple[float, float, float, float, float
     arithmetic x·ux + y·uy is the identical fp expression the previous
     matmul form evaluated, so results are bit-equal).
     """
+    return _rect_from_hull(_hull_points(points))
+
+
+def _rect_from_hull(hull: list[tuple[float, float]]) -> tuple[float, float, float, float, float]:
+    """Calipers over a ready monotone-chain hull (see min_area_rect)."""
     import math
 
-    hull = _hull_points(points)
     if len(hull) == 1:
         return hull[0][0], hull[0][1], 0.0, 0.0, 0.0
     if len(hull) == 2:
@@ -203,6 +207,70 @@ def min_area_rect(points: np.ndarray) -> tuple[float, float, float, float, float
     )
 
 
+def _rects_from_hull_batch(
+    hxs: np.ndarray, hys: np.ndarray, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batched rotating calipers over many hulls (each >= 3 vertices).
+
+    The scalar ``_rect_from_hull`` loop's float expressions evaluated
+    elementwise over a (ncomp, maxE, maxH) pad (mul, mul, add — no
+    FMA/matmul, so projections are bit-equal); edge lengths via
+    ``sqrt(ex*ex + ey*ey)``, bit-equal to the scalar ``math.hypot`` for
+    the integer-valued edge vectors pixel hulls produce (squares and
+    their sum are exact below 2^52; verified over the ±4096 domain);
+    first-occurrence ``argmin`` matches the strict-< best update; the
+    clamp padding duplicates real points/edges, which changes neither
+    extremes nor the first minimum. Returns (cx, cy, w, h, ux, uy); the
+    caller derives ``angle = math.atan2(uy, ux)`` per component —
+    numpy's arctan2 is NOT libm atan2 (measured ~31% last-ulp
+    mismatch), so that step stays scalar.
+    """
+    counts = np.asarray(counts, dtype=np.int64)
+    nc = len(counts)
+    total = int(counts.sum())
+    off = np.cumsum(counts) - counts
+    hxs = np.asarray(hxs, dtype=np.float64)
+    hys = np.asarray(hys, dtype=np.float64)
+    nxt = np.arange(total, dtype=np.int64) + 1
+    nxt[off + counts - 1] = off
+    ex = hxs[nxt] - hxs
+    ey = hys[nxt] - hys
+    ln = np.sqrt(ex * ex + ey * ey)
+    ux = ex / ln
+    uy = ey / ln
+    max_h = int(counts.max())
+    pad = off[:, None] + np.minimum(np.arange(max_h)[None, :], counts[:, None] - 1)
+    px = hxs[pad]
+    py = hys[pad]
+    eux = ux[pad]
+    euy = uy[pad]
+    pu = px[:, None, :] * eux[:, :, None] + py[:, None, :] * euy[:, :, None]
+    pv = px[:, None, :] * (-euy)[:, :, None] + py[:, None, :] * eux[:, :, None]
+    pumin = pu.min(axis=2)
+    pumax = pu.max(axis=2)
+    pvmin = pv.min(axis=2)
+    pvmax = pv.max(axis=2)
+    areas = (pumax - pumin) * (pvmax - pvmin)
+    b = np.argmin(areas, axis=1)
+    r = np.arange(nc)
+    bux = eux[r, b]
+    buy = euy[r, b]
+    pun = pumin[r, b]
+    pux = pumax[r, b]
+    pvn = pvmin[r, b]
+    pvx = pvmax[r, b]
+    cu = (pux + pun) / 2
+    cv_ = (pvx + pvn) / 2
+    return (
+        cu * bux + cv_ * (-buy),
+        cu * buy + cv_ * bux,
+        pux - pun,
+        pvx - pvn,
+        bux,
+        buy,
+    )
+
+
 def box_points(cx: float, cy: float, w: float, h: float, angle_rad: float) -> np.ndarray:
     """The rect's 4 corners (4, 2), unordered convention (cv2.boxPoints
     analog) — callers pass the result through ``order_points``."""
@@ -249,6 +317,15 @@ def unclip_rotated(
     rationale as convex_hull; semantics pinned equal to
     order_points(box_points(...)) by test).
     """
+    return np.asarray(_unclip_pts(cx, cy, w, h, angle_rad, unclip_ratio), dtype=np.float64)
+
+
+def _unclip_pts(
+    cx: float, cy: float, w: float, h: float, angle_rad: float, unclip_ratio: float = UNCLIP_RATIO
+) -> list[tuple[float, float]]:
+    """``unclip_rotated`` body returning the 4 ordered corner tuples
+    (no per-component ndarray materialization — the page-level driver
+    writes them straight into its preallocated output)."""
     import math
 
     area = (w + 1.0) * (h + 1.0)
@@ -276,7 +353,7 @@ def unclip_rotated(
     if shoelace < 0:
         rev = pts[::-1]
         pts = rev[-1:] + rev[:-1]
-    return np.asarray(pts, dtype=np.float64)
+    return pts
 
 
 def _gather_runs(arr: np.ndarray, runs: list[tuple[int, int, int]]) -> np.ndarray:
@@ -300,36 +377,146 @@ def _runs_score_prob(pred: np.ndarray, runs: list[tuple[int, int, int]]) -> floa
     return float(probs[nz].sum()) / count if count else 0.0
 
 
-def _polys_from_components(
-    bitmap: np.ndarray,
-    score_fn,
+def _polys_from_labeled_runs(
+    src: np.ndarray,
+    pixel_mode: bool,
+    shape: tuple[int, int],
+    ys: np.ndarray,
+    xs: np.ndarray,
+    xe: np.ndarray,
+    lab: np.ndarray,
     box_thresh: float,
     unclip_ratio: float,
 ) -> np.ndarray:
-    height, width = bitmap.shape[:2]
-    polys: list[np.ndarray] = []
-    for runs in component_runs(bitmap):
-        ys = [r[0] for r in runs]
-        x0 = min(r[1] for r in runs)
-        x1 = max(r[2] for r in runs)
-        # contour span < 2 filter, i.e. pixel extent < 3 (base.py:106)
-        if (x1 - x0) < 3 or (max(ys) - min(ys) + 1) < 3:
-            continue
-        score = score_fn(runs)
+    """Array-native page-level driver of the rotated D3-D6 chain.
+
+    Replaces the per-component tuple pipeline (component_runs →
+    per-component numpy gathers → min_area_rect → unclip) with ONE
+    vectorized pass per page for everything except the per-component
+    hull/caliper/unclip scalar math, which is bit-identical to the old
+    path by construction:
+
+    - extents/row-extremes are integer reduceat's (exact);
+    - the score value gather concatenates each component's run pixels in
+      the same raster order ``_gather_runs`` produced, and the score is
+      the identical ``probs[probs > 0].sum()/count`` expression over the
+      same contiguous float64 array (np.sum's pairwise tree depends only
+      on length/layout — equal);
+    - hull input is reduced to each row's (min-x, max-x) endpoints:
+      interior run endpoints of a row lie on the segment between the row
+      extremes, so they are never STRICT hull vertices, and
+      ``_half``'s strict-turn popping already drops collinear boundary
+      points — the hull vertex list (and hence the rect) is unchanged;
+    - corners are written straight into the preallocated (N, 5, 2)
+      float64 page array; the final ``clip(astype(float32))`` matches
+      the old asarray path value-for-value.
+    """
+    height, width = shape
+    n = len(ys)
+    if n == 0:
+        return np.zeros((0, 5, 2), dtype=np.float32)
+    order = np.argsort(lab, kind="stable")
+    ys = ys[order]
+    xs = xs[order]
+    xe = xe[order]
+    lab = lab[order]
+    comp_b = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]])
+    comp_e = np.r_[comp_b[1:], n]
+    # contour span < 2 filter, i.e. pixel extent < 3 (base.py:106);
+    # runs are raster-ordered within a component, so ymin/ymax are the
+    # first/last run's rows
+    x0 = np.minimum.reduceat(xs, comp_b)
+    x1 = np.maximum.reduceat(xe, comp_b)
+    keep = ((x1 - x0) >= 3) & ((ys[comp_e - 1] - ys[comp_b] + 1) >= 3)
+    kept = np.flatnonzero(keep)
+    if len(kept) == 0:
+        return np.zeros((0, 5, 2), dtype=np.float32)
+    # ragged gather of the score source over every run (raster order —
+    # the same concatenation order _gather_runs produced)
+    L = xe - xs
+    cum = np.cumsum(L)
+    off0 = cum - L
+    tot = int(cum[-1])
+    flat_idx = np.repeat(ys * width + xs - off0, L) + np.arange(tot, dtype=np.int64)
+    flat = np.ascontiguousarray(src).ravel()[flat_idx]
+    comp_pa = off0[comp_b]
+    comp_pb = cum[comp_e - 1]
+    # per-(component, row) x extremes: run rows are raster-sorted, so a
+    # row group's first run has the min start and its last run the max
+    # end (runs in a row are disjoint and x-sorted)
+    rb = np.flatnonzero(np.r_[True, (lab[1:] != lab[:-1]) | (ys[1:] != ys[:-1])])
+    re_ = np.r_[rb[1:], n]
+    rpx0 = xs[rb].astype(np.float64)
+    rpx1 = (xe[re_ - 1] - 1).astype(np.float64)
+    rpy = ys[rb].astype(np.float64)
+    crb = np.searchsorted(rb, comp_b)
+    cre = np.r_[crb[1:], len(rb)]
+    # One page-level check replaces the per-component nz mask: component
+    # pixels come from the OPENED bitmap (opening is anti-extensive, so
+    # every pixel is below the binarize threshold) — when the gathered
+    # page holds no zero-probability value at all, probs[nz] is a full
+    # contiguous copy and probs[nz].sum() == probs.sum() (same pairwise
+    # tree over the same values), so the masked path is skipped whole.
+    all_nz = bool(flat.max() < 255) if pixel_mode else bool(flat.min() > 0)
+    import math
+
+    scores: list[float] = []
+    rects: list[tuple[float, float, float, float, float] | None] = []
+    hull_x: list[float] = []
+    hull_y: list[float] = []
+    hcounts: list[int] = []
+    for c in kept:
+        fl = flat[comp_pa[c] : comp_pb[c]]
+        if pixel_mode:
+            probs = (255.0 - fl.astype(np.float64)) / 255.0
+        else:
+            probs = fl.astype(np.float64)
+        if all_nz:
+            count = len(probs)
+            score = float(probs.sum()) / count if count else 0.0
+        else:
+            nz = probs > 0
+            count = int(nz.sum())
+            score = float(probs[nz].sum()) / count if count else 0.0
         if score < box_thresh:
             continue
-        pts = []
-        for y, xs, xe in runs:
-            fy = float(y)
-            pts.append((float(xs), fy))
-            pts.append((float(xe - 1), fy))
-        quad = unclip_rotated(*min_area_rect(pts), unclip_ratio)
-        quad[:, 0] /= width
-        quad[:, 1] /= height
-        polys.append(np.vstack([quad, np.array([0.0, score])]))
-    if not polys:
+        a, b = crb[c], cre[c]
+        y_l = rpy[a:b].tolist()
+        pts = list(zip(rpx0[a:b].tolist(), y_l))
+        pts += zip(rpx1[a:b].tolist(), y_l)
+        hull = _hull_points(pts)
+        scores.append(score)
+        if len(hull) >= 3:
+            rects.append(None)  # filled by the batched calipers below
+            for hx, hy in hull:
+                hull_x.append(hx)
+                hull_y.append(hy)
+            hcounts.append(len(hull))
+        else:
+            rects.append(_rect_from_hull(hull))
+    m = len(scores)
+    if m == 0:
         return np.zeros((0, 5, 2), dtype=np.float32)
-    return np.clip(np.asarray(polys, dtype=np.float32), 0, 1)
+    if hcounts:
+        bcx, bcy, bw, bh, bux, buy = _rects_from_hull_batch(hull_x, hull_y, hcounts)
+    polys = np.empty((m, 5, 2), dtype=np.float64)
+    k = 0
+    for i in range(m):
+        rect = rects[i]
+        if rect is None:
+            rect = (
+                float(bcx[k]), float(bcy[k]), float(bw[k]), float(bh[k]),
+                math.atan2(float(buy[k]), float(bux[k])),
+            )
+            k += 1
+        quad = _unclip_pts(*rect, unclip_ratio)
+        for j in range(4):
+            qx, qy = quad[j]
+            polys[i, j, 0] = qx / width
+            polys[i, j, 1] = qy / height
+        polys[i, 4, 0] = 0.0
+        polys[i, 4, 1] = scores[i]
+    return np.clip(polys.astype(np.float32), 0, 1)
 
 
 def bitmap_to_polys(
@@ -341,8 +528,11 @@ def bitmap_to_polys(
     """Binary map -> (N, 5, 2) rotated polygons [TL,TR,BR,BL,(0,score)]
     in relative coords clipped to [0,1] (postprocessor/base.py:83-139,
     rotated path) — the real-prob-map variant."""
-    return _polys_from_components(
-        bitmap, lambda runs: _runs_score_prob(pred, runs), box_thresh, unclip_ratio
+    from onnxtr_spark.kernels.detect_post import label_runs
+
+    ys, xs, xe, lab = label_runs(bitmap)
+    return _polys_from_labeled_runs(
+        pred, False, bitmap.shape[:2], ys, xs, xe, lab, box_thresh, unclip_ratio
     )
 
 
@@ -373,12 +563,15 @@ def postprocess_pixel_map_rotated(
     """Full rotated D1-D6 chain folded through the affine stub model,
     directly on the uint8 map (see detect_post.postprocess_pixel_map for
     the folding argument — identical here, geometry is bit-identical)."""
+    from onnxtr_spark.kernels.detect_post import label_runs
+
     pix_thresh = float(np.floor(255.0 - 255.0 * bin_thresh))
     bitmap = (px_map <= pix_thresh).astype(np.uint8)
     if morph_open:
         bitmap = binary_open_3x3(bitmap)
-    return _polys_from_components(
-        bitmap, lambda runs: _runs_score_px(px_map, runs), box_thresh, unclip_ratio
+    ys, xs, xe, lab = label_runs(bitmap)
+    return _polys_from_labeled_runs(
+        px_map, True, bitmap.shape[:2], ys, xs, xe, lab, box_thresh, unclip_ratio
     )
 
 

@@ -85,6 +85,87 @@ def _component_rect_stats(runs: list[tuple[int, int, int]]) -> tuple[int, float,
     return area, w, h, deg
 
 
+def _component_stats_arrays(work: np.ndarray, lower_area: int) -> list[tuple[float, float, float, float]]:
+    """(ratio, w_long, h_short, angle_deg) per component with
+    area > lower_area, in raster component order — the array-native
+    equivalent of looping ``_component_rect_stats`` over
+    ``component_runs`` (bit-identical: areas are exact integer
+    reduceats; the min-area rect consumes each row's (min-x, max-x)
+    endpoints, whose hull — and hence rect — equals the full
+    endpoint-set hull because interior run endpoints are never strict
+    hull vertices; the normalization math is unchanged)."""
+    from onnxtr_spark.kernels.detect_post import label_runs
+
+    ys, xs, xe, lab = label_runs(work)
+    n = len(ys)
+    if n == 0:
+        return []
+    order = np.argsort(lab, kind="stable")
+    ys = ys[order]
+    xs = xs[order]
+    xe = xe[order]
+    lab = lab[order]
+    comp_b = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]])
+    areas = np.add.reduceat(xe - xs, comp_b)
+    keep = np.flatnonzero(areas > lower_area)
+    if len(keep) == 0:
+        return []
+    rb = np.flatnonzero(np.r_[True, (lab[1:] != lab[:-1]) | (ys[1:] != ys[:-1])])
+    re_ = np.r_[rb[1:], n]
+    rpx0 = xs[rb].astype(np.float64)
+    rpx1 = (xe[re_ - 1] - 1).astype(np.float64)
+    rpy = ys[rb].astype(np.float64)
+    crb = np.searchsorted(rb, comp_b)
+    cre = np.r_[crb[1:], len(rb)]
+    from onnxtr_spark.kernels.rotated_post import (
+        _hull_points,
+        _rect_from_hull,
+        _rects_from_hull_batch,
+    )
+
+    whs: list[tuple[float, float, float] | None] = []
+    hull_x: list[float] = []
+    hull_y: list[float] = []
+    hcounts: list[int] = []
+    for c in keep:
+        a, b = crb[c], cre[c]
+        y_l = rpy[a:b].tolist()
+        pts = list(zip(rpx0[a:b].tolist(), y_l))
+        pts += zip(rpx1[a:b].tolist(), y_l)
+        hull = _hull_points(pts)
+        if len(hull) >= 3:
+            whs.append(None)  # filled by the batched calipers below
+            for hx, hy in hull:
+                hull_x.append(hx)
+                hull_y.append(hy)
+            hcounts.append(len(hull))
+        else:
+            _, _, w, h, ang = _rect_from_hull(hull)
+            whs.append((w, h, ang))
+    if hcounts:
+        _, _, bw, bh, bux, buy = _rects_from_hull_batch(hull_x, hull_y, hcounts)
+    stats: list[tuple[float, float, float, float]] = []
+    k = 0
+    for wh in whs:
+        if wh is None:
+            w, h = float(bw[k]), float(bh[k])
+            ang = math.atan2(float(buy[k]), float(bux[k]))
+            k += 1
+        else:
+            w, h, ang = wh
+        deg = math.degrees(ang)
+        if w < h:
+            w, h = h, w
+            deg -= 90
+        while deg <= -90:
+            deg += 180
+        while deg > 90:
+            deg -= 180
+        ratio = max(w / h, h / w) if w > 0 and h > 0 else 0.0
+        stats.append((ratio, w, h, deg))
+    return stats
+
+
 def estimate_orientation(
     bitmap: np.ndarray,
     general_page_orientation: tuple[int, float] | None = None,
@@ -112,12 +193,7 @@ def estimate_orientation(
         h, w = bitmap.shape[:2]
         work = binary_dilate_rect(work, max(1, w // 100), max(1, h // 100))
 
-    stats = []
-    for runs in component_runs(work):
-        area, cw, ch, deg = _component_rect_stats(runs)
-        if area > lower_area:
-            ratio = max(cw / ch, ch / cw) if cw > 0 and ch > 0 else 0.0
-            stats.append((ratio, cw, ch, deg))
+    stats = _component_stats_arrays(work, lower_area)
     # most line-like first (reference sorts by max width/length ratio)
     stats.sort(key=lambda s: s[0], reverse=True)
     angles = [

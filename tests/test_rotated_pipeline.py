@@ -198,3 +198,81 @@ def test_rotated_asymmetric_pad_span_equality(rotated_corpus):
     )
     exp = golden_flat().sort_values(["doc_id", "offset"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[exp.columns].astype(str), exp.astype(str))
+
+
+def test_array_native_postprocess_equals_per_component_reference():
+    """The array-native _polys_from_labeled_runs (row-reduced hulls +
+    batched calipers + flat score gather) must be bit-identical to a
+    straightforward per-component derivation through the PUBLIC kernels
+    (component_runs -> _runs_score_px -> min_area_rect -> unclip_rotated)
+    — the shape the pre-r6 implementation had."""
+    rng = np.random.default_rng(123)
+    checked = 0
+    for _ in range(60):
+        h = int(rng.integers(12, 90))
+        w = int(rng.integers(12, 90))
+        px = (rng.random((h, w)) * 255).astype(np.uint8)
+        px[px < 60] = 0  # carve dark blobs
+        got = rotated_post.postprocess_pixel_map_rotated(px)
+
+        # reference: per-component loop over the public kernels
+        pix_thresh = float(np.floor(255.0 - 255.0 * detect_post.BIN_THRESH))
+        bitmap = (px <= pix_thresh).astype(np.uint8)
+        bitmap = detect_post.binary_open_3x3(bitmap)
+        polys = []
+        for runs in rotated_post.component_runs(bitmap):
+            ys = [r[0] for r in runs]
+            x0 = min(r[1] for r in runs)
+            x1 = max(r[2] for r in runs)
+            if (x1 - x0) < 3 or (max(ys) - min(ys) + 1) < 3:
+                continue
+            score = rotated_post._runs_score_px(px, runs)
+            if score < detect_post.BOX_THRESH:
+                continue
+            pts = []
+            for y, xs, xe in runs:
+                fy = float(y)
+                pts.append((float(xs), fy))
+                pts.append((float(xe - 1), fy))
+            quad = rotated_post.unclip_rotated(
+                *rotated_post.min_area_rect(pts), detect_post.UNCLIP_RATIO
+            )
+            quad[:, 0] /= bitmap.shape[1]
+            quad[:, 1] /= bitmap.shape[0]
+            polys.append(np.vstack([quad, np.array([0.0, score])]))
+        want = (
+            np.clip(np.asarray(polys, dtype=np.float32), 0, 1)
+            if polys
+            else np.zeros((0, 5, 2), dtype=np.float32)
+        )
+        assert got.shape == want.shape
+        assert np.array_equal(got, want)
+        checked += got.shape[0]
+    assert checked > 50  # the fuzz actually produced components
+
+
+def test_batched_calipers_equal_scalar_rect():
+    """_rects_from_hull_batch must reproduce _rect_from_hull bit-for-bit
+    (projection expressions, argmin tie-break, sqrt-vs-hypot lengths)."""
+    import math
+
+    rng = np.random.default_rng(7)
+    hx, hy, counts, hulls = [], [], [], []
+    for _ in range(200):
+        pts = [
+            (float(int(a)), float(int(b)))
+            for a, b in rng.integers(0, 800, size=(int(rng.integers(4, 40)), 2))
+        ]
+        hull = rotated_post._hull_points(pts)
+        if len(hull) < 3:
+            continue
+        hulls.append(hull)
+        for x, y in hull:
+            hx.append(x)
+            hy.append(y)
+        counts.append(len(hull))
+    cx, cy, w, h, ux, uy = rotated_post._rects_from_hull_batch(hx, hy, counts)
+    for i, hull in enumerate(hulls):
+        scx, scy, sw, sh, sang = rotated_post._rect_from_hull(hull)
+        assert (float(cx[i]), float(cy[i]), float(w[i]), float(h[i])) == (scx, scy, sw, sh)
+        assert math.atan2(float(uy[i]), float(ux[i])) == sang
