@@ -393,8 +393,15 @@ class FloatDetectionEngine:
         ch0 = batch[:, 0] if self.cfg.input_contract == "float_bchw" else batch[..., 0]
         mean0 = np.float32(self.cfg.mean[0])
         std0 = np.float32(self.cfg.std[0])
-        px = (ch0 * std0 + mean0) * np.float32(255.0)
-        return (np.float32(255.0) - px) / np.float32(255.0)
+        # one buffer, identical op sequence ((x*std0 + mean0)*255 then
+        # (255 - px)/255) — the four out-of-place forms allocated a full
+        # map each in the per-page loop
+        t = ch0 * std0
+        t += mean0
+        t *= np.float32(255.0)
+        np.subtract(np.float32(255.0), t, out=t)
+        t /= np.float32(255.0)
+        return t
 
 
 class DbFloatDetectionEngine(FloatDetectionEngine):
@@ -432,7 +439,13 @@ class FloatRecognitionEngine:
             batch = np.moveaxis(batch, 1, -1)
         mean = np.asarray(self.cfg.mean, dtype=np.float32)
         std = np.asarray(self.cfg.std, dtype=np.float32)
-        px = np.clip(np.rint((batch * std + mean) * 255.0), 0, 255).astype(np.uint8)
+        # one buffer, identical op sequence (see FloatDetectionEngine)
+        t = batch * std
+        t += mean
+        t *= 255.0
+        np.rint(t, out=t)
+        np.clip(t, 0, 255, out=t)
+        px = t.astype(np.uint8)
         n_classes = len(self.vocab) + 1
         return imaging.batch_classes_to_logits(
             imaging.batch_columns_to_classes(px, self.vocab), n_classes

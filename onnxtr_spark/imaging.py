@@ -41,6 +41,11 @@ from onnxtr_spark.vocabs import DEFAULT_VOCAB
 
 MAGIC = b"NPIM1"  # legacy uncompressed RGB frames (still decodable)
 MAGIC_Z = b"NPIMZ"  # zlib-compressed RGB frames (PNG is zlib too)
+MAGIC_S = b"NPIMS"  # grayscale frame stored at 1/f scale + integer
+#                     upscale factor (nearest/pixel-replication, the
+#                     rasterizer's np.repeat): decode reproduces the
+#                     full-resolution pixels exactly while compress/
+#                     decompress touch f^2 x fewer bytes
 MAGIC_G = b"NPIMG"  # zlib-compressed grayscale frames (PNG color-type-0
 # analog): stored when all three channels are identical; decoded as a
 # zero-copy broadcast view, 3× less decode traffic and storage
@@ -112,9 +117,31 @@ def encode_image(img: np.ndarray) -> bytes:
         raise ValueError("expected H×W×3 uint8")
     h, w, _ = img.shape
     ch0 = img[:, :, 0]
-    if (img[:, :, 1] == ch0).all() and (img[:, :, 2] == ch0).all():
+    # stride-0 channel axis (a broadcast grayscale frame): the three
+    # channels share one buffer, so the equality scans are true by
+    # construction — skip them
+    if img.strides[2] == 0 or ((img[:, :, 1] == ch0).all() and (img[:, :, 2] == ch0).all()):
         return MAGIC_G + struct.pack("<II", h, w) + zlib.compress(np.ascontiguousarray(ch0).tobytes(), 1)
     return MAGIC_Z + struct.pack("<II", h, w) + zlib.compress(img.tobytes(), 1)
+
+
+def encode_image_gray_scaled(ch: np.ndarray, factor: int) -> bytes:
+    """Encode a grayscale plane whose full-resolution frame is its
+    ``factor``× pixel replication (np.repeat on both axes): store the
+    SMALL plane + the factor, so compress/decompress touch factor²×
+    fewer bytes. ``decode_image`` reproduces the exact full-resolution
+    broadcast frame the replicate-then-encode path produced."""
+    if ch.dtype != np.uint8 or ch.ndim != 2:
+        raise ValueError("expected H×W uint8 plane")
+    if factor <= 1:
+        h, w = ch.shape
+        return MAGIC_G + struct.pack("<II", h, w) + zlib.compress(np.ascontiguousarray(ch).tobytes(), 1)
+    h, w = ch.shape[0] * factor, ch.shape[1] * factor
+    return (
+        MAGIC_S
+        + struct.pack("<III", h, w, factor)
+        + zlib.compress(np.ascontiguousarray(ch).tobytes(), 1)
+    )
 
 
 def decode_image(blob: bytes) -> np.ndarray:
@@ -124,6 +151,12 @@ def decode_image(blob: bytes) -> np.ndarray:
     if magic == MAGIC_G:
         ch = np.frombuffer(zlib.decompress(blob[13:]), dtype=np.uint8).reshape(h, w)
         # read-only zero-copy RGB view (channel stride 0)
+        return np.broadcast_to(ch[:, :, None], (h, w, 3))
+    if magic == MAGIC_S:
+        (f,) = struct.unpack("<I", blob[13:17])
+        small = np.frombuffer(zlib.decompress(blob[17:]), dtype=np.uint8).reshape(h // f, w // f)
+        # the exact np.repeat upscale the encoder elided
+        ch = np.repeat(np.repeat(small, f, axis=0), f, axis=1)
         return np.broadcast_to(ch[:, :, None], (h, w, 3))
     if magic == MAGIC_Z:
         raw = zlib.decompress(blob[13:])

@@ -57,6 +57,25 @@ def normalize(x: np.ndarray, mean=MEAN_DEFAULT, std=STD_DEFAULT) -> np.ndarray:
     return (x - np.asarray(mean, dtype=np.float32)) / np.asarray(std, dtype=np.float32)
 
 
+def cast_normalize(x: np.ndarray, mean=MEAN_DEFAULT, std=STD_DEFAULT) -> np.ndarray:
+    """``normalize(cast_scale(x))`` in ONE output buffer: the identical
+    IEEE op sequence (/255 cast, broadcast -mean, broadcast /std)
+    applied in place, so the values are bit-equal to the composed P2∘P3
+    while the three intermediate full-frame allocations the composition
+    pays (each a page-sized float32 tensor in the per-page model loop)
+    disappear. Pinned equal by test_preprocess_registry."""
+    if x.dtype == np.uint8:
+        out = x.astype(np.float32)
+        out /= np.float32(255.0)
+    else:
+        if x.dtype != np.float32:
+            raise TypeError("cast_normalize expects uint8 or float32")
+        out = x.copy()
+    out -= np.asarray(mean, dtype=np.float32)
+    out /= np.asarray(std, dtype=np.float32)
+    return out
+
+
 def batch_inputs(samples: list[np.ndarray], batch_size: int) -> list[np.ndarray]:
     """I1 (preprocessor/base.py:44-59): stack samples into fixed-size
     batches (last batch ragged)."""

@@ -110,6 +110,34 @@ class StubSynthRasterizer:
             pages.append(img)
         return pages
 
+    def rasterize_encoded(self, blob: bytes) -> list[tuple[bytes, int, int]]:
+        """(png, height, width) per page with the upscale elided: the
+        2× replication is pure pixel repetition, so the encoder stores
+        the 1× plane + factor (imaging.encode_image_gray_scaled) and
+        ``decode_image`` reproduces the exact full-resolution frame —
+        compress/decompress and the upscale materialization drop f²×.
+        Pages whose channels differ (never produced by the synth
+        renderer, kept for safety) fall back to the full-frame path."""
+        from onnxtr_spark import imaging
+        from onnxtr_spark.sources.pdf import decode_pdf_texts
+
+        out = []
+        f = self.factor
+        for text in decode_pdf_texts(blob):
+            words = [w for w in text.split() if w]
+            lines = [words[i : i + WORDS_PER_LINE] for i in range(0, len(words), WORDS_PER_LINE)] or [[]]
+            img = imaging.render_page(lines)
+            ch0 = img[:, :, 0]
+            if f > 1 and not ((img[:, :, 1] == ch0).all() and (img[:, :, 2] == ch0).all()):
+                up = np.repeat(np.repeat(img, f, axis=0), f, axis=1)
+                out.append((imaging.encode_image(up), up.shape[0], up.shape[1]))
+                continue
+            out.append(
+                (imaging.encode_image_gray_scaled(np.ascontiguousarray(ch0), f),
+                 img.shape[0] * f, img.shape[1] * f)
+            )
+        return out
+
 
 register_rasterizer("stub_synth", StubSynthRasterizer)
 
@@ -130,11 +158,23 @@ def rasterize_pdf_pages(pdfs: DataFrame, cfg: RasterizerConfig = RasterizerConfi
         from onnxtr_spark import imaging
 
         ras = get_rasterizer(cfg)
+        enc = getattr(ras, "rasterize_encoded", None)
         for pdf in batches:
             if pdf.empty:
                 continue
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["pdf"]):
+                if enc is not None:
+                    for p, (png, h, w) in enumerate(enc(bytes(blob))):
+                        rows.append({
+                            "doc_id": doc_id,
+                            "offset": p,
+                            "media_ref": f"{doc_id}-{p}",
+                            "png": png,
+                            "height": h,
+                            "width": w,
+                        })
+                    continue
                 for p, img in enumerate(ras.rasterize(bytes(blob))):
                     rows.append({
                         "doc_id": doc_id,

@@ -207,8 +207,8 @@ def detect_recognize_pages(
                     # maps are content-exact, so pages don't stack),
                     # then the prob-map D1-D6 chain. Cost emulation runs
                     # inside the engine's run().
-                    x = preprocess.normalize(
-                        preprocess.cast_scale(resized), det_cfg.engine.mean, det_cfg.engine.std
+                    x = preprocess.cast_normalize(
+                        resized, det_cfg.engine.mean, det_cfg.engine.std
                     )[None]
                     if det_cfg.engine.input_contract == "float_bchw":
                         x = np.moveaxis(x, -1, 1)
@@ -325,8 +325,8 @@ def detect_recognize_pages(
                     batch[i, : c.shape[0], : c.shape[1]] = c
                 if float_reco:
                     # real-CRNN contract: P2-P4 on the padded crop batch
-                    x = preprocess.normalize(
-                        preprocess.cast_scale(batch), reco_cfg.engine.mean, reco_cfg.engine.std
+                    x = preprocess.cast_normalize(
+                        batch, reco_cfg.engine.mean, reco_cfg.engine.std
                     )
                     if reco_cfg.engine.input_contract == "float_bchw":
                         x = np.moveaxis(x, -1, 1)
