@@ -207,6 +207,157 @@ def _rect_from_hull(hull: list[tuple[float, float]]) -> tuple[float, float, floa
     )
 
 
+def _hulls_batch(
+    px: np.ndarray, py: np.ndarray, comp: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Monotone-chain hulls for MANY components at once.
+
+    Input: integer-valued point coordinates (float64) with their
+    component id (non-decreasing). Output: flat (hx, hy, counts) hull
+    vertex arrays, each component's vertices in the exact order
+    ``_hull_points`` produces (lower chain then upper chain, both
+    without their closing vertex).
+
+    Equality argument: points are deduped and sorted by (x, y) per
+    component exactly like ``sorted(set(pts))`` (via a composite
+    integer key — coords are exact pixel integers < 2^13); each chain
+    is the fixpoint of simultaneously deleting every interior point
+    whose (prev, self, next) cross product is <= 0 — cross products of
+    integer coords are EXACT in float64, hull vertices are never
+    deletable (they turn strictly left against any bracketing pair),
+    and a surviving non-vertex would make the surviving chain a
+    strictly convex chain containing a non-extreme point (impossible),
+    so the fixpoint is exactly the strict hull vertex set in sorted
+    order — the stack algorithm's output."""
+    # sort + dedup per component via one composite integer key
+    key = (comp.astype(np.int64) << 26) | (px.astype(np.int64) << 13) | py.astype(np.int64)
+    key = np.unique(key)
+    cs = key >> 26
+    xs = ((key >> 13) & 0x1FFF).astype(np.float64)
+    ys = (key & 0x1FFF).astype(np.float64)
+
+    def chain(xa: np.ndarray, ya: np.ndarray, ca: np.ndarray) -> np.ndarray:
+        """Alive mask of the convex chain over (xa, ya) in given order."""
+        n = len(xa)
+        alive = np.ones(n, dtype=bool)
+        while True:
+            pos = np.flatnonzero(alive)
+            if len(pos) < 3:
+                break
+            pc = ca[pos]
+            interior = np.zeros(len(pos), dtype=bool)
+            interior[1:-1] = (pc[1:-1] == pc[:-2]) & (pc[1:-1] == pc[2:])
+            ii = np.flatnonzero(interior)
+            if len(ii) == 0:
+                break
+            o = pos[ii - 1]
+            q = pos[ii]
+            p = pos[ii + 1]
+            cross = (xa[q] - xa[o]) * (ya[p] - ya[o]) - (ya[q] - ya[o]) * (xa[p] - xa[o])
+            bad = cross <= 0
+            if not bad.any():
+                break
+            alive[q[bad]] = False
+        return alive
+
+    lower = chain(xs, ys, cs)
+    upper_r = chain(xs[::-1], ys[::-1], cs[::-1])[::-1]
+    # per-comp boundaries in the sorted point array
+    cb = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+    ce = np.r_[cb[1:], len(cs)]
+    # single-point / two-point components: _hull_points returns the
+    # deduped sorted points directly
+    sizes = ce - cb
+    # each chain drops its LAST point (the other chain's first):
+    # lower[:-1] keeps lower-chain vertices except the max point;
+    # upper[:-1] keeps upper-chain vertices except the min point
+    last = ce - 1
+    first = cb
+    lower_keep = lower.copy()
+    lower_keep[last] = False  # lower[:-1]
+    upper_keep = upper_r.copy()
+    upper_keep[first] = False  # upper chain ends at the min point
+    small = sizes <= 2
+    if small.any():
+        for c in np.flatnonzero(small):
+            lower_keep[cb[c] : ce[c]] = True
+            upper_keep[cb[c] : ce[c]] = False
+    # assemble: per comp, lower vertices in ascending order, then upper
+    # vertices in DESCENDING (x, y) order (the reversed-pass chain)
+    li = np.flatnonzero(lower_keep)
+    ui = np.flatnonzero(upper_keep)
+    # order upper vertices descending within each comp
+    order_u = np.lexsort((-ui, cs[ui]))
+    ui = ui[order_u]
+    idx = np.concatenate([li, ui])
+    chain_tag = np.concatenate([np.zeros(len(li), np.int64), np.ones(len(ui), np.int64)])
+    pos_in = np.concatenate([np.arange(len(li)), np.arange(len(ui))])
+    order = np.lexsort((pos_in, chain_tag, cs[idx]))
+    idx = idx[order]
+    hx = xs[idx]
+    hy = ys[idx]
+    hc = cs[idx]
+    hcb = np.flatnonzero(np.r_[True, hc[1:] != hc[:-1]])
+    counts = np.r_[hcb[1:], len(hc)] - hcb
+    return hx, hy, counts
+
+
+def _rects_for_components(
+    rpx0: np.ndarray,
+    rpx1: np.ndarray,
+    rpy: np.ndarray,
+    crb: np.ndarray,
+    cre: np.ndarray,
+    sel: np.ndarray,
+) -> list[tuple[float, float, float, float, float]]:
+    """(cx, cy, w, h, angle) per selected component, computed through
+    the batched hull + calipers — bit-identical to looping
+    ``min_area_rect`` over each component's row-extreme points."""
+    import math
+
+    nr = cre[sel] - crb[sel]
+    tot = int(nr.sum())
+    off = np.cumsum(nr) - nr
+    rows = np.repeat(crb[sel] - off, nr) + np.arange(tot, dtype=np.int64)
+    cid = np.repeat(np.arange(len(sel), dtype=np.int64), nr)
+    px = np.concatenate([rpx0[rows], rpx1[rows]])
+    py = np.concatenate([rpy[rows], rpy[rows]])
+    if tot and (px.max() >= 8192.0 or py.max() >= 8192.0):
+        # coords exceed the 13-bit composite-key domain (pages beyond
+        # 8k px): per-component scalar fallback, same results
+        out = []
+        for i in range(len(sel)):
+            a, b = off[i], off[i] + nr[i]
+            pts = list(zip(px[a:b].tolist(), py[a:b].tolist()))
+            pts += zip(px[tot + a : tot + b].tolist(), py[tot + a : tot + b].tolist())
+            out.append(min_area_rect(pts))
+        return out
+    comp2 = np.concatenate([cid, cid])
+    hx, hy, counts = _hulls_batch(px, py, comp2)
+    big = counts >= 3
+    rects: list[tuple[float, float, float, float, float]] = [None] * len(sel)  # type: ignore[list-item]
+    if big.any():
+        sub = np.flatnonzero(big)
+        cb = np.cumsum(counts) - counts
+        keep_pts = np.repeat(big, counts)
+        bcx, bcy, bw, bh, bux, buy = _rects_from_hull_batch(
+            hx[keep_pts], hy[keep_pts], counts[sub]
+        )
+        for k, c in enumerate(sub):
+            rects[c] = (
+                float(bcx[k]), float(bcy[k]), float(bw[k]), float(bh[k]),
+                math.atan2(float(buy[k]), float(bux[k])),
+            )
+    if not big.all():
+        cb = np.cumsum(counts) - counts
+        for c in np.flatnonzero(~big):
+            hull = [
+                (float(hx[i]), float(hy[i])) for i in range(cb[c], cb[c] + counts[c])
+            ]
+            rects[c] = _rect_from_hull(hull)
+    return rects
+
+
 def _rects_from_hull_batch(
     hxs: np.ndarray, hys: np.ndarray, counts: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -458,13 +609,8 @@ def _polys_from_labeled_runs(
     # contiguous copy and probs[nz].sum() == probs.sum() (same pairwise
     # tree over the same values), so the masked path is skipped whole.
     all_nz = bool(flat.max() < 255) if pixel_mode else bool(flat.min() > 0)
-    import math
-
     scores: list[float] = []
-    rects: list[tuple[float, float, float, float, float] | None] = []
-    hull_x: list[float] = []
-    hull_y: list[float] = []
-    hcounts: list[int] = []
+    passing: list[int] = []
     for c in kept:
         fl = flat[comp_pa[c] : comp_pb[c]]
         if pixel_mode:
@@ -480,36 +626,15 @@ def _polys_from_labeled_runs(
             score = float(probs[nz].sum()) / count if count else 0.0
         if score < box_thresh:
             continue
-        a, b = crb[c], cre[c]
-        y_l = rpy[a:b].tolist()
-        pts = list(zip(rpx0[a:b].tolist(), y_l))
-        pts += zip(rpx1[a:b].tolist(), y_l)
-        hull = _hull_points(pts)
         scores.append(score)
-        if len(hull) >= 3:
-            rects.append(None)  # filled by the batched calipers below
-            for hx, hy in hull:
-                hull_x.append(hx)
-                hull_y.append(hy)
-            hcounts.append(len(hull))
-        else:
-            rects.append(_rect_from_hull(hull))
+        passing.append(c)
     m = len(scores)
     if m == 0:
         return np.zeros((0, 5, 2), dtype=np.float32)
-    if hcounts:
-        bcx, bcy, bw, bh, bux, buy = _rects_from_hull_batch(hull_x, hull_y, hcounts)
+    rects = _rects_for_components(rpx0, rpx1, rpy, crb, cre, np.asarray(passing))
     polys = np.empty((m, 5, 2), dtype=np.float64)
-    k = 0
     for i in range(m):
-        rect = rects[i]
-        if rect is None:
-            rect = (
-                float(bcx[k]), float(bcy[k]), float(bw[k]), float(bh[k]),
-                math.atan2(float(buy[k]), float(bux[k])),
-            )
-            k += 1
-        quad = _unclip_pts(*rect, unclip_ratio)
+        quad = _unclip_pts(*rects[i], unclip_ratio)
         for j in range(4):
             qx, qy = quad[j]
             polys[i, j, 0] = qx / width

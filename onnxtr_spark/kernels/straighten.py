@@ -117,42 +117,11 @@ def _component_stats_arrays(work: np.ndarray, lower_area: int) -> list[tuple[flo
     rpy = ys[rb].astype(np.float64)
     crb = np.searchsorted(rb, comp_b)
     cre = np.r_[crb[1:], len(rb)]
-    from onnxtr_spark.kernels.rotated_post import (
-        _hull_points,
-        _rect_from_hull,
-        _rects_from_hull_batch,
-    )
+    from onnxtr_spark.kernels.rotated_post import _rects_for_components
 
-    whs: list[tuple[float, float, float] | None] = []
-    hull_x: list[float] = []
-    hull_y: list[float] = []
-    hcounts: list[int] = []
-    for c in keep:
-        a, b = crb[c], cre[c]
-        y_l = rpy[a:b].tolist()
-        pts = list(zip(rpx0[a:b].tolist(), y_l))
-        pts += zip(rpx1[a:b].tolist(), y_l)
-        hull = _hull_points(pts)
-        if len(hull) >= 3:
-            whs.append(None)  # filled by the batched calipers below
-            for hx, hy in hull:
-                hull_x.append(hx)
-                hull_y.append(hy)
-            hcounts.append(len(hull))
-        else:
-            _, _, w, h, ang = _rect_from_hull(hull)
-            whs.append((w, h, ang))
-    if hcounts:
-        _, _, bw, bh, bux, buy = _rects_from_hull_batch(hull_x, hull_y, hcounts)
+    rects = _rects_for_components(rpx0, rpx1, rpy, crb, cre, keep)
     stats: list[tuple[float, float, float, float]] = []
-    k = 0
-    for wh in whs:
-        if wh is None:
-            w, h = float(bw[k]), float(bh[k])
-            ang = math.atan2(float(buy[k]), float(bux[k]))
-            k += 1
-        else:
-            w, h, ang = wh
+    for _, _, w, h, ang in rects:
         deg = math.degrees(ang)
         if w < h:
             w, h = h, w
