@@ -222,18 +222,42 @@ def render_page(
             dy = ((li * 31 + wi * 17) % 5) - 2 if jitter else 0
             y = y_base + dy
             w_px = word_width(word, cell_w, gap_w)
-            cx = x
-            for ci, ch in enumerate(word):
-                idx = vocab.find(ch)
-                if idx < 0:
-                    raise ValueError(f"character {ch!r} not in vocab")
-                if ci > 0:
-                    page[y : y + CELL_H, cx : cx + gap_w] = GAP_VALUE
-                    cx += gap_w
-                page[y : y + CELL_H, cx : cx + cell_w] = CHAR_BASE + idx
-                cx += cell_w
+            # one write of a cached per-word glyph block instead of two
+            # slice writes per character: the block holds exactly the
+            # bytes the per-char loop wrote (corpus words repeat
+            # heavily, so the cache hit rate is near 1)
+            if word:
+                block = _word_block(word, vocab, cell_w, gap_w)
+                page[y : y + CELL_H, x : x + w_px] = block[:, :, None]
             x += w_px
     return page
+
+
+_WORD_BLOCK_CACHE: dict[tuple[str, str, int, int], np.ndarray] = {}
+
+
+def _word_block(word: str, vocab: str, cell_w: int, gap_w: int) -> np.ndarray:
+    """(CELL_H, word_width) uint8 glyph block for one word — the exact
+    column pattern render_page's per-character loop produced."""
+    key = (word, vocab, cell_w, gap_w)
+    hit = _WORD_BLOCK_CACHE.get(key)
+    if hit is None:
+        w_px = word_width(word, cell_w, gap_w)
+        block = np.empty((CELL_H, w_px), dtype=np.uint8)
+        cx = 0
+        for ci, ch in enumerate(word):
+            idx = vocab.find(ch)
+            if idx < 0:
+                raise ValueError(f"character {ch!r} not in vocab")
+            if ci > 0:
+                block[:, cx : cx + gap_w] = GAP_VALUE
+                cx += gap_w
+            block[:, cx : cx + cell_w] = CHAR_BASE + idx
+            cx += cell_w
+        if len(_WORD_BLOCK_CACHE) >= 8192:
+            _WORD_BLOCK_CACHE.clear()
+        hit = _WORD_BLOCK_CACHE[key] = block
+    return hit
 
 
 def rotate_image_nearest(img: np.ndarray, angle_deg: float, expand: bool = True, fill: int = WHITE) -> np.ndarray:
