@@ -285,15 +285,20 @@ def sample_video_frames(videos: DataFrame, every: int = 2) -> DataFrame:
             if pdf.empty:
                 continue
             rows = []
+            import struct
+
             for doc_id, blob in zip(pdf["doc_id"], pdf["video"]):
                 for i, fps, frame in iter_video_frames(bytes(blob)):
                     if i % every:
                         continue
-                    img = imaging.decode_image(frame)
+                    # frame dimensions live in the codec header (the
+                    # container-metadata read a real demuxer does) — no
+                    # need to inflate the pixel payload for them
+                    fh, fw = struct.unpack("<II", frame[5:13])
                     rows.append({
                         "doc_id": int(doc_id), "frame_idx": i,
                         "t_ms": i * 1000 // fps,
-                        "height": img.shape[0], "width": img.shape[1],
+                        "height": int(fh), "width": int(fw),
                     })
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "t_ms", "height", "width"])
 

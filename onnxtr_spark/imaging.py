@@ -211,7 +211,13 @@ def render_page(
         rows.append(row)
 
     page_h = MARGIN * 2 + (max(len(rows), 1) - 1) * LINE_STEP + CELL_H
-    page = np.full((page_h, page_w, 3), WHITE, dtype=np.uint8)
+    # grayscale draw + read-only RGB broadcast: every value the renderer
+    # writes is channel-uniform, so the 3-channel frame is a stride-0
+    # view of one plane — 3x less written bytes, and encode_image takes
+    # its broadcast fast path. Callers that mutate pages (add_artefacts,
+    # add_orientation_mark) .copy() first, which materializes a writable
+    # frame with identical values.
+    page = np.full((page_h, page_w), WHITE, dtype=np.uint8)
 
     for ri, row in enumerate(rows):
         x = MARGIN
@@ -228,9 +234,9 @@ def render_page(
             # heavily, so the cache hit rate is near 1)
             if word:
                 block = _word_block(word, vocab, cell_w, gap_w)
-                page[y : y + CELL_H, x : x + w_px] = block[:, :, None]
+                page[y : y + CELL_H, x : x + w_px] = block
             x += w_px
-    return page
+    return np.broadcast_to(page[:, :, None], (page_h, page_w, 3))
 
 
 _WORD_BLOCK_CACHE: dict[tuple[str, str, int, int], np.ndarray] = {}
