@@ -111,14 +111,34 @@ def label_runs(bitmap: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, 
     union-find loop — same fixpoint (min run index per component).
     """
     h, w = bitmap.shape
-    padded = np.zeros((h, w + 2), dtype=np.int8)
-    padded[:, 1:-1] = bitmap != 0
-    d = np.diff(padded, axis=1)
-    ys_all, xs_all = np.nonzero(d)  # one pass; +1 = run start, -1 = run end
-    vals = d[ys_all, xs_all]
-    pos = vals > 0
-    ys, xs = ys_all[pos], xs_all[pos]
-    xe = xs_all[~pos]
+    # Packed-bit run extraction: transitions are found on the h×(w/8)
+    # byte map instead of diffing the h×(w+2) int8 map — ~6× less
+    # memory traffic for the two full-map scans (start bits are
+    # ``b & ~prev``, end bits ``prev & ~b``, prev = the column-left
+    # pattern, exactly the padded-diff's +1/−1 events). A zero byte
+    # column is appended so a run ending at column w has a bit to land
+    # on; packbits' zero pad bits handle the non-multiple-of-8 case.
+    # Within a row, runs alternate start < end < start …, so the two
+    # raster-ordered nonzero scans yield aligned (xs, xe) pairs — the
+    # same arrays the diff produced.
+    bits = np.packbits(bitmap.astype(bool), axis=1)  # col 0 = bit 7
+    bits = np.concatenate([bits, np.zeros((h, 1), dtype=np.uint8)], axis=1)
+    prev = bits >> 1
+    prev[:, 1:] |= (bits[:, :-1] & 1) << 7
+    start_p = bits & ~prev
+    end_p = prev & ~bits
+
+    def _positions(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        ry, rb = np.nonzero(packed)
+        if len(ry) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        exp = np.unpackbits(packed[ry, rb][:, None], axis=1)
+        si, bitpos = np.nonzero(exp)
+        return ry[si].astype(np.int64), rb[si].astype(np.int64) * 8 + bitpos
+
+    ys, xs = _positions(start_p)
+    ys_e, xe = _positions(end_p)
     n = len(ys)
     if n == 0:
         z = np.zeros(0, dtype=np.int64)
