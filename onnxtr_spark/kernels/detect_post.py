@@ -48,11 +48,19 @@ def binary_open_3x3(bitmap: np.ndarray) -> np.ndarray:
     with background.
     """
     h, w = bitmap.shape
+    return np.unpackbits(_open_3x3_packed(bitmap), axis=1)[:, :w]
+
+
+def _open_3x3_packed(bitmap: np.ndarray) -> np.ndarray:
+    """``binary_open_3x3`` in packed-bit form (pad bits beyond ``w``
+    CLEARED, so ``_label_runs_packed`` can consume it directly without
+    the unpack/repack roundtrip)."""
+    h, w = bitmap.shape
     # Bit-packed separable 3x3 (the ones-kernel factorizes into
     # rows×cols): the map lives as h×(w/8) bytes (~32 KB for 512²), so
     # the 12 shift/AND/OR passes touch 8× less memory than byte-per-
     # pixel — this kernel is DRAM-bound at high core counts.
-    bits = np.packbits(bitmap.astype(bool), axis=1)  # big-endian: col 0 = bit 7
+    bits = np.packbits(bitmap if bitmap.dtype == np.bool_ else bitmap.astype(bool), axis=1)  # big-endian: col 0 = bit 7
 
     def sh_hi(a: np.ndarray, border: int) -> np.ndarray:
         """Pattern shifted one column toward higher col index."""
@@ -88,7 +96,9 @@ def binary_open_3x3(bitmap: np.ndarray) -> np.ndarray:
     di = er | sh_hi(er, 0) | sh_lo(er, 0)
     di = di | np.vstack([np.zeros((1, di.shape[1]), np.uint8), di[:-1]]) \
             | np.vstack([di[1:], np.zeros((1, di.shape[1]), np.uint8)])
-    return np.unpackbits(di, axis=1)[:, :w]
+    if pad_bits:
+        di[:, -1] &= np.uint8(0xFF ^ edge)  # dilation spills into pad cols: clear
+    return di
 
 
 def label_runs(bitmap: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -121,7 +131,15 @@ def label_runs(bitmap: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, 
     # Within a row, runs alternate start < end < start …, so the two
     # raster-ordered nonzero scans yield aligned (xs, xe) pairs — the
     # same arrays the diff produced.
-    bits = np.packbits(bitmap.astype(bool), axis=1)  # col 0 = bit 7
+    bits = np.packbits(bitmap if bitmap.dtype == np.bool_ else bitmap.astype(bool), axis=1)  # col 0 = bit 7
+    return _label_runs_packed(bits, h, w)
+
+
+def _label_runs_packed(
+    bits: np.ndarray, h: int, w: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """``label_runs`` over an already-packed bit map (pad bits beyond
+    ``w`` must be clear — ``_open_3x3_packed`` guarantees it)."""
     bits = np.concatenate([bits, np.zeros((h, 1), dtype=np.uint8)], axis=1)
     prev = bits >> 1
     prev[:, 1:] |= (bits[:, :-1] & 1) << 7
@@ -180,7 +198,22 @@ def connected_components(bitmap: np.ndarray) -> list[tuple[int, int, int, int]]:
     raster order of the component's topmost-leftmost run (deterministic,
     identical to the previous union-find implementation).
     """
-    ys, xs, xe, lab = label_runs(bitmap)
+    return _rects_from_runs(*label_runs(bitmap))
+
+
+def _components_packed(binmap: np.ndarray, morph_open: bool) -> list[tuple[int, int, int, int]]:
+    """``connected_components`` of (optionally opened) ``binmap``
+    through the packed-bit pipeline — the opened bit map goes straight
+    into run labeling without the unpack/repack roundtrip."""
+    if morph_open:
+        h, w = binmap.shape
+        return _rects_from_runs(*_label_runs_packed(_open_3x3_packed(binmap), h, w))
+    return _rects_from_runs(*label_runs(binmap))
+
+
+def _rects_from_runs(
+    ys: np.ndarray, xs: np.ndarray, xe: np.ndarray, lab: np.ndarray
+) -> list[tuple[int, int, int, int]]:
     if len(ys) == 0:
         return []
     roots, inv = np.unique(lab, return_inverse=True)  # ascending = raster order
@@ -241,8 +274,21 @@ def bitmap_to_boxes(
     relative coords clipped to [0,1] (reference postprocessor/base.py:83-139,
     straight path)."""
     height, width = bitmap.shape[:2]
+    return _boxes_from_components(
+        pred, connected_components(bitmap), height, width, box_thresh, unclip_ratio
+    )
+
+
+def _boxes_from_components(
+    pred: np.ndarray,
+    comps: list[tuple[int, int, int, int]],
+    height: int,
+    width: int,
+    box_thresh: float,
+    unclip_ratio: float,
+) -> np.ndarray:
     boxes: list[list[float]] = []
-    for x, y, w, h in connected_components(bitmap):
+    for x, y, w, h in comps:
         # Small-extent filter (postprocessor/base.py:106): the reference
         # drops contours whose coordinate span (max - min) < 2 in either
         # axis; pixel-count extent = span + 1, so drop w < 3 or h < 3.
@@ -297,10 +343,11 @@ def postprocess_prob_map(
     morph_open: bool = True,
 ) -> np.ndarray:
     """Full D1-D6 chain for one page's (H, W) probability map."""
-    bitmap = (prob_map >= bin_thresh).astype(np.uint8)
-    if morph_open:
-        bitmap = binary_open_3x3(bitmap)
-    return bitmap_to_boxes(prob_map, bitmap, box_thresh, unclip_ratio)
+    binmap = prob_map >= bin_thresh
+    height, width = binmap.shape[:2]
+    return _boxes_from_components(
+        prob_map, _components_packed(binmap, morph_open), height, width, box_thresh, unclip_ratio
+    )
 
 
 def postprocess_pixel_map(
@@ -323,13 +370,11 @@ def postprocess_pixel_map(
     in the last float ulps (float64 rect mean vs float32 map mean).
     """
     pix_thresh = float(np.floor(255.0 - 255.0 * bin_thresh))
-    bitmap = (px_map <= pix_thresh).astype(np.uint8)
-    if morph_open:
-        bitmap = binary_open_3x3(bitmap)
+    binmap = px_map <= pix_thresh
 
-    height, width = bitmap.shape[:2]
+    height, width = binmap.shape[:2]
     boxes: list[list[float]] = []
-    for x, y, w, h in connected_components(bitmap):
+    for x, y, w, h in _components_packed(binmap, morph_open):
         if w < 3 or h < 3:  # contour-span < 2 (see bitmap_to_boxes)
             continue
         # x, y, w, h are exact ints from the labeling: floor/ceil are

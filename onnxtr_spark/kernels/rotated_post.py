@@ -672,10 +672,9 @@ def postprocess_prob_map_rotated(
     the real-CNN path (a non-affine model can't be folded; see
     detect_post.postprocess_prob_map). Geometry is bit-identical to the
     folded path; scores differ only in float32-map ulps."""
-    bitmap = (prob_map >= bin_thresh).astype(np.uint8)
-    if morph_open:
-        bitmap = binary_open_3x3(bitmap)
-    return bitmap_to_polys(prob_map, bitmap, box_thresh, unclip_ratio)
+    return _postprocess_binmap_rotated(
+        prob_map, False, prob_map >= bin_thresh, box_thresh, unclip_ratio, morph_open
+    )
 
 
 def postprocess_pixel_map_rotated(
@@ -688,15 +687,31 @@ def postprocess_pixel_map_rotated(
     """Full rotated D1-D6 chain folded through the affine stub model,
     directly on the uint8 map (see detect_post.postprocess_pixel_map for
     the folding argument — identical here, geometry is bit-identical)."""
-    from onnxtr_spark.kernels.detect_post import label_runs
-
     pix_thresh = float(np.floor(255.0 - 255.0 * bin_thresh))
-    bitmap = (px_map <= pix_thresh).astype(np.uint8)
+    return _postprocess_binmap_rotated(
+        px_map, True, px_map <= pix_thresh, box_thresh, unclip_ratio, morph_open
+    )
+
+
+def _postprocess_binmap_rotated(
+    src: np.ndarray,
+    pixel_mode: bool,
+    binmap: np.ndarray,
+    box_thresh: float,
+    unclip_ratio: float,
+    morph_open: bool,
+) -> np.ndarray:
+    from onnxtr_spark.kernels.detect_post import _label_runs_packed, _open_3x3_packed, label_runs
+
+    h, w = binmap.shape[:2]
     if morph_open:
-        bitmap = binary_open_3x3(bitmap)
-    ys, xs, xe, lab = label_runs(bitmap)
+        # packed-bit opening feeds run labeling directly — no
+        # unpack/repack roundtrip
+        ys, xs, xe, lab = _label_runs_packed(_open_3x3_packed(binmap), h, w)
+    else:
+        ys, xs, xe, lab = label_runs(binmap)
     return _polys_from_labeled_runs(
-        px_map, True, bitmap.shape[:2], ys, xs, xe, lab, box_thresh, unclip_ratio
+        src, pixel_mode, (h, w), ys, xs, xe, lab, box_thresh, unclip_ratio
     )
 
 
